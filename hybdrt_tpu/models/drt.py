@@ -1,0 +1,1587 @@
+"""The DRT model: self-tuning hierarchical-Bayesian DRT/DOP estimation.
+
+API-compatible re-design of the reference's central class
+(reference hybdrt/models/drt1d.py:38 `DRT`, hybdrt/models/drtbase.py:20
+`DRTBase`). Host-side python handles data prep and bookkeeping; all numerics
+run through the jitted QPHB core (hybdrt_tpu.solver.fitcore) with the
+JAX-native QP solver (hybdrt_tpu.ops.qp).
+"""
+import warnings
+from copy import deepcopy
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import preprocessing as pp
+from ..ops import basis, lookup, mat1d, phasance
+from ..solver import hypers as hyp_mod
+from ..solver import qphb as qphb_mod
+from ..solver import fitcore
+from ..solver.qphb import QPHBConfig
+from ..utils import chrono as chrono_utils
+from ..utils import eis as eis_utils
+from ..utils import validation
+
+
+SPECIAL_PARAM_OPTIONS = ["R_inf", "v_baseline", "inductance", "C_inv", "vz_offset",
+                         "background_scale", "x_dop"]
+
+
+class DRT:
+    """Distribution of relaxation times model with QPHB self-tuning fits.
+
+    Constructor arguments mirror the reference (drtbase.py:21-27).
+    """
+
+    def __init__(self, fixed_basis_tau=None, tau_supergrid=None, tau_basis_type="gaussian",
+                 tau_epsilon=None, basis_tau_ppd=10, extend_basis_decades=1,
+                 step_model="ideal", chrono_mode="galv", interpolate_integrals=True,
+                 chrono_tau_rise=None, fixed_basis_nu=None, nu_basis_type="gaussian",
+                 nu_epsilon=None, fit_dop=False, normalize_dop=True,
+                 fit_inductance=True, fit_ohmic=True, fit_capacitance=False,
+                 time_precision=10, input_signal_precision=10, frequency_precision=10,
+                 print_diagnostics=False, warn=True):
+        validation.check_basis_type(tau_basis_type)
+        validation.check_step_model(step_model)
+        validation.check_ctrl_mode(chrono_mode)
+
+        self.fixed_basis_tau = None if fixed_basis_tau is None else np.asarray(fixed_basis_tau)
+        self.tau_supergrid = None if tau_supergrid is None else np.asarray(tau_supergrid)
+        self.basis_tau = None
+        self.tau_basis_type = tau_basis_type
+        self.tau_epsilon = tau_epsilon
+        self.extend_basis_decades = extend_basis_decades
+        self.step_model = step_model
+        self.chrono_mode = chrono_mode
+        self.frequency_precision = frequency_precision
+        self.time_precision = time_precision
+        self.input_signal_precision = input_signal_precision
+        self.zga_params = None
+
+        self.fit_inductance = fit_inductance
+        self.fit_ohmic = fit_ohmic
+        self.fit_capacitance = fit_capacitance
+
+        # Distribution of phasances
+        self.fixed_basis_nu = None if fixed_basis_nu is None else np.asarray(fixed_basis_nu)
+        self.basis_nu = None
+        self.nu_epsilon = nu_epsilon
+        self.nu_basis_type = nu_basis_type
+        self.fit_dop = fit_dop
+        self.normalize_dop = normalize_dop
+        self.dop_scale_vector = None
+
+        # Chrono state
+        self.step_times = None
+        self.step_sizes = None
+        self.tau_rise = None
+        self.nonconsec_step_times = None
+        self.sample_index = None
+        self.raw_input_signal = None
+        self.raw_response_signal = None
+        self.raw_response_background = None
+        self.scaled_input_signal = None
+        self.scaled_response_signal = None
+        self.scaled_response_offset = None
+        self.v_baseline_deg = None
+        self.v_baseline_sqrt = None
+        self.v_baseline_scale = None
+
+        # EIS state
+        self.z_fit = None
+        self.z_fit_scaled = None
+
+        # Scales
+        self.input_signal_scale = 1.0
+        self.response_signal_scale = 1.0
+        self.coefficient_scale = 1.0
+        self.impedance_scale = 1.0
+        self.inductance_scale = None
+        self.capacitance_scale = None
+
+        # Fit state
+        self.t_fit = []
+        self.f_fit = []
+        self.special_qp_params = {}
+        self.series_neg = None
+        self.fit_parameters = None
+        self.fit_type = None
+        self.fit_kwargs = None
+        self.fit_matrices = {}
+        self.qphb_params = None
+        self.qphb_history = None
+
+        # Outlier state
+        self.eis_outlier_index = None
+        self.eis_outliers = None
+        self.chrono_outlier_index = None
+        self.chrono_outliers = None
+
+        self.print_diagnostics = print_diagnostics
+        self.warn = warn
+
+        # Default epsilon from grid spacing (reference drtbase.py:126-136)
+        if self.tau_epsilon is None:
+            if self.fixed_basis_tau is not None:
+                self.tau_epsilon = 1 / np.mean(np.diff(np.log(self.fixed_basis_tau)))
+            elif self.tau_supergrid is not None:
+                self.tau_epsilon = 1 / np.mean(np.diff(np.log(self.tau_supergrid)))
+            elif basis_tau_ppd is not None:
+                self.tau_epsilon = pp.get_epsilon_from_ppd(basis_tau_ppd)
+
+        # Integral lookups for interpolation-based matrix assembly
+        # (reference drtbase.py:137-159). Cached by (basis_type, epsilon).
+        self.integrate_method = "interp" if interpolate_integrals else "trapz"
+        self.chrono_tau_rise = chrono_tau_rise
+        self._refresh_lookups()
+
+    # ------------------------------------------------------------------
+    # Lookup + config helpers
+    # ------------------------------------------------------------------
+    def _refresh_lookups(self):
+        if self.integrate_method == "interp" and self.tau_basis_type not in \
+                ("Cole-Cole", "zga", "delta"):
+            zre, zim = lookup.generate_impedance_lookup(self.tau_basis_type, float(self.tau_epsilon))
+            tr = self.chrono_tau_rise if self.step_model != "ideal" else None
+            resp = lookup.generate_response_lookup(self.tau_basis_type, self.chrono_mode,
+                                                   self.step_model, float(self.tau_epsilon),
+                                                   tau_rise=tr)
+            self.interpolate_lookups = {"z_real": zre, "z_imag": zim, "response": resp}
+        else:
+            self.interpolate_lookups = {"z_real": None, "z_imag": None, "response": None}
+
+    def _add_special_qp_param(self, name, nonneg, size=1):
+        if name not in SPECIAL_PARAM_OPTIONS:
+            raise ValueError(f"Invalid special QP parameter {name}")
+        self.special_qp_params[name] = {"index": self.get_qp_mat_offset(), "nonneg": nonneg,
+                                        "size": size}
+
+    def get_qp_mat_offset(self):
+        return int(np.sum([v.get("size", 1) for v in self.special_qp_params.values()])) \
+            if self.special_qp_params else 0
+
+    def get_special_indices(self, name):
+        sp = self.special_qp_params[name]
+        return sp["index"], sp["index"] + sp.get("size", 1)
+
+    @property
+    def dop_indices(self):
+        if self.fit_dop and "x_dop" in self.special_qp_params:
+            return self.get_special_indices("x_dop")
+        return None, None
+
+    @property
+    def num_drt_params(self):
+        n = len(self.basis_tau)
+        return 2 * n if self.series_neg else n
+
+    def get_fit_frequencies(self, return_none=False):
+        if len(np.atleast_1d(self.f_fit)) == 0:
+            return None if return_none else np.array([])
+        return np.asarray(self.f_fit)
+
+    def get_fit_times(self, return_none=False):
+        if self.t_fit is None or len(np.atleast_1d(self.t_fit)) == 0:
+            return None if return_none else np.array([])
+        return np.asarray(self.t_fit)
+
+    @property
+    def num_data(self):
+        nt = len(np.atleast_1d(self.get_fit_times()))
+        nf = len(np.atleast_1d(self.get_fit_frequencies()))
+        return nt + 2 * nf
+
+    @property
+    def num_independent_data(self):
+        return len(np.atleast_1d(self.get_fit_times())) + len(np.atleast_1d(self.get_fit_frequencies()))
+
+    # ------------------------------------------------------------------
+    # Chrono signal processing (reference drtbase.py:285-373)
+    # ------------------------------------------------------------------
+    def process_chrono_signals(self, times, i_signal, v_signal, step_times, step_sizes,
+                               offset_steps, step_offset_size, downsample, downsample_kw):
+        if times is None:
+            self.step_times = None
+            self.step_sizes = None
+            self.tau_rise = None
+            return None, None, None, None, None, None
+
+        input_signal = i_signal if self.chrono_mode == "galv" else v_signal
+        if step_times is None:
+            step_times, step_sizes, tau_rise = pp.process_input_signal(
+                times, input_signal, self.step_model, offset_steps, offset_size=step_offset_size)
+        else:
+            if step_sizes is None:
+                step_sizes = pp.get_step_sizes(times, input_signal, step_times)
+            tau_rise = None
+
+        if len(step_times) > 1:
+            step_diff = np.diff(step_times)
+            t_sample = np.min(np.diff(times))
+            nonconsec = step_times[1:][step_diff > 1.1 * t_sample]
+            self.nonconsec_step_times = np.insert(nonconsec, 0, step_times[0])
+        else:
+            self.nonconsec_step_times = np.asarray(step_times)
+
+        if downsample:
+            if downsample_kw is None:
+                downsample_kw = {"prestep_samples": 10, "target_times": None}
+            sample_index, (sample_times, sample_i, sample_v) = pp.downsample_data(
+                times, i_signal, v_signal, step_times=self.nonconsec_step_times,
+                op_mode=self.chrono_mode, **downsample_kw)
+            self.sample_index = sample_index
+        else:
+            self.sample_index = np.arange(len(times), dtype=int)
+            sample_times = np.array(times, dtype=float)
+            sample_i = np.array(i_signal, dtype=float)
+            sample_v = np.array(v_signal, dtype=float)
+
+        self.t_fit = sample_times
+        input_signal, response_signal = chrono_utils.get_input_and_response(
+            sample_i, sample_v, self.chrono_mode)
+        self.raw_input_signal = input_signal.copy()
+        self.raw_response_signal = response_signal.copy()
+
+        self.step_times = deepcopy(step_times)
+        self.step_sizes = deepcopy(step_sizes)
+        self.tau_rise = deepcopy(tau_rise)
+        return sample_times, sample_i, sample_v, step_times, step_sizes, tau_rise
+
+    # ------------------------------------------------------------------
+    # Data scaling (reference drtbase.py:439-536)
+    # ------------------------------------------------------------------
+    def scale_data(self, times, i_signal, v_signal, step_times, step_sizes, z,
+                   apply_scaling, rp_scale):
+        if apply_scaling:
+            _, response_signal = chrono_utils.get_input_and_response(i_signal, v_signal,
+                                                                     self.chrono_mode)
+            rp_est = pp.estimate_rp(times, step_times, step_sizes, response_signal,
+                                    self.step_model, z)
+            self.coefficient_scale = rp_est / rp_scale
+        else:
+            rp_est = 1.0
+            self.coefficient_scale = 1.0
+
+        if times is not None:
+            if apply_scaling:
+                self.input_signal_scale = np.max(np.abs(step_sizes))
+                self.response_signal_scale = self.input_signal_scale * rp_est / rp_scale
+            else:
+                self.input_signal_scale = 1.0
+                self.response_signal_scale = 1.0
+            self.scaled_input_signal = self.raw_input_signal / self.input_signal_scale
+            self.scaled_response_signal = self.raw_response_signal / self.response_signal_scale
+            if self.chrono_mode == "galv":
+                scaled_i = self.scaled_input_signal.copy()
+                scaled_v = self.scaled_response_signal.copy()
+            else:
+                scaled_i = self.scaled_response_signal.copy()
+                scaled_v = self.scaled_input_signal.copy()
+        else:
+            scaled_i, scaled_v = None, None
+            self.input_signal_scale = None
+            self.response_signal_scale = None
+            self.raw_input_signal = None
+            self.raw_response_signal = None
+            self.scaled_input_signal = None
+            self.scaled_response_signal = None
+
+        if z is not None:
+            self.impedance_scale = deepcopy(self.coefficient_scale)
+            z_scaled = z / self.impedance_scale
+            self.z_fit = z.copy()
+            self.z_fit_scaled = z_scaled.copy()
+        else:
+            z_scaled = None
+            self.z_fit = None
+            self.z_fit_scaled = None
+
+        return scaled_i, scaled_v, z_scaled
+
+    def update_data_scale(self, factor):
+        if self.scaled_response_signal is not None:
+            self.response_signal_scale /= factor
+            self.scaled_response_offset *= factor
+            self.scaled_response_signal *= factor
+        if self.z_fit_scaled is not None:
+            self.z_fit_scaled *= factor
+        if self.chrono_mode == "galv":
+            self.coefficient_scale /= factor
+            self.impedance_scale /= factor
+        else:
+            self.coefficient_scale *= factor
+            self.impedance_scale /= factor
+
+    # ------------------------------------------------------------------
+    # Fit preparation (reference drt1d.py:5439-5963)
+    # ------------------------------------------------------------------
+    def _prep_for_fit(self, times, i_signal, v_signal, frequencies, z, step_times, step_sizes,
+                      downsample, downsample_kw, offset_steps, step_offset_size,
+                      smooth_inf_response, scale_data, rp_scale):
+        self.fit_kwargs = {"smooth_inf_response": smooth_inf_response,
+                           "offset_steps": offset_steps,
+                           "step_offset_size": step_offset_size}
+
+        sample_times, sample_i, sample_v, step_times, step_sizes, tau_rise = \
+            self.process_chrono_signals(times, i_signal, v_signal, step_times, step_sizes,
+                                        offset_steps, step_offset_size, downsample, downsample_kw)
+
+        # Basis grid (reference drt1d.py:5470-5485)
+        if self.fixed_basis_tau is not None:
+            self.basis_tau = self.fixed_basis_tau
+        else:
+            self.basis_tau = pp.get_basis_tau(frequencies, times, step_times,
+                                              tau_grid=self.tau_supergrid,
+                                              extend_decades=self.extend_basis_decades)
+        if self.tau_epsilon is None:
+            if self.tau_basis_type in ("gaussian", "zga"):
+                self.tau_epsilon = 1 / np.mean(np.diff(np.log(self.basis_tau)))
+            elif self.tau_basis_type == "Cole-Cole":
+                self.tau_epsilon = 0.95
+
+        if sample_times is not None:
+            rm_drt, inf_rv, induc_rv, cap_rv, rm_dop = self._prep_chrono_fit_matrix(
+                sample_times, step_times, step_sizes, tau_rise, smooth_inf_response)
+            if self.series_neg:
+                rm_drt = np.hstack((rm_drt, -rm_drt))
+        else:
+            self.t_fit = []
+            rm_drt, inf_rv, induc_rv, cap_rv, rm_dop = None, None, None, None, None
+
+        if frequencies is not None:
+            zm_drt, induc_zv, cap_zv, zm_dop = self._prep_impedance_fit_matrix(frequencies)
+            if self.series_neg:
+                zm_drt = np.hstack((zm_drt, -zm_drt))
+        else:
+            self.f_fit = []
+            zm_drt, induc_zv, cap_zv, zm_dop = None, None, None, None
+
+        penalty_matrices = self._prep_penalty_matrices()
+        if self.series_neg:
+            for key in list(penalty_matrices.keys()):
+                if "dop" not in key:
+                    penalty_matrices[key] = np.kron(np.eye(2), penalty_matrices[key])
+
+        i_scaled, v_scaled, z_scaled = self.scale_data(sample_times, sample_i, sample_v,
+                                                       step_times, step_sizes, z,
+                                                       scale_data, rp_scale)
+
+        if sample_times is not None:
+            if self.chrono_mode == "galv":
+                response_baseline = np.median(v_scaled[sample_times < step_times[0]])
+            else:
+                response_baseline = np.median(i_scaled[sample_times < step_times[0]])
+            rm_drt = np.asarray(rm_drt) / self.input_signal_scale
+            induc_rv = np.asarray(induc_rv) / self.input_signal_scale
+            inf_rv = np.asarray(inf_rv) / self.input_signal_scale
+            cap_rv = np.asarray(cap_rv) / self.input_signal_scale
+            if rm_dop is not None:
+                rm_dop = np.asarray(rm_dop) / self.input_signal_scale
+        else:
+            response_baseline = None
+
+        return (sample_times, i_scaled, v_scaled, response_baseline, z_scaled), \
+            (rm_drt, induc_rv, inf_rv, cap_rv, rm_dop, zm_drt, induc_zv, cap_zv, zm_dop,
+             penalty_matrices)
+
+    def _prep_chrono_fit_matrix(self, times, step_times, step_sizes, tau_rise,
+                                smooth_inf_response):
+        rm, rm_layered = mat1d.construct_response_matrix(
+            self.basis_tau, times, self.step_model, step_times, step_sizes,
+            basis_type=self.tau_basis_type, epsilon=self.tau_epsilon, tau_rise=tau_rise,
+            op_mode=self.chrono_mode, integrate_method=self.integrate_method,
+            zga_params=self.zga_params, interpolate_grids=self.interpolate_lookups["response"])
+        rm = np.asarray(rm)
+        self.fit_matrices["response"] = rm.copy()
+        self.fit_matrices["rm_layered"] = np.asarray(rm_layered)
+
+        induc_rv = np.asarray(mat1d.construct_inductance_response_vector(
+            times, self.step_model, step_times, step_sizes, tau_rise, self.chrono_mode))
+        cap_rv = np.asarray(mat1d.construct_capacitance_response_vector(
+            times, self.step_model, step_times, step_sizes, tau_rise, self.chrono_mode))
+        self.fit_matrices["inductance_response"] = induc_rv
+        self.fit_matrices["capacitance_response"] = cap_rv
+
+        inf_rv = np.asarray(mat1d.construct_ohmic_response_vector(
+            times, self.step_model, step_times, step_sizes, tau_rise, self.raw_input_signal,
+            smooth_inf_response, self.chrono_mode))
+        self.fit_matrices["inf_response"] = inf_rv.copy()
+
+        if self.fit_dop:
+            rm_dop, _ = phasance.construct_phasor_v_matrix(times, self.basis_nu,
+                                                           self.nu_basis_type, self.nu_epsilon,
+                                                           self.step_model, step_times,
+                                                           step_sizes, self.chrono_mode)
+            rm_dop = np.asarray(rm_dop)
+            self.fit_matrices["rm_dop"] = rm_dop.copy()
+        else:
+            rm_dop = None
+        return rm, inf_rv, induc_rv, cap_rv, rm_dop
+
+    def _prep_impedance_fit_matrix(self, frequencies):
+        self.f_fit = np.asarray(frequencies)
+        zmr = np.asarray(mat1d.construct_impedance_matrix(
+            frequencies, "real", tau=self.basis_tau, basis_type=self.tau_basis_type,
+            epsilon=self.tau_epsilon, integrate_method=self.integrate_method,
+            zga_params=self.zga_params, interpolate_grids=self.interpolate_lookups["z_real"]))
+        zmi = np.asarray(mat1d.construct_impedance_matrix(
+            frequencies, "imag", tau=self.basis_tau, basis_type=self.tau_basis_type,
+            epsilon=self.tau_epsilon, integrate_method=self.integrate_method,
+            zga_params=self.zga_params, interpolate_grids=self.interpolate_lookups["z_imag"]))
+        zm = zmr + 1j * zmi
+        self.fit_matrices["impedance"] = zm.copy()
+
+        induc_zv = np.asarray(mat1d.construct_inductance_impedance_vector(frequencies))
+        cap_zv = np.asarray(mat1d.construct_capacitance_impedance_vector(frequencies))
+
+        if self.fit_dop:
+            zm_dop = np.asarray(phasance.construct_phasor_z_matrix(
+                frequencies, self.basis_nu, self.nu_basis_type, self.nu_epsilon))
+        else:
+            zm_dop = None
+        self.fit_matrices["zm_dop"] = zm_dop
+        return zm, induc_zv, cap_zv, zm_dop
+
+    def _prep_penalty_matrices(self):
+        """Integral penalty matrices for orders 0..2 (reference drt1d.py:5673)."""
+        penalty_matrices = {}
+        for k in range(3):
+            dk = np.asarray(mat1d.construct_integrated_derivative_matrix(
+                np.log(self.basis_tau), basis_type=self.tau_basis_type, order=k,
+                epsilon=self.tau_epsilon, zga_params=self.zga_params))
+            penalty_matrices[f"m{k}"] = dk
+
+            if self.fit_dop:
+                if self.nu_basis_type == "delta":
+                    dnu = np.median(np.diff(np.sort(self.basis_nu)))
+                    dk_dop = mat1d.construct_integrated_derivative_matrix(
+                        self.basis_nu, basis_type="gaussian", order=k, epsilon=1 / dnu)
+                else:
+                    dk_dop = mat1d.construct_integrated_derivative_matrix(
+                        self.basis_nu, basis_type=self.nu_basis_type, order=k,
+                        epsilon=self.nu_epsilon)
+                penalty_matrices[f"m{k}_dop"] = np.asarray(dk_dop)
+                if k == 0:
+                    dnu = np.mean(np.abs(np.diff(self.basis_nu)))
+                    gmat = mat1d.construct_integrated_derivative_matrix(
+                        self.basis_nu, basis_type="gaussian", order=1, epsilon=1 / dnu)
+                    penalty_matrices[f"gmat{k}_dop"] = np.asarray(gmat)
+        self.fit_matrices.update(penalty_matrices)
+        return penalty_matrices
+
+    def _format_qp_matrices(self, rm_drt, inf_rv, induc_rv, cap_rv, rm_dop, zm_drt, induc_zv,
+                            cap_zv, zm_dop, base_penalty_matrices, v_baseline_penalty,
+                            ohmic_penalty, inductance_penalty, capacitance_penalty,
+                            vz_offset_scale, background_penalty, inductance_scale,
+                            capacitance_scale):
+        """Pad matrices with special-parameter columns (reference drt1d.py:5736)."""
+        num_special = self.get_qp_mat_offset()
+        special_indices = {k: v["index"] for k, v in self.special_qp_params.items()}
+        self.inductance_scale = inductance_scale
+        self.capacitance_scale = capacitance_scale
+
+        if self.fit_dop:
+            if self.normalize_dop:
+                dop_eval_tau = self.tau_supergrid if self.tau_supergrid is not None \
+                    else self.basis_tau
+                dsv = np.asarray(phasance.phasor_scale_vector(self.basis_nu, dop_eval_tau))
+                dsv = dsv / basis.get_basis_func_area(
+                    self.nu_basis_type, self.nu_epsilon) if self.nu_basis_type != "delta" else dsv
+                self.dop_scale_vector = dsv
+            else:
+                self.dop_scale_vector = np.ones(len(self.basis_nu))
+        else:
+            self.dop_scale_vector = None
+        dop_start, dop_end = self.dop_indices
+
+        # Chrono matrix with special columns
+        if rm_drt is not None:
+            rm = np.empty((rm_drt.shape[0], rm_drt.shape[1] + num_special))
+            if "v_baseline" in special_indices:
+                from .background import get_baseline_matrix
+                vb_start, vb_end = self.get_special_indices("v_baseline")
+                rm[:, vb_start:vb_end], vbase_scale = get_baseline_matrix(
+                    self.get_fit_times(), self.v_baseline_deg, normalize=True,
+                    sqrt=self.v_baseline_sqrt)
+                self.v_baseline_scale = vbase_scale
+            if "inductance" in special_indices:
+                rm[:, special_indices["inductance"]] = induc_rv * inductance_scale
+            if "R_inf" in special_indices:
+                rm[:, special_indices["R_inf"]] = inf_rv
+            if "C_inv" in special_indices:
+                rm[:, special_indices["C_inv"]] = cap_rv * capacitance_scale
+            if "vz_offset" in special_indices:
+                rm[:, special_indices["vz_offset"]] = 0
+            if "background_scale" in special_indices:
+                rm[:, special_indices["background_scale"]] = 0
+            if self.fit_dop:
+                rm[:, dop_start:dop_end] = rm_dop * self.dop_scale_vector
+            rm[:, num_special:] = rm_drt
+        else:
+            rm = None
+
+        # EIS matrix with special columns, stacked [Re; Im]
+        if zm_drt is not None:
+            zm = np.zeros((zm_drt.shape[0], zm_drt.shape[1] + num_special), dtype=complex)
+            if "inductance" in special_indices:
+                zm[:, special_indices["inductance"]] = induc_zv * inductance_scale
+            if "R_inf" in special_indices:
+                zm[:, special_indices["R_inf"]] = 1
+            if "C_inv" in special_indices:
+                zm[:, special_indices["C_inv"]] = cap_zv * capacitance_scale
+            if self.fit_dop:
+                zm[:, dop_start:dop_end] = zm_dop * self.dop_scale_vector
+            zm[:, num_special:] = zm_drt
+            zm = np.vstack([zm.real, zm.imag])
+        else:
+            zm = None
+
+        # Penalty matrices with special diagonal entries
+        penalty_matrices = {}
+        for k in range(3):
+            m_drt = base_penalty_matrices[f"m{k}"]
+            m_k = np.zeros((m_drt.shape[0] + num_special, m_drt.shape[1] + num_special))
+            if "v_baseline" in special_indices:
+                vb_start, vb_end = self.get_special_indices("v_baseline")
+                if np.isscalar(v_baseline_penalty):
+                    for vbi in range(vb_start, vb_end):
+                        m_k[vbi, vbi] = v_baseline_penalty
+                else:
+                    for i, vbi in enumerate(range(vb_start, vb_end)):
+                        m_k[vbi, vbi] = v_baseline_penalty[i]
+            if "inductance" in special_indices:
+                i_ = special_indices["inductance"]
+                m_k[i_, i_] = inductance_penalty
+            if "R_inf" in special_indices:
+                i_ = special_indices["R_inf"]
+                m_k[i_, i_] = ohmic_penalty
+            if "C_inv" in special_indices:
+                i_ = special_indices["C_inv"]
+                m_k[i_, i_] = capacitance_penalty
+            if "vz_offset" in special_indices:
+                i_ = special_indices["vz_offset"]
+                m_k[i_, i_] = 1 / vz_offset_scale
+            if "background_scale" in special_indices:
+                i_ = special_indices["background_scale"]
+                m_k[i_, i_] = background_penalty
+            if self.fit_dop:
+                m_k[dop_start:dop_end, dop_start:dop_end] = \
+                    base_penalty_matrices.get(f"m{k}_dop", 0)
+            m_k[num_special:, num_special:] = m_drt
+            penalty_matrices[f"m{k}"] = m_k
+        return rm, zm, penalty_matrices
+
+    # ------------------------------------------------------------------
+    # Lower-bound vector for the QP (reference qphb.py:521-557)
+    # ------------------------------------------------------------------
+    def _make_lower_bound(self, n, nonneg, neg_allowed_indices=None):
+        if nonneg:
+            lb = np.zeros(n)
+            for sp in self.special_qp_params.values():
+                if not sp["nonneg"]:
+                    lb[sp["index"]:sp["index"] + sp.get("size", 1)] = -1000.0
+        else:
+            if neg_allowed_indices is not None:
+                lb = self._make_lower_bound(n, True)
+                lb[neg_allowed_indices] = -1e5
+            else:
+                lb = np.full(n, -1e5)
+                for sp in self.special_qp_params.values():
+                    if sp["nonneg"]:
+                        lb[sp["index"]:sp["index"] + sp.get("size", 1)] = 0.0
+        return lb
+
+    def _get_neg_allowed_indices(self, nonneg, neg_allowed_tau_range):
+        if nonneg and neg_allowed_tau_range is not None:
+            raise ValueError("If nonneg==True, neg_allowed_tau_range cannot be specified")
+        if not nonneg and neg_allowed_tau_range is not None:
+            tau_min, tau_max = neg_allowed_tau_range
+            index = np.where((self.basis_tau >= tau_min) & (self.basis_tau <= tau_max))[0]
+            return index + self.get_qp_mat_offset()
+        return None
+
+    def _get_vz_strength_vec(self, times=None, frequencies=None, fit_times=None,
+                             step_times=None, fit_frequencies=None, vz_offset_eps=1):
+        """vz_offset coupling strength: 1 in the chrono/EIS overlap region,
+        gaussian decay outside it (reference drt1d.py:6173-6226)."""
+        if fit_times is None:
+            fit_times = self.get_fit_times(True)
+        if step_times is None:
+            step_times = self.nonconsec_step_times
+        if fit_frequencies is None:
+            fit_frequencies = self.get_fit_frequencies(True)
+
+        if fit_times is None or fit_frequencies is None or vz_offset_eps is None:
+            chrono_s = np.ones(len(times)) if times is not None else None
+            eis_s = np.ones(len(frequencies)) if frequencies is not None else None
+            return chrono_s, eis_s
+
+        def rbf(y, eps):
+            return np.exp(-(eps * y) ** 2)
+
+        fit_td = pp.get_time_since_step(fit_times, step_times, prestep_value=-1)
+        chrono_tau_min = np.min(fit_td[fit_td > 0])
+        eis_tau_max = np.max(1 / (2 * np.pi * fit_frequencies))
+
+        if times is not None:
+            td = pp.get_time_since_step(times, step_times, prestep_value=-1)
+            chrono_s = np.ones(len(td))
+            mask = td >= eis_tau_max
+            chrono_s[mask] = rbf(np.log(td[mask] / eis_tau_max), vz_offset_eps)
+            chrono_s[td == -1] = 0
+        else:
+            chrono_s = None
+
+        if frequencies is not None:
+            f_inv = 1 / (2 * np.pi * frequencies)
+            eis_s = np.ones(len(frequencies))
+            mask = f_inv <= chrono_tau_min
+            eis_s[mask] = rbf(np.log(f_inv[mask] / chrono_tau_min), vz_offset_eps)
+        else:
+            eis_s = None
+        return chrono_s, eis_s
+
+    # ------------------------------------------------------------------
+    # Core fit (reference drt1d.py:102-1105)
+    # ------------------------------------------------------------------
+    def _qphb_fit_core(self, times, i_signal, v_signal, frequencies, z,
+                       step_times=None, step_sizes=None,
+                       nonneg=True, neg_allowed_tau_range=None, series_neg=False,
+                       scale_data=True, update_scale=False, solve_rp=False,
+                       offset_steps=True, step_offset_size=None,
+                       offset_baseline=True, v_baseline_deg=0, v_baseline_sqrt=False,
+                       downsample=False, downsample_kw=None, smooth_inf_response=True,
+                       v_baseline_penalty=1e-6, ohmic_penalty=1e-6,
+                       inductance_penalty=1e-6, capacitance_penalty=1e-6,
+                       inductance_scale=1e-5, capacitance_scale=1e-3,
+                       background_penalty=1,
+                       remove_extremes=False, extreme_kw=None,
+                       init_weights_separately=False,
+                       chrono_error_structure="uniform", eis_error_structure=None,
+                       remove_outliers=False, return_outlier_index=False, outlier_thresh=0.75,
+                       chrono_vmm_epsilon=4, eis_vmm_epsilon=0.25, eis_reim_cor=0.25,
+                       iw_l1_lambda_0=1e-4, iw_l2_lambda_0=1e-4,
+                       vz_offset=True, vz_offset_scale=1, vz_offset_eps=1,
+                       eis_weight_factor=None, chrono_weight_factor=None,
+                       hybrid_weight_factor_method=None,
+                       eff_hp=True, weight_factor=1,
+                       xtol=1e-2, max_iter=50, jit_loop=True, store_history=False,
+                       **kw):
+        validation.check_chrono_data(times, i_signal, v_signal)
+        validation.check_eis_data(frequencies, z)
+        for err_struct in (chrono_error_structure, eis_error_structure):
+            validation.check_error_structure(err_struct)
+        if series_neg and not nonneg:
+            raise ValueError("Only one of series_neg and nonneg may be True")
+        if remove_outliers and kw.get("outlier_p") is None:
+            raise ValueError("If remove_outliers is True, outlier_p must be specified "
+                             "(a good starting value might be 0.01-0.05)")
+
+        self.v_baseline_deg = v_baseline_deg
+        self.v_baseline_sqrt = v_baseline_sqrt
+
+        if times is not None:
+            times = np.array(times, dtype=float)
+            i_signal = np.array(i_signal, dtype=float)
+            v_signal = np.array(v_signal, dtype=float)
+        if frequencies is not None:
+            frequencies = np.array(frequencies, dtype=float)
+            z = np.array(z, dtype=complex)
+
+        # Rough extreme-value removal (reference drt1d.py:187-216)
+        if remove_extremes:
+            if extreme_kw is None:
+                extreme_kw = {"qr_size": 0.8, "qr_thresh": 1.5}
+            if times is not None:
+                flag = pp.identify_extreme_values(i_signal, **extreme_kw) | \
+                    pp.identify_extreme_values(v_signal, **extreme_kw)
+                if flag.any():
+                    if self.warn:
+                        warnings.warn(f"Removing extreme chrono values at indices "
+                                      f"{np.where(flag)[0].tolist()}")
+                    times, i_signal, v_signal = times[~flag], i_signal[~flag], v_signal[~flag]
+            if frequencies is not None:
+                flag = pp.identify_extreme_values(z.real, **extreme_kw) | \
+                    pp.identify_extreme_values(z.imag, **extreme_kw)
+                if flag.any():
+                    if self.warn:
+                        warnings.warn(f"Removing extreme EIS values at indices "
+                                      f"{np.where(flag)[0].tolist()}")
+                    frequencies, z = frequencies[~flag], z[~flag]
+
+        # Precise outlier identification via a pre-fit (reference drt1d.py:218-298)
+        if remove_outliers:
+            chrono_out_idx, eis_out_idx = self._qphb_fit_core(
+                times, i_signal, v_signal, frequencies, z,
+                step_times=step_times, step_sizes=step_sizes, nonneg=nonneg,
+                neg_allowed_tau_range=neg_allowed_tau_range, series_neg=series_neg,
+                scale_data=scale_data, solve_rp=solve_rp, offset_steps=offset_steps,
+                step_offset_size=step_offset_size, offset_baseline=offset_baseline,
+                v_baseline_deg=v_baseline_deg, v_baseline_sqrt=v_baseline_sqrt,
+                downsample=downsample, downsample_kw=downsample_kw,
+                smooth_inf_response=smooth_inf_response,
+                v_baseline_penalty=v_baseline_penalty, ohmic_penalty=ohmic_penalty,
+                inductance_penalty=inductance_penalty, capacitance_penalty=capacitance_penalty,
+                background_penalty=background_penalty, inductance_scale=inductance_scale,
+                capacitance_scale=capacitance_scale,
+                chrono_error_structure=chrono_error_structure,
+                eis_error_structure=eis_error_structure,
+                remove_outliers=False, return_outlier_index=True,
+                outlier_thresh=outlier_thresh, chrono_vmm_epsilon=chrono_vmm_epsilon,
+                eis_vmm_epsilon=eis_vmm_epsilon, eis_reim_cor=eis_reim_cor, eff_hp=eff_hp,
+                **kw)
+            self.eis_outlier_index = eis_out_idx
+            self.chrono_outlier_index = chrono_out_idx
+            step_times = self.step_times
+            if times is not None and chrono_out_idx is not None and chrono_out_idx.any():
+                self.chrono_outliers = (times[chrono_out_idx], i_signal[chrono_out_idx],
+                                        v_signal[chrono_out_idx])
+                times = times[~chrono_out_idx]
+                i_signal = i_signal[~chrono_out_idx]
+                v_signal = v_signal[~chrono_out_idx]
+            else:
+                self.chrono_outliers = None
+            if frequencies is not None and eis_out_idx is not None and eis_out_idx.any():
+                self.eis_outliers = (frequencies[eis_out_idx], z[eis_out_idx])
+                frequencies = frequencies[~eis_out_idx]
+                z = z[~eis_out_idx]
+            else:
+                self.eis_outliers = None
+            kw["outlier_p"] = None
+        else:
+            self.eis_outlier_index = None
+            self.eis_outliers = None
+            self.chrono_outlier_index = None
+            self.chrono_outliers = None
+
+        self.series_neg = series_neg
+
+        # Data type
+        if times is None:
+            data_type = "eis"
+            num_eis = len(frequencies)
+        elif frequencies is None:
+            data_type = "chrono"
+            num_eis = 0
+        else:
+            data_type = "hybrid"
+            num_eis = len(frequencies)
+
+        # Special parameter registration (reference drt1d.py:374-410)
+        self.special_qp_params = {}
+        if times is not None:
+            self._add_special_qp_param("v_baseline", False,
+                                       self.v_baseline_deg + 1 + int(self.v_baseline_sqrt))
+        if vz_offset and data_type == "hybrid":
+            self._add_special_qp_param("vz_offset", False)
+        if self.fit_ohmic:
+            self._add_special_qp_param("R_inf", True)
+        if self.fit_inductance:
+            self._add_special_qp_param("inductance", True)
+        if self.fit_capacitance:
+            self._add_special_qp_param("C_inv", True)
+        if self.fit_dop:
+            if self.fixed_basis_nu is None:
+                self.basis_nu = np.concatenate([np.linspace(-1, -0.4, 25),
+                                                np.linspace(0.4, 1, 25)])
+            else:
+                self.basis_nu = self.fixed_basis_nu
+            if self.nu_epsilon is None and self.nu_basis_type != "delta":
+                dnu = np.median(np.diff(np.sort(self.basis_nu)))
+                self.nu_epsilon = 1 / dnu
+            self._add_special_qp_param("x_dop", True, size=len(self.basis_nu))
+        else:
+            self.basis_nu = None
+
+        # Hyperparameters
+        qphb_hypers = hyp_mod.get_default_hypers(eff_hp, self.fit_dop, self.nu_basis_type)
+        for key in kw:
+            if key not in qphb_hypers:
+                raise ValueError(f"Invalid keyword argument {key}")
+        qphb_hypers.update(kw)
+
+        sample_data, matrices = self._prep_for_fit(
+            times, i_signal, v_signal, frequencies, z, step_times, step_sizes, downsample,
+            downsample_kw, offset_steps, step_offset_size, smooth_inf_response, scale_data,
+            qphb_hypers["rp_scale"])
+        sample_times, sample_i, sample_v, response_baseline, z_scaled = sample_data
+        rm_drt, induc_rv, inf_rv, cap_rv, rm_dop, zm_drt, induc_zv, cap_zv, zm_dop, \
+            base_penalty_matrices = matrices
+
+        num_chrono = len(sample_times) if sample_times is not None else 0
+
+        self.fit_kwargs.update(qphb_hypers)
+        self.fit_kwargs.update({"nonneg": nonneg, "eff_hp": eff_hp,
+                                "penalty_type": "integral",
+                                "neg_allowed_tau_range": neg_allowed_tau_range})
+
+        neg_allowed_indices = self._get_neg_allowed_indices(nonneg, neg_allowed_tau_range)
+
+        rm, zm, penalty_matrices = self._format_qp_matrices(
+            rm_drt, inf_rv, induc_rv, cap_rv, rm_dop, zm_drt, induc_zv, cap_zv, zm_dop,
+            base_penalty_matrices, v_baseline_penalty, ohmic_penalty, inductance_penalty,
+            capacitance_penalty, vz_offset_scale, background_penalty, inductance_scale,
+            capacitance_scale)
+
+        # Stack response and impedance
+        if rm is None:
+            rzm = zm.copy()
+        elif zm is None:
+            rzm = rm.copy()
+        else:
+            rzm = np.vstack((rm, zm))
+
+        # vz_offset prep (reference drt1d.py:503-522)
+        if data_type == "hybrid" and vz_offset:
+            rzm_vz = rzm.copy()
+            vb_start, vb_end = self.get_special_indices("v_baseline")
+            rzm_vz[:, vb_start:vb_end] = 0
+            chrono_vz, eis_vz = self._get_vz_strength_vec(
+                sample_times, frequencies, fit_times=sample_times,
+                fit_frequencies=frequencies, vz_offset_eps=vz_offset_eps)
+            vz_strength_vec = np.concatenate([chrono_vz, np.tile(eis_vz, 2)])
+        else:
+            rzm_vz = np.zeros_like(rzm)
+            vz_strength_vec = np.ones(rzm.shape[0])
+
+        # Response vector
+        if times is not None:
+            self.scaled_response_offset = -response_baseline if offset_baseline else 0.0
+            rv = self.scaled_response_signal + self.scaled_response_offset
+        else:
+            rv = None
+        zv = np.concatenate([z_scaled.real, z_scaled.imag]) if frequencies is not None else None
+        if times is None:
+            rzv = zv.copy()
+        elif frequencies is None:
+            rzv = rv.copy()
+        else:
+            rzv = np.concatenate([rv, zv])
+
+        # L1 vector
+        l1_lambda_vector = np.zeros(rzm.shape[1])
+        l1_lambda_vector[self.get_qp_mat_offset():] = qphb_hypers["l1_lambda_0"]
+        if self.fit_dop:
+            ds_, de_ = self.dop_indices
+            l1_lambda_vector[ds_:de_] = qphb_hypers["dop_l1_lambda_0"]
+
+        # Initial rho and s at prior modes
+        k_range = len(qphb_hypers["derivative_weights"])
+        rho_vector = np.array(qphb_hypers["rho_0"], dtype=float).copy()
+        s_vectors = np.stack([np.ones(rzm.shape[1]) * qphb_hypers["s_0"][k]
+                              for k in range(k_range)])
+        dop_rho_vector = np.array(qphb_hypers["dop_rho_0"], dtype=float).copy() \
+            if self.fit_dop else np.ones(k_range)
+
+        # QPHB static config
+        ds_, de_ = self.dop_indices
+        cfg = QPHBConfig(num_special=self.get_qp_mat_offset(),
+                         dop_start=ds_ or 0,
+                         dop_size=(de_ - ds_) if self.fit_dop else 0,
+                         k_range=k_range, eff_hp=eff_hp,
+                         has_outlier=qphb_hypers.get("outlier_p") is not None)
+
+        lb = self._make_lower_bound(rzm.shape[1], nonneg, neg_allowed_indices)
+
+        # Penalty stack + hypers pytree for the jitted core
+        m_stack = np.stack([penalty_matrices[f"m{k}"] for k in range(k_range)])
+        dop_gmat = None
+        if self.fit_dop:
+            g0 = base_penalty_matrices.get("gmat0_dop")
+            zeros = np.zeros((cfg.dop_size, cfg.dop_size))
+            dop_gmat = [np.asarray(g0) if (k == 0 and g0 is not None) else zeros
+                        for k in range(k_range)]
+
+        hyp = _hypers_to_pytree(qphb_hypers)
+
+        # Optional data-scale refinement from a quick solution (reference drt1d.py:574-607)
+        if scale_data and solve_rp:
+            x_rp = np.asarray(qphb_mod.estimate_x_rp(
+                hyp, jnp.asarray(m_stack), jnp.asarray(rho_vector), jnp.asarray(dop_rho_vector),
+                jnp.asarray(s_vectors), jnp.asarray(rzv), jnp.asarray(rzm), jnp.asarray(lb),
+                cfg))
+            rp_est = self.predict_r_p(absolute=True, x=x_rp, raw=True)
+            scale_factor = qphb_hypers["rp_scale"] / rp_est
+            for vec in (rv, zv, rzv):
+                if vec is not None:
+                    vec *= scale_factor
+            self.update_data_scale(scale_factor)
+            if self.fit_dop and self.normalize_dop:
+                x_drt_max = np.max(np.abs(x_rp[self.get_qp_mat_offset():]))
+                x_dop_max = np.max(np.abs(x_rp[ds_:de_]))
+                dop_rescale = x_drt_max / x_dop_max
+                self.dop_scale_vector /= dop_rescale
+                for mat in (rm, zm, rzm, rzm_vz):
+                    if mat is not None:
+                        mat[:, ds_:de_] /= dop_rescale
+                for k in range(k_range):
+                    m_stack[k][ds_:de_, ds_:de_] /= dop_rescale
+        elif scale_data and solve_rp is False:
+            pass
+
+        # Variance-estimation matrices
+        chrono_vmm = np.asarray(mat1d.construct_chrono_var_matrix(
+            sample_times, self.nonconsec_step_times, chrono_vmm_epsilon,
+            chrono_error_structure)) if times is not None else None
+        eis_vmm = np.asarray(mat1d.construct_eis_var_matrix(
+            frequencies, eis_vmm_epsilon, eis_reim_cor, eis_error_structure)) \
+            if frequencies is not None else None
+        if chrono_vmm is None:
+            vmm = eis_vmm
+        elif eis_vmm is None:
+            vmm = chrono_vmm
+        else:
+            vmm = np.zeros((len(rzv), len(rzv)))
+            vmm[:num_chrono, :num_chrono] = chrono_vmm
+            vmm[num_chrono:, num_chrono:] = eis_vmm
+
+        # ---------------- Weight initialization (reference drt1d.py:638-815)
+        iw_hypers = dict(qphb_hypers)
+        iw_hypers["l1_lambda_0"] = iw_l1_lambda_0
+        iw_hypers["l2_lambda_0"] = iw_l2_lambda_0
+        if "dop_l2_lambda_0" in qphb_hypers:
+            iw_hypers["dop_l2_lambda_0"] = qphb_hypers["dop_l2_lambda_0"] \
+                / qphb_hypers["l2_lambda_0"] * iw_l2_lambda_0
+        iw_hyp = _hypers_to_pytree(iw_hypers)
+
+        outlier_p = qphb_hypers.get("outlier_p")
+
+        def init_w(rv_, rm_, vmm_):
+            est, init, x_over, out_t = qphb_mod.initialize_weights(
+                iw_hyp, jnp.asarray(m_stack), jnp.asarray(rho_vector),
+                jnp.asarray(dop_rho_vector), jnp.asarray(s_vectors), jnp.asarray(rv_),
+                jnp.asarray(rm_), jnp.asarray(vmm_), jnp.asarray(lb), cfg,
+                outlier_p=outlier_p)
+            return np.asarray(est), np.asarray(init), np.asarray(x_over), np.asarray(out_t)
+
+        if init_weights_separately and data_type == "hybrid":
+            c_est, c_init, x_over_c, c_out_t = init_w(rv, rm, chrono_vmm)
+            e_est, e_init, x_over_e, e_out_t = init_w(zv, zm, eis_vmm)
+            chrono_weight_scale = np.mean(c_est ** -2) ** -0.5
+            eis_weight_scale = np.mean(e_est ** -2) ** -0.5
+        else:
+            est_weights, init_weights, x_overfit, outlier_t = init_w(rzv, rzm, vmm)
+            if num_eis == 0:
+                c_est, c_init, x_over_c, c_out_t = est_weights, init_weights, x_overfit, outlier_t
+                e_est = e_init = x_over_e = e_out_t = None
+                chrono_weight_scale = np.mean(c_est ** -2) ** -0.5
+                eis_weight_scale = None
+            elif num_chrono == 0:
+                e_est, e_init, x_over_e, e_out_t = est_weights, init_weights, x_overfit, outlier_t
+                c_est = c_init = x_over_c = c_out_t = None
+                eis_weight_scale = np.mean(e_est ** -2) ** -0.5
+                chrono_weight_scale = None
+            else:
+                c_est, e_est = est_weights[:num_chrono], est_weights[num_chrono:]
+                c_init, e_init = init_weights[:num_chrono], init_weights[num_chrono:]
+                x_over_c, x_over_e = x_overfit[:num_chrono], x_overfit[num_chrono:]
+                c_out_t, e_out_t = outlier_t[:num_chrono], outlier_t[num_chrono:]
+                chrono_weight_scale = np.mean(c_est ** -2) ** -0.5
+                eis_weight_scale = np.mean(e_est ** -2) ** -0.5
+
+        # Hybrid weight factors (reference drt1d.py:744-807)
+        if data_type == "hybrid":
+            if eis_weight_factor is None or chrono_weight_factor is None:
+                if hybrid_weight_factor_method == "weight":
+                    ratio = (eis_weight_scale / chrono_weight_scale) ** 0.25
+                    if eis_weight_factor is None:
+                        eis_weight_factor = 1 / ratio
+                    if chrono_weight_factor is None:
+                        chrono_weight_factor = ratio
+                elif hybrid_weight_factor_method == "rp":
+                    rp_eis = pp.estimate_rp(None, None, None, None, None, self.z_fit)
+                    rp_chrono = pp.estimate_rp(sample_times, self.step_times, self.step_sizes,
+                                               self.raw_response_signal, self.step_model, None)
+                    rp_tot = self.coefficient_scale * qphb_hypers["rp_scale"]
+                    if eis_weight_factor is None:
+                        eis_weight_factor = rp_eis ** 0.75 / (rp_chrono ** 0.25 * rp_tot ** 0.5)
+                    if chrono_weight_factor is None:
+                        chrono_weight_factor = rp_chrono ** 0.75 / (rp_eis ** 0.25 * rp_tot ** 0.5)
+                elif hybrid_weight_factor_method is None:
+                    eis_weight_factor = 1.0
+                    chrono_weight_factor = 1.0
+                else:
+                    raise ValueError(f"Invalid hybrid_weight_factor_method "
+                                     f"{hybrid_weight_factor_method}; options: 'weight', 'rp', None")
+            est_weights = np.concatenate([c_est, e_est])
+            init_weights = np.concatenate([c_init, e_init])
+            outlier_t = np.concatenate([c_out_t, e_out_t])
+        elif data_type == "eis":
+            est_weights, init_weights, outlier_t = e_est, e_init, e_out_t
+            eis_weight_factor = 1.0
+            chrono_weight_factor = 1.0
+        else:
+            est_weights, init_weights, outlier_t = c_est, c_init, c_out_t
+            eis_weight_factor = 1.0
+            chrono_weight_factor = 1.0
+
+        # Outlier index request (reference drt1d.py:819-835)
+        if return_outlier_index:
+            outlier_index = (1 - outlier_t) > outlier_thresh
+            if times is None:
+                eis_idx, chrono_idx = outlier_index, None
+            elif frequencies is None:
+                eis_idx, chrono_idx = None, outlier_index
+            else:
+                chrono_idx = outlier_index[:num_chrono]
+                eis_idx = outlier_index[num_chrono:]
+            if eis_idx is not None:
+                eis_idx = eis_idx[:len(frequencies)] | eis_idx[len(frequencies):]
+            return chrono_idx, eis_idx
+
+        # ---------------- Run the QPHB loop
+        x0 = np.zeros(rzm.shape[1]) + 1e-6
+        fcfg = fitcore.FitConfig(
+            cfg=cfg, data_type=data_type, num_chrono=num_chrono,
+            vz_offset=bool(vz_offset and data_type == "hybrid"),
+            vz_index=self.special_qp_params.get("vz_offset", {}).get("index", -1),
+            max_iter=max_iter, x_rtol=xtol, max_hp_iter=1)
+
+        dop_gmat_arg = jnp.stack([jnp.asarray(g) for g in dop_gmat]) if dop_gmat is not None \
+            else None
+        loop_args = (jnp.asarray(rzm), jnp.asarray(rzv), jnp.asarray(vmm),
+                     jnp.asarray(m_stack), dop_gmat_arg, jnp.asarray(l1_lambda_vector),
+                     jnp.asarray(lb), hyp, jnp.asarray(x0), jnp.asarray(s_vectors),
+                     jnp.asarray(rho_vector), jnp.asarray(dop_rho_vector),
+                     jnp.asarray(init_weights), jnp.asarray(est_weights),
+                     jnp.asarray(outlier_t), jnp.asarray(rzm_vz),
+                     jnp.asarray(vz_strength_vec), jnp.asarray(float(chrono_weight_factor)),
+                     jnp.asarray(float(eis_weight_factor)), jnp.asarray(float(weight_factor)))
+
+        if store_history or not jit_loop:
+            state, rzm_final, history = fitcore.qphb_fit_eager(*loop_args, fcfg)
+            self.qphb_history = history
+        else:
+            state, rzm_final = fitcore.qphb_fit_loop(*loop_args, fcfg)
+            self.qphb_history = None
+
+        x = np.asarray(state.x)
+        weights = np.asarray(state.weights) * weight_factor
+        s_vectors_out = np.asarray(state.s_vectors)
+        rho_out = np.asarray(state.rho_vector)
+        dop_rho_out = np.asarray(state.dop_rho_vector)
+        rzm = np.asarray(rzm_final)
+
+        if not bool(state.converged) and self.warn:
+            warnings.warn(f"Solution did not converge within {max_iter} iterations. "
+                          "This is usually not an issue.")
+
+        scaled_weights = weights.copy()
+        if data_type == "hybrid":
+            scaled_weights[:num_chrono] *= chrono_weight_factor
+            scaled_weights[num_chrono:] *= eis_weight_factor
+
+        p_matrix, q_vector = qphb_mod.calculate_pq(
+            jnp.asarray(rzm), jnp.asarray(rzv), jnp.asarray(m_stack), hyp,
+            jnp.asarray(l1_lambda_vector), jnp.asarray(rho_out), jnp.asarray(dop_rho_out),
+            jnp.asarray(s_vectors_out), jnp.asarray(scaled_weights), cfg)
+        p_matrix = np.asarray(p_matrix)
+        q_vector = np.asarray(q_vector)
+
+        if times is not None:
+            self.raw_response_background = np.zeros(num_chrono)
+        else:
+            self.raw_response_background = None
+
+        self.qphb_params = {
+            "est_weights": est_weights.copy(),
+            "init_weights": init_weights.copy(),
+            "weights": scaled_weights.copy(),
+            "true_weights": weights.copy(),
+            "chrono_weight_factor": chrono_weight_factor,
+            "eis_weight_factor": eis_weight_factor,
+            "xmx_norms": np.asarray(state.xmx_norms),
+            "dop_xmx_norms": np.asarray(state.dop_xmx_norms),
+            "x_overfit_chrono": x_over_c,
+            "x_overfit_eis": x_over_e,
+            "p_matrix": p_matrix,
+            "q_vector": q_vector,
+            "rho_vector": rho_out,
+            "dop_rho_vector": dop_rho_out if self.fit_dop else None,
+            "s_vectors": [s_vectors_out[k] for k in range(k_range)],
+            "outlier_t": np.asarray(state.outlier_t),
+            "vmm": vmm,
+            "l1_lambda_vector": l1_lambda_vector,
+            "rm": rzm,
+            "rv": rzv,
+            "penalty_matrices": {f"m{k}": m_stack[k] for k in range(k_range)},
+            "hypers": qphb_hypers,
+            "num_eis": num_eis,
+            "num_chrono": num_chrono,
+            "n_iter": int(state.it),
+            "converged": bool(state.converged),
+            "vz_strength_vec": vz_strength_vec,
+            "lb": lb,
+            "cfg": cfg,
+        }
+
+        # Sigma vectors from unscaled weights
+        sigma_vec = weights ** -1
+        if data_type == "hybrid":
+            v_sigma = sigma_vec[:num_chrono] * self.response_signal_scale
+            z_sigma = eis_utils.concat_vector_to_complex(sigma_vec[num_chrono:]) \
+                * self.impedance_scale
+        elif data_type == "eis":
+            v_sigma = None
+            z_sigma = eis_utils.concat_vector_to_complex(sigma_vec) * self.impedance_scale
+        else:
+            v_sigma = sigma_vec * self.response_signal_scale
+            z_sigma = None
+
+        self.fit_parameters = self.extract_qphb_parameters(x)
+        self.fit_parameters["v_sigma_tot"] = v_sigma
+        self.fit_parameters["v_sigma_res"] = None
+        self.fit_parameters["z_sigma_tot"] = z_sigma
+        self.fit_parameters["vz_offset_eps"] = vz_offset_eps
+        self.fit_parameters["p_matrix"] = p_matrix
+        self.fit_parameters["q_vector"] = q_vector
+        self.fit_type = f"qphb_{data_type}"
+
+    # ------------------------------------------------------------------
+    # Public fit API (reference drt1d.py:1197-1268)
+    # ------------------------------------------------------------------
+    def fit_eis(self, frequencies, z, nonneg=True, neg_allowed_tau_range=None,
+                scale_data=True, update_scale=False, error_structure=None,
+                vmm_epsilon=0.25, vmm_reim_cor=0.25, **kwargs):
+        """Self-tuning Bayesian DRT fit of an EIS spectrum."""
+        self._qphb_fit_core(None, None, None, frequencies, z, nonneg=nonneg,
+                            neg_allowed_tau_range=neg_allowed_tau_range,
+                            scale_data=scale_data, update_scale=update_scale,
+                            eis_error_structure=error_structure,
+                            eis_vmm_epsilon=vmm_epsilon, eis_reim_cor=vmm_reim_cor, **kwargs)
+        return self
+
+    def fit_chrono(self, times, i_signal, v_signal, step_times=None, step_sizes=None,
+                   nonneg=True, neg_allowed_tau_range=None, scale_data=True,
+                   update_scale=False, offset_baseline=True, offset_steps=True,
+                   step_offset_size=None, downsample=False, downsample_kw=None,
+                   smooth_inf_response=True, error_structure="uniform", vmm_epsilon=4,
+                   **kwargs):
+        """Self-tuning Bayesian DRT fit of chronopotentiometry data."""
+        self._qphb_fit_core(times, i_signal, v_signal, None, None, step_times=step_times,
+                            step_sizes=step_sizes, nonneg=nonneg,
+                            neg_allowed_tau_range=neg_allowed_tau_range,
+                            scale_data=scale_data, update_scale=update_scale,
+                            offset_steps=offset_steps, step_offset_size=step_offset_size,
+                            offset_baseline=offset_baseline, downsample=downsample,
+                            downsample_kw=downsample_kw,
+                            smooth_inf_response=smooth_inf_response,
+                            chrono_error_structure=error_structure,
+                            chrono_vmm_epsilon=vmm_epsilon, **kwargs)
+        return self
+
+    def fit_hybrid(self, times, i_signal, v_signal, frequencies, z, step_times=None,
+                   step_sizes=None, nonneg=True, neg_allowed_tau_range=None, scale_data=True,
+                   update_scale=False, offset_steps=True, step_offset_size=None,
+                   offset_baseline=True, downsample=False, downsample_kw=None,
+                   smooth_inf_response=True, vz_offset=True, vz_offset_scale=1,
+                   vz_offset_eps=1, chrono_error_structure="uniform",
+                   eis_error_structure=None, chrono_vmm_epsilon=4, eis_vmm_epsilon=0.25,
+                   eis_reim_cor=0.25, eis_weight_factor=None, chrono_weight_factor=None,
+                   **kwargs):
+        """Joint time/frequency-domain ("hybrid") DRT fit."""
+        self._qphb_fit_core(times, i_signal, v_signal, frequencies, z, step_times=step_times,
+                            step_sizes=step_sizes, nonneg=nonneg,
+                            neg_allowed_tau_range=neg_allowed_tau_range,
+                            scale_data=scale_data, update_scale=update_scale,
+                            offset_steps=offset_steps, step_offset_size=step_offset_size,
+                            offset_baseline=offset_baseline, downsample=downsample,
+                            downsample_kw=downsample_kw,
+                            smooth_inf_response=smooth_inf_response,
+                            chrono_error_structure=chrono_error_structure,
+                            eis_error_structure=eis_error_structure,
+                            chrono_vmm_epsilon=chrono_vmm_epsilon,
+                            eis_vmm_epsilon=eis_vmm_epsilon, eis_reim_cor=eis_reim_cor,
+                            vz_offset=vz_offset, vz_offset_scale=vz_offset_scale,
+                            vz_offset_eps=vz_offset_eps, eis_weight_factor=eis_weight_factor,
+                            chrono_weight_factor=chrono_weight_factor, **kwargs)
+        return self
+
+    # ------------------------------------------------------------------
+    # Parameter extraction (reference drt1d.py:6228-6289)
+    # ------------------------------------------------------------------
+    def extract_qphb_parameters(self, x, rescale=True):
+        def scale_value(value, scale):
+            return value * scale if rescale else scale
+
+        x = np.asarray(x)
+        special_indices = {k: v["index"] for k, v in self.special_qp_params.items()}
+        fit_parameters = {"x": scale_value(x[self.get_qp_mat_offset():],
+                                           self.coefficient_scale)}
+
+        if "R_inf" in special_indices:
+            fit_parameters["R_inf"] = scale_value(x[special_indices["R_inf"]],
+                                                  self.coefficient_scale)
+        else:
+            fit_parameters["R_inf"] = 0
+
+        if "v_baseline" in special_indices:
+            vb_start, vb_end = self.get_special_indices("v_baseline")
+            vbx = x[vb_start:vb_end].copy()
+            vbx = scale_value(vbx, 1.0 / self.v_baseline_scale)
+            vbx[0] -= self.scaled_response_offset
+            fit_parameters["v_baseline"] = scale_value(vbx, self.response_signal_scale)
+
+        if "vz_offset" in special_indices:
+            fit_parameters["vz_offset"] = x[special_indices["vz_offset"]]
+
+        if "inductance" in special_indices:
+            fit_parameters["inductance"] = scale_value(
+                x[special_indices["inductance"]],
+                self.coefficient_scale * self.inductance_scale)
+        else:
+            fit_parameters["inductance"] = 0
+
+        if "C_inv" in special_indices:
+            fit_parameters["C_inv"] = scale_value(
+                x[special_indices["C_inv"]],
+                self.coefficient_scale * self.capacitance_scale)
+        else:
+            fit_parameters["C_inv"] = 0
+
+        if "background_scale" in special_indices:
+            fit_parameters["background_scale"] = x[special_indices["background_scale"]]
+
+        if self.fit_dop:
+            ds_, de_ = self.dop_indices
+            fit_parameters["x_dop"] = scale_value(
+                x[ds_:de_], self.dop_scale_vector * self.coefficient_scale)
+
+        return fit_parameters
+
+    def get_drt_params(self, x=None, sign=1):
+        if x is None:
+            x = self.fit_parameters["x"]
+        x = np.asarray(x)
+        if self.series_neg:
+            n = len(self.basis_tau)
+            if sign == 1:
+                return x[:n]
+            elif sign == -1:
+                return -x[n:]
+            else:
+                return x[:n] - x[n:]
+        return x
+
+    # ------------------------------------------------------------------
+    # Prediction (reference drt1d.py:2962-3694)
+    # ------------------------------------------------------------------
+    def predict_distribution(self, tau=None, ppd=20, order=0, x=None):
+        """gamma(ln tau) (and derivatives) on an evaluation grid."""
+        if tau is None:
+            tau = self.get_tau_eval(ppd)
+        em = np.asarray(basis.construct_func_eval_matrix(
+            np.log(self.basis_tau), np.log(np.asarray(tau)), self.tau_basis_type,
+            self.tau_epsilon, order, self.zga_params))
+        if x is None:
+            x = self.get_drt_params(sign=0) if self.series_neg \
+                else self.fit_parameters["x"]
+        else:
+            x = np.asarray(x)
+        return em @ x
+
+    predict_drt = predict_distribution
+
+    def predict_dop(self, nu=None, x=None, order=0, normalize=False,
+                    normalize_tau=None, delta_density=False):
+        """DOP distribution over nu (reference drt1d.py:3273-3361)."""
+        if not self.fit_dop:
+            raise ValueError("DOP was not fitted")
+        if nu is None:
+            nu = np.linspace(-1, 1, 201)
+        if x is None:
+            x = self.fit_parameters["x_dop"]
+        em = np.asarray(basis.construct_func_eval_matrix(
+            np.asarray(self.basis_nu), np.asarray(nu), self.nu_basis_type,
+            self.nu_epsilon, order))
+        out = em @ np.asarray(x)
+        if normalize:
+            tau_ref = normalize_tau if normalize_tau is not None else self.basis_tau
+            sv = np.asarray(phasance.phasor_scale_vector(nu, tau_ref))
+            out = out / sv
+        return out
+
+    def get_tau_eval(self, ppd, extend_decades=0):
+        """Evaluation grid spanning basis_tau +- extend_decades."""
+        log_min = np.log10(np.min(self.basis_tau)) - extend_decades
+        log_max = np.log10(np.max(self.basis_tau)) + extend_decades
+        num = int((log_max - log_min) * ppd) + 1
+        return np.logspace(log_min, log_max, num)
+
+    def predict_z(self, frequencies, include_vz_offset=True, x=None, include_dop=True,
+                  include_drt=True, include_inductance=True, include_ohmic=True,
+                  include_cap=True):
+        frequencies = np.asarray(frequencies)
+        zm = np.asarray(mat1d.construct_impedance_matrix(
+            frequencies, "real", tau=self.basis_tau, basis_type=self.tau_basis_type,
+            epsilon=self.tau_epsilon, integrate_method=self.integrate_method,
+            zga_params=self.zga_params, interpolate_grids=self.interpolate_lookups["z_real"])) \
+            + 1j * np.asarray(mat1d.construct_impedance_matrix(
+                frequencies, "imag", tau=self.basis_tau, basis_type=self.tau_basis_type,
+                epsilon=self.tau_epsilon, integrate_method=self.integrate_method,
+                zga_params=self.zga_params, interpolate_grids=self.interpolate_lookups["z_imag"]))
+
+        if x is not None and not isinstance(x, dict):
+            fit_parameters = self.extract_qphb_parameters(x)
+        elif isinstance(x, dict):
+            fit_parameters = x
+        else:
+            fit_parameters = self.fit_parameters
+
+        x_drt = self.get_drt_params(fit_parameters["x"], sign=0) if self.series_neg \
+            else fit_parameters["x"]
+        z = np.zeros(len(frequencies), dtype=complex)
+        if include_drt:
+            z = z + zm @ x_drt
+        if include_ohmic:
+            z = z + fit_parameters.get("R_inf", 0)
+        if include_inductance:
+            z = z + fit_parameters.get("inductance", 0) * 2j * np.pi * frequencies
+        if include_cap:
+            c_inv = fit_parameters.get("C_inv", 0)
+            z = z + c_inv / (2j * np.pi * frequencies)
+        if self.fit_dop and include_dop and fit_parameters.get("x_dop") is not None:
+            zm_dop = np.asarray(phasance.construct_phasor_z_matrix(
+                frequencies, self.basis_nu, self.nu_basis_type, self.nu_epsilon))
+            z = z + zm_dop @ fit_parameters["x_dop"]
+        if include_vz_offset and "vz_offset" in self.special_qp_params:
+            _, vz_strength = self._get_vz_strength_vec(
+                None, frequencies, vz_offset_eps=self.fit_parameters.get("vz_offset_eps"))
+            z = z * (1 - fit_parameters.get("vz_offset", 0) * vz_strength)
+        return z
+
+    def predict_response(self, times=None, step_times=None, step_sizes=None, x=None,
+                         include_vz_offset=True, subtract_background=False, v_baseline=None):
+        """Predicted chrono response (reference drt1d.py:3363-3499)."""
+        if times is None:
+            times = self.get_fit_times()
+        times = np.asarray(times)
+        step_times = self.step_times if step_times is None else step_times
+        step_sizes = self.step_sizes if step_sizes is None else step_sizes
+        tau_rise = self.tau_rise
+
+        rm, _ = mat1d.construct_response_matrix(
+            self.basis_tau, times, self.step_model, step_times, step_sizes,
+            basis_type=self.tau_basis_type, epsilon=self.tau_epsilon, tau_rise=tau_rise,
+            op_mode=self.chrono_mode, integrate_method=self.integrate_method,
+            zga_params=self.zga_params, interpolate_grids=self.interpolate_lookups["response"])
+        rm = np.asarray(rm)
+
+        fit_parameters = self.fit_parameters if x is None else (
+            x if isinstance(x, dict) else self.extract_qphb_parameters(x))
+        x_drt = self.get_drt_params(fit_parameters["x"], sign=0) if self.series_neg \
+            else fit_parameters["x"]
+
+        response = rm @ x_drt
+        # Special contributions
+        inf_rv = np.asarray(mat1d.construct_ohmic_response_vector(
+            times, self.step_model, step_times, step_sizes, tau_rise,
+            pp.generate_model_signal(times, step_times, step_sizes, tau_rise, self.step_model),
+            False, self.chrono_mode))
+        response = response + fit_parameters.get("R_inf", 0) * inf_rv
+        cap_rv = np.asarray(mat1d.construct_capacitance_response_vector(
+            times, self.step_model, step_times, step_sizes, tau_rise, self.chrono_mode)) \
+            if self.fit_capacitance else 0
+        if self.fit_capacitance:
+            response = response + fit_parameters.get("C_inv", 0) * cap_rv
+        if self.fit_dop and fit_parameters.get("x_dop") is not None:
+            rm_dop, _ = phasance.construct_phasor_v_matrix(
+                times, self.basis_nu, self.nu_basis_type, self.nu_epsilon, self.step_model,
+                step_times, step_sizes, self.chrono_mode)
+            response = response + np.asarray(rm_dop) @ fit_parameters["x_dop"]
+
+        if v_baseline is None:
+            v_baseline = fit_parameters.get("v_baseline", None)
+        if v_baseline is not None:
+            from .background import get_baseline_matrix
+            vb_mat = get_baseline_matrix(times, self.v_baseline_deg, normalize=False,
+                                         sqrt=self.v_baseline_sqrt)
+            response = response + vb_mat @ np.atleast_1d(v_baseline)
+        return response
+
+    def predict_r_p(self, sign=None, absolute=False, x=None, raw=False):
+        basis_area = basis.get_basis_func_area(self.tau_basis_type, self.tau_epsilon,
+                                               self.zga_params)
+        if sign is None:
+            sign = 0 if self.series_neg else 1
+        if raw:
+            x = np.asarray(x)
+            if len(x) > self.num_drt_params:
+                x = x[self.get_qp_mat_offset():]
+        else:
+            x = self.get_drt_params(x, sign)
+        sum_x = np.sum(np.abs(x)) if absolute else np.sum(x)
+        return sum_x * basis_area
+
+    def predict_r_inf(self):
+        r_inf = self.fit_parameters.get("R_inf", 0)
+        if self.fit_dop and self.nu_basis_type == "delta":
+            zero_index = np.where(self.basis_nu == 0)[0]
+            if len(zero_index) == 1:
+                r_inf = r_inf + np.sum(self.fit_parameters["x_dop"][zero_index])
+        return r_inf
+
+    def predict_r_tot(self):
+        return self.predict_r_inf() + self.predict_r_p()
+
+    def integrate_drt(self, tau_min, tau_max, ppd=10, **predict_kw):
+        num_decades = np.log10(tau_max) - np.log10(tau_min)
+        tau = np.logspace(np.log10(tau_min), np.log10(tau_max), int(num_decades * ppd) + 1)
+        gamma = self.predict_distribution(tau, **predict_kw)
+        return np.trapezoid(gamma, x=np.log(tau))
+
+    # ------------------------------------------------------------------
+    # Uncertainty (reference drt1d.py:3063-3258, 4116-4146)
+    # ------------------------------------------------------------------
+    def estimate_param_cov(self, p_matrix=None):
+        """Covariance = P^-1 with coefficient rescaling (reference drt1d.py:4116)."""
+        if p_matrix is None:
+            p_matrix = self.qphb_params["p_matrix"]
+        p_inv = np.asarray(mat1d.invert_psd(jnp.asarray(p_matrix), use_cholesky=True))
+        if p_inv is None:
+            return None
+        scale_vec = np.ones(p_matrix.shape[0]) * self.coefficient_scale
+        for name in self.special_qp_params:
+            start, end = self.get_special_indices(name)
+            if name == "v_baseline":
+                scale_vec[start:end] = self.response_signal_scale / self.v_baseline_scale
+            elif name == "inductance":
+                scale_vec[start:end] = self.coefficient_scale * self.inductance_scale
+            elif name == "C_inv":
+                scale_vec[start:end] = self.coefficient_scale * self.capacitance_scale
+            elif name == "vz_offset":
+                scale_vec[start:end] = 1.0
+            elif name == "x_dop":
+                scale_vec[start:end] = self.coefficient_scale * self.dop_scale_vector
+        return p_inv * scale_vec[:, None] * scale_vec[None, :]
+
+    def estimate_distribution_cov(self, tau=None, ppd=20, order=0, extend_var=True):
+        """Covariance of gamma(ln tau) via B Sigma_x B^T (reference drt1d.py:3063)."""
+        if tau is None:
+            tau = self.get_tau_eval(ppd)
+        cov = self.estimate_param_cov()
+        if cov is None:
+            return None
+        ns = self.get_qp_mat_offset()
+        cov_drt = cov[ns:, ns:]
+        em = np.asarray(basis.construct_func_eval_matrix(
+            np.log(self.basis_tau), np.log(np.asarray(tau)), self.tau_basis_type,
+            self.tau_epsilon, order, self.zga_params))
+        if self.series_neg:
+            em = np.hstack([em, -em])
+        dist_cov = em @ cov_drt @ em.T
+        if extend_var:
+            # Extrapolate uncertainty beyond the basis range (reference drt1d.py:3124)
+            tau = np.asarray(tau)
+            var = np.diag(dist_cov).copy()
+            left = tau < self.basis_tau[0]
+            right = tau > self.basis_tau[-1]
+            if left.any():
+                ref_var = var[~left][0] if (~left).any() else 0
+                factor = (np.log(self.basis_tau[0] / tau[left])) ** 2
+                var[left] += ref_var * factor
+                dist_cov[left, left] = var[left]
+            if right.any():
+                ref_var = var[~right][-1] if (~right).any() else 0
+                factor = (np.log(tau[right] / self.basis_tau[-1])) ** 2
+                var[right] += ref_var * factor
+                dist_cov[right, right] = var[right]
+        return dist_cov
+
+    def predict_drt_ci(self, tau=None, ppd=20, order=0, quantiles=(0.025, 0.975)):
+        """Credible interval of the DRT from the Laplace posterior."""
+        from scipy.special import ndtri
+        if tau is None:
+            tau = self.get_tau_eval(ppd)
+        dist_cov = self.estimate_distribution_cov(tau=tau, order=order)
+        if dist_cov is None:
+            return None, None
+        sigma = np.sqrt(np.maximum(np.diag(dist_cov), 0))
+        mu = self.predict_distribution(tau=tau, order=order)
+        out = [mu + ndtri(q) * sigma for q in quantiles]
+        return out[0], out[1]
+
+    # ------------------------------------------------------------------
+    # Goodness of fit (reference drt1d.py:4433-4546)
+    # ------------------------------------------------------------------
+    def evaluate_rss(self, weights=None):
+        if weights is None:
+            weights = self.qphb_params["weights"]
+        rm, rv = self.qphb_params["rm"], self.qphb_params["rv"]
+        x = self._raw_x()
+        return float(qphb_mod.evaluate_rss(jnp.asarray(x), jnp.asarray(rm), jnp.asarray(rv),
+                                           jnp.asarray(weights)))
+
+    def evaluate_llh(self, weights=None, marginalize_weights=True, alpha_0=2, beta_0=1):
+        if weights is None:
+            weights = self.qphb_params["weights"]
+        rm, rv = self.qphb_params["rm"], self.qphb_params["rv"]
+        x = self._raw_x()
+        return float(qphb_mod.evaluate_llh(jnp.asarray(x), jnp.asarray(rm), jnp.asarray(rv),
+                                           jnp.asarray(weights),
+                                           marginalize_weights=marginalize_weights,
+                                           alpha_0=alpha_0, beta_0=beta_0))
+
+    def evaluate_bic(self, **llh_kw):
+        from ..utils.stats import bic
+        llh = self.evaluate_llh(**llh_kw)
+        num_params = len(self._raw_x())
+        return bic(llh, num_params, self.num_data)
+
+    def evaluate_lml(self, **kw):
+        qp = self.qphb_params
+        hyp = _hypers_to_pytree(qp["hypers"])
+        m_stack = jnp.stack([jnp.asarray(qp["penalty_matrices"][f"m{k}"]) for k in range(3)])
+        return float(qphb_mod.evaluate_lml(
+            jnp.asarray(self._raw_x()), jnp.asarray(qp["rm"]), jnp.asarray(qp["rv"]),
+            m_stack, hyp, jnp.asarray(qp["l1_lambda_vector"]), jnp.asarray(qp["rho_vector"]),
+            jnp.asarray(qp["dop_rho_vector"]) if qp["dop_rho_vector"] is not None
+            else jnp.ones(3), jnp.stack([jnp.asarray(s) for s in qp["s_vectors"]]),
+            jnp.asarray(qp["weights"]), qp["cfg"], **kw))
+
+    def _raw_x(self):
+        """Reconstruct the scaled (raw) parameter vector from fit_parameters."""
+        fp = self.fit_parameters
+        n = self.qphb_params["rm"].shape[1]
+        x = np.zeros(n)
+        x[self.get_qp_mat_offset():] = fp["x"] / self.coefficient_scale
+        for name in self.special_qp_params:
+            start, end = self.get_special_indices(name)
+            if name == "R_inf":
+                x[start] = fp["R_inf"] / self.coefficient_scale
+            elif name == "inductance":
+                x[start] = fp["inductance"] / (self.coefficient_scale * self.inductance_scale)
+            elif name == "C_inv":
+                x[start] = fp["C_inv"] / (self.coefficient_scale * self.capacitance_scale)
+            elif name == "vz_offset":
+                x[start] = fp["vz_offset"]
+            elif name == "v_baseline":
+                vb = np.atleast_1d(fp["v_baseline"]) / self.response_signal_scale
+                vb = vb * self.v_baseline_scale
+                vb[0] += self.scaled_response_offset * self.v_baseline_scale[0] \
+                    if np.ndim(self.v_baseline_scale) else self.scaled_response_offset
+                x[start:end] = vb
+            elif name == "x_dop":
+                x[start:end] = fp["x_dop"] / (self.dop_scale_vector * self.coefficient_scale)
+            elif name == "background_scale":
+                x[start] = fp["background_scale"]
+        return x
+
+    # ------------------------------------------------------------------
+    def copy(self):
+        return deepcopy(self)
+
+
+def _hypers_to_pytree(hypers):
+    """Convert the hypers dict to a jit-friendly pytree of arrays/floats.
+
+    None-valued optional hypers are kept as None (static)."""
+    out = {}
+    for k, v in hypers.items():
+        if v is None:
+            out[k] = None
+        elif np.isscalar(v):
+            out[k] = float(v)
+        else:
+            out[k] = jnp.asarray(np.asarray(v, dtype=float))
+    return out

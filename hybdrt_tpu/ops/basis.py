@@ -1,0 +1,329 @@
+"""Radial basis functions for the DRT in ln(tau) space and the DOP in nu space.
+
+TPU-first re-design of reference hybdrt/matrices/basis.py: every basis
+function, derivative, and closed-form integral is a vectorized jnp expression
+usable inside jit (no python-loop quadrature, no scipy).
+
+Closed forms (gaussian basis):
+  * phi(y) = exp(-(eps*y)^2)                        (reference basis.py:93-95)
+  * d^k phi / dy^k for k=1..3                       (reference basis.py:219-233)
+  * integral phi dy = sqrt(pi)/(2 eps) (1+erf(eps y))  (reference basis.py:312-314)
+  * M_k(x_n, x_m) = int d^k phi_n * d^k phi_m dy, k=0..3 (reference basis.py:381-400)
+"""
+import jax.numpy as jnp
+from jax.scipy.special import erf
+
+SQRT_PI = 1.7724538509055159
+
+
+# ------------------------------------------------------------------
+# Basis functions phi(y, epsilon); y = ln(tau / tau_m) or (nu - nu_m)
+# ------------------------------------------------------------------
+def gaussian(y, epsilon):
+    return jnp.exp(-((epsilon * y) ** 2))
+
+
+def cole_cole(y, epsilon):
+    """ZARC/Cole-Cole distribution in ln tau (reference basis.py:105-108)."""
+    return (1 / (2 * jnp.pi)) * jnp.sin((1 - epsilon) * jnp.pi) / (
+        jnp.cosh(epsilon * y) - jnp.cos((1 - epsilon) * jnp.pi))
+
+
+def zic(y, epsilon=None):
+    return 2 * jnp.exp(y) / (1 + jnp.exp(2 * y))
+
+
+def pwl(y, epsilon):
+    half_width = 1 / epsilon
+    return jnp.where(jnp.abs(y) < half_width, (half_width - jnp.abs(y)) * epsilon, 0.0)
+
+
+def step(y, epsilon=None):
+    return jnp.where(y >= 0, 1.0, 0.0)
+
+
+def delta(y, epsilon=None):
+    return jnp.where(y == 0, 1.0, 0.0)
+
+
+def beta(y, epsilon=None):
+    return jnp.abs(y) * (1 - jnp.abs(y))
+
+
+def ramp(y, epsilon):
+    return jnp.where(y > 0, y * epsilon, 0.0)
+
+
+def bounded_ramp(y, epsilon):
+    width = 1 / epsilon
+    return jnp.clip(y * epsilon, 0.0, 1.0) * jnp.where(y > 0, 1.0, 0.0) + 0.0 * width
+
+
+def pwl_transformed(y, epsilon):
+    half_width = 1 / epsilon
+    rise = (half_width - jnp.abs(y)) / half_width
+    return jnp.where(y >= 0, 1.0, jnp.where(y > -half_width, rise, 0.0))
+
+
+_BASIS_FUNCS = {
+    "gaussian": gaussian,
+    "Cole-Cole": cole_cole,
+    "Zic": zic,
+    "pwl": pwl,
+    "step": step,
+    "delta": delta,
+    "beta": beta,
+    "ramp": ramp,
+    "bounded_ramp": bounded_ramp,
+    "pwl_transformed": pwl_transformed,
+}
+
+
+def get_basis_func(basis_type, zga_params=None):
+    """Return phi(y, epsilon) for the requested basis type."""
+    if basis_type == "zga":
+        y_basis, coef, eps_zga = zga_params
+
+        def phi(y, epsilon):
+            y = jnp.asarray(y)
+            terms = jnp.stack([x_i * cole_cole(y + y_i, eps_zga)
+                               for x_i, y_i in zip(coef[1:], y_basis)])
+            return jnp.sum(terms, axis=0)
+
+        return phi
+    try:
+        return _BASIS_FUNCS[basis_type]
+    except KeyError:
+        raise ValueError(f"Unknown basis_type {basis_type!r}")
+
+
+# ------------------------------------------------------------------
+# Derivatives of basis functions
+# ------------------------------------------------------------------
+def get_basis_func_derivative(basis_type, order, zga_params=None):
+    """d^order phi / dy^order (reference basis.py:205-300)."""
+    if order == 0:
+        return get_basis_func(basis_type, zga_params)
+
+    if basis_type == "gaussian":
+        if order == 1:
+            return lambda y, epsilon: -2 * epsilon ** 2 * y * gaussian(y, epsilon)
+        if order == 2:
+            return lambda y, epsilon: (-2 * epsilon ** 2 + 4 * epsilon ** 4 * y ** 2) * gaussian(y, epsilon)
+        if order == 3:
+            return lambda y, epsilon: (12 * epsilon ** 4 * y - 8 * epsilon ** 6 * y ** 3) * gaussian(y, epsilon)
+    elif basis_type == "Cole-Cole":
+        if order == 1:
+            def func(y, epsilon):
+                nume = -jnp.sin((1 - epsilon) * jnp.pi) * jnp.sinh(epsilon * y) * epsilon
+                deno = 2 * jnp.pi * (jnp.cosh(epsilon * y) - jnp.cos((1 - epsilon) * jnp.pi)) ** 2
+                return nume / deno
+            return func
+        if order == 2:
+            def func(y, epsilon):
+                c = jnp.cos((1 - epsilon) * jnp.pi)
+                nume = epsilon ** 2 * jnp.sin((1 - epsilon) * jnp.pi) * (
+                    2 * jnp.sinh(epsilon * y) ** 2 - (jnp.cosh(epsilon * y) - c) * jnp.cosh(epsilon * y))
+                deno = 2 * jnp.pi * (jnp.cosh(epsilon * y) - c) ** 3
+                return nume / deno
+            return func
+    elif basis_type == "zga":
+        y_basis, coef, eps_zga = zga_params
+        f_zarc = get_basis_func_derivative("Cole-Cole", order)
+
+        def func(y, epsilon):
+            terms = jnp.stack([x_i * f_zarc(jnp.asarray(y) + y_i, eps_zga)
+                               for x_i, y_i in zip(coef[1:], y_basis)])
+            return jnp.sum(terms, axis=0)
+        return func
+    elif basis_type == "pwl":
+        phi = get_basis_func("pwl")
+
+        def ddiff(f, y, epsilon):
+            dy = epsilon / 5
+            return (f(y + dy, epsilon) - f(y - dy, epsilon)) / (2 * dy)
+
+        if order == 1:
+            return lambda y, epsilon: ddiff(phi, y, epsilon)
+        if order == 2:
+            return lambda y, epsilon: ddiff(lambda yy, ee: ddiff(phi, yy, ee), y, epsilon)
+
+    raise ValueError(f"Derivative of order {order} not implemented for basis type {basis_type}")
+
+
+def get_basis_func_integral(basis_type):
+    """Indefinite integral of phi (reference basis.py:303-322)."""
+    if basis_type == "gaussian":
+        return lambda y, epsilon: (SQRT_PI / (2 * epsilon)) * (1 + erf(epsilon * y))
+    if basis_type == "delta":
+        return lambda y, epsilon: jnp.where(y >= 0, 1.0, 0.0)
+    raise ValueError(f"Basis func integral not implemented for basis_type {basis_type}")
+
+
+def get_basis_func_area(basis_type, epsilon, zga_params=None):
+    """Total area under phi (reference basis.py:407-429)."""
+    if basis_type == "gaussian":
+        return SQRT_PI / epsilon
+    if basis_type in ("Cole-Cole", "delta"):
+        return 1.0
+    if basis_type == "zga":
+        return float(len(zga_params[0]))
+    if basis_type == "pwl":
+        return 1 / epsilon
+    raise ValueError(f"Area undefined for basis_type {basis_type}")
+
+
+# ------------------------------------------------------------------
+# Integrated-derivative penalty kernels (gaussian basis, closed form)
+# ------------------------------------------------------------------
+def integrated_derivative_kernel(order):
+    """func(x_n, x_m, epsilon) = int_-inf^inf d^k phi_n d^k phi_m d(ln tau).
+
+    Closed-form erf/exp expressions (reference basis.py:381-400).
+    """
+    if order == 0:
+        def func(x_n, x_m, epsilon):
+            a = epsilon * (x_m - x_n)
+            return jnp.sqrt(jnp.pi / 2) / epsilon * jnp.exp(-(a ** 2) / 2)
+    elif order == 1:
+        def func(x_n, x_m, epsilon):
+            a = epsilon * (x_m - x_n)
+            return -jnp.sqrt(jnp.pi / 2) * epsilon * (-1 + a ** 2) * jnp.exp(-(a ** 2) / 2)
+    elif order == 2:
+        def func(x_n, x_m, epsilon):
+            a = epsilon * (x_m - x_n)
+            return jnp.sqrt(jnp.pi / 2) * epsilon ** 3 * (3 - 6 * a ** 2 + a ** 4) * jnp.exp(-(a ** 2) / 2)
+    elif order == 3:
+        def func(x_n, x_m, epsilon):
+            a = epsilon * (x_m - x_n)
+            return -jnp.sqrt(jnp.pi / 2) * epsilon ** 5 * (-15 + 45 * a ** 2 - 15 * a ** 4 + a ** 6) \
+                * jnp.exp(-(a ** 2) / 2)
+    else:
+        raise ValueError(f"Invalid order {order}; must be in 0..3")
+    return func
+
+
+def integrated_derivative_kernel_indefinite(order):
+    """Indefinite version for truncated integration limits (reference basis.py:344-380)."""
+    if order == 0:
+        def func(x, x_n, x_m, epsilon):
+            a = epsilon * (x_m - x_n)
+            b = epsilon * (x_m + x_n - 2 * x)
+            out = erf(b / jnp.sqrt(2.0))
+            return out * (-jnp.sqrt(jnp.pi / 8) / epsilon * jnp.exp(-0.5 * a ** 2))
+    elif order == 1:
+        def func(x, x_n, x_m, epsilon):
+            a = epsilon * (x_m - x_n)
+            b = epsilon * (x_m + x_n - 2 * x)
+            e_full = epsilon ** 2 * (2 * x * (x_m + x_n) - (x_m ** 2 + x_n ** 2 + 2 * x ** 2))
+            e_erf = epsilon ** 2 * (0.5 * ((x_m + x_n) ** 2 + 4 * x ** 2)
+                                    - (x_m ** 2 + x_n ** 2 + 2 * x ** 2))
+            out = b * jnp.exp(e_full)
+            out = out + 0.5 * jnp.sqrt(2 * jnp.pi) * (a ** 2 - 1) * jnp.exp(e_erf) * erf(b / jnp.sqrt(2.0))
+            return out * 0.5 * epsilon
+    elif order == 2:
+        def func(x, x_n, x_m, epsilon):
+            a = epsilon * (x_m - x_n)
+            b = epsilon * (x_m + x_n - 2 * x)
+            e_full = epsilon ** 2 * (2 * x * (x_m + x_n) - (x_m ** 2 + x_n ** 2 + 2 * x ** 2))
+            e_erf = epsilon ** 2 * (0.5 * ((x_m + x_n) ** 2 + 4 * x ** 2)
+                                    - (x_m ** 2 + x_n ** 2 + 2 * x ** 2))
+            out = 2 * b * jnp.exp(e_full) * (3 * a ** 2 - 2 * epsilon ** 2
+                                             * ((x - x_m) ** 2 + (x - x_n) ** 2) + 1)
+            out = out + jnp.sqrt(2 * jnp.pi) * (a ** 4 - 6 * a ** 2 + 3) * jnp.exp(e_erf) \
+                * erf(b / jnp.sqrt(2.0))
+            return out * (-0.25 * epsilon ** 3)
+    else:
+        raise ValueError(f"Invalid order {order}; must be in 0..2 for indefinite kernels")
+    return func
+
+
+# ------------------------------------------------------------------
+# Function evaluation matrices
+# ------------------------------------------------------------------
+def construct_func_eval_matrix(basis_grid, eval_grid=None, basis_type="gaussian", epsilon=1.0,
+                               order=0, zga_params=None):
+    """em @ x = vector of the order-th derivative of the fitted distribution
+    evaluated at eval_grid (reference basis.py:488-514)."""
+    basis_grid = jnp.asarray(basis_grid)
+    if eval_grid is None:
+        eval_grid = basis_grid
+    eval_grid = jnp.asarray(eval_grid)
+    func = get_basis_func_derivative(basis_type, order, zga_params)
+    return func(eval_grid[:, None] - basis_grid[None, :], epsilon)
+
+
+# ------------------------------------------------------------------
+# Impedance and time-response integrands
+# ------------------------------------------------------------------
+def get_impedance_func(part, basis_type="gaussian", zga_params=None):
+    """Integrand (or analytic expression) for the impedance matrix
+    (reference basis.py:517-574).
+
+    For analytic bases (Cole-Cole, delta, zga) returns func(w_n, t_m, epsilon);
+    for quadrature bases returns func(y, w_n, t_m, epsilon) with y = ln(tau/tau_m).
+    """
+    if basis_type == "Cole-Cole":
+        if part == "real":
+            return lambda w_n, t_m, epsilon: jnp.real(1 / (1 + (1j * w_n * t_m) ** epsilon))
+        return lambda w_n, t_m, epsilon: jnp.imag(1 / (1 + (1j * w_n * t_m) ** epsilon))
+    if basis_type == "delta":
+        if part == "real":
+            return lambda w_n, t_m, epsilon: 1 / (1 + (w_n * t_m) ** 2)
+        return lambda w_n, t_m, epsilon: -w_n * t_m / (1 + (w_n * t_m) ** 2)
+    if basis_type == "zga":
+        y_basis, coef, eps_zga = zga_params
+        f_zarc = get_impedance_func(part, "Cole-Cole")
+
+        def func(w_n, t_m, epsilon):
+            terms = jnp.stack([x_i * f_zarc(w_n, t_m * jnp.exp(y_i), eps_zga)
+                               for x_i, y_i in zip(coef[1:], y_basis)])
+            return jnp.sum(terms, axis=0)
+        return func
+
+    basis_func = get_basis_func(basis_type)
+    if part == "real":
+        def func(y, w_n, t_m, epsilon):
+            return basis_func(y, epsilon) / (1 + jnp.exp(2 * (y + jnp.log(w_n * t_m))))
+    elif part == "imag":
+        def func(y, w_n, t_m, epsilon):
+            return -basis_func(y, epsilon) * jnp.exp(y) * w_n * t_m \
+                / (1 + jnp.exp(2 * (y + jnp.log(w_n * t_m))))
+    else:
+        raise ValueError(f"Invalid part {part!r}; options: real, imag")
+    return func
+
+
+def get_response_func(basis_type, op_mode="galv", step_model="ideal", zga_params=None):
+    """Integrand for the chrono step-response matrix (reference basis.py:577-642).
+
+    Quadrature form: func(y, tau_m, t_n, epsilon, tau_rise); analytic bases
+    return func(tau_m, t_n, ...) directly.
+    """
+    if op_mode != "galv":
+        raise ValueError("Response integrand only defined for galvanostatic mode; "
+                         "potentiostatic response uses the delta-basis closed form")
+    f_basis = get_basis_func(basis_type, zga_params)
+
+    if step_model == "ideal":
+        if basis_type == "delta":
+            return lambda tau_m, t_n: 1 - jnp.exp(-t_n / tau_m)
+
+        def func(y, tau_m, t_n, epsilon, tau_rise):
+            return f_basis(y, epsilon) * (1 - jnp.exp(-t_n / (tau_m * jnp.exp(y))))
+        return func
+    elif step_model == "expdecay":
+        if basis_type == "delta":
+            def func(tau_m, t_n, tau_rise):
+                return (1 - jnp.exp(-t_n / tau_m)
+                        + (tau_rise / (tau_rise - tau_m))
+                        * (jnp.exp(-t_n / tau_m) - jnp.exp(-t_n / tau_rise)))
+            return func
+
+        def func(y, tau_m, t_n, epsilon, tau_rise):
+            tau = jnp.exp(y) * tau_m
+            return f_basis(y, epsilon) * (1 - jnp.exp(-t_n / tau)
+                                          + (tau_rise / (tau_rise - tau))
+                                          * (jnp.exp(-t_n / tau) - jnp.exp(-t_n / tau_rise)))
+        return func
+    raise ValueError(f"Invalid step_model {step_model!r}")

@@ -1,0 +1,206 @@
+"""JAX-native bound-constrained quadratic programming.
+
+Replaces the reference's cvxopt C solver (reference hybdrt/models/qphb.py:426,
+solve_convex_opt: min 1/2 x^T P x + q^T x s.t. G x <= h with G = -I), i.e. a
+lower-bounded QP:
+
+    min_x  1/2 x^T P x + q^T x    s.t.  x >= lb
+
+Solved with a Mehrotra predictor-corrector primal-dual interior-point method
+followed by an active-set "polish" step that lands on the exact KKT point.
+Everything is jit- and vmap-compatible: the per-iteration work is one Cholesky
+factorization of (P + diag(z/s)) plus two triangular solves, which XLA maps
+efficiently onto the MXU, and a batch of QPs (one per spectrum) runs as a
+single batched factorization under vmap/shard_map.
+
+General linear inequalities (G x <= h), needed for the optional curvature
+constraint (reference drt1d.py:896-911), are supported by solve_qp.
+"""
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+
+class QPResult(NamedTuple):
+    x: jnp.ndarray        # primal solution
+    z: jnp.ndarray        # dual for bound constraints
+    s: jnp.ndarray        # slacks x - lb
+    gap: jnp.ndarray      # final complementarity gap s.z
+    iterations: jnp.ndarray
+    primal_objective: jnp.ndarray
+
+
+def _max_step(v, dv):
+    """Largest alpha in (0, 1] with v + alpha dv >= 0."""
+    ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+    return jnp.minimum(1.0, jnp.min(ratio))
+
+
+@partial(jax.jit, static_argnames=("max_iter", "polish"))
+def solve_qp_box(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, polish=True):
+    """Solve min 1/2 x'Px + q'x s.t. x >= lb. P must be symmetric PD."""
+    n = q.shape[0]
+    dtype = q.dtype
+    P = 0.5 * (P + P.T)
+
+    # --- Initialization: damped unconstrained solution pushed interior
+    eye = jnp.eye(n, dtype=dtype)
+    diag_scale = jnp.mean(jnp.diag(P))
+    chol0 = jsl.cho_factor(P + eye * (1e-10 * diag_scale + 1e-12))
+    x0 = jsl.cho_solve(chol0, -q)
+    s0 = jnp.maximum(x0 - lb, 1.0)
+    x0 = lb + s0
+    z0 = jnp.maximum(jnp.abs(P @ x0 + q), 1.0)
+
+    q_scale = 1.0 + jnp.max(jnp.abs(q))
+
+    def converged(x, s, z):
+        r_d = P @ x + q - z
+        gap = jnp.dot(s, z) / n
+        obj = 0.5 * jnp.dot(x, P @ x) + jnp.dot(q, x)
+        ok_gap = gap <= tol_gap * (1.0 + jnp.abs(obj))
+        ok_dual = jnp.max(jnp.abs(r_d)) <= tol_feas * q_scale
+        return ok_gap & ok_dual
+
+    def body(carry):
+        x, s, z, it, _ = carry
+        d = z / s
+        r_d = P @ x + q - z
+        r_p = s - (x - lb)
+        mu = jnp.dot(s, z) / n
+
+        H = P + jnp.diag(d)
+        chol = jsl.cho_factor(H)
+
+        # Predictor (affine scaling) step
+        rhs_aff = -r_d - z + d * r_p
+        dx_aff = jsl.cho_solve(chol, rhs_aff)
+        ds_aff = dx_aff - r_p
+        dz_aff = -z - d * ds_aff
+        a_p = _max_step(s, ds_aff)
+        a_d = _max_step(z, dz_aff)
+        mu_aff = jnp.dot(s + a_p * ds_aff, z + a_d * dz_aff) / n
+        sigma = (mu_aff / mu) ** 3
+
+        # Corrector step
+        r_c = s * z + ds_aff * dz_aff - sigma * mu
+        rhs = -r_d - r_c / s + d * r_p
+        dx = jsl.cho_solve(chol, rhs)
+        ds = dx - r_p
+        dz = -r_c / s - d * ds
+
+        eta = 0.99
+        a_p = jnp.minimum(1.0, eta * _max_step(s, ds))
+        a_d = jnp.minimum(1.0, eta * _max_step(z, dz))
+
+        x = x + a_p * dx
+        s = s + a_p * ds
+        z = z + a_d * dz
+        return x, s, z, it + 1, converged(x, s, z)
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return (it < max_iter) & (~done)
+
+    x, s, z, it, _ = jax.lax.while_loop(
+        cond, body, (x0, s0, z0, jnp.array(0, dtype=jnp.int32), jnp.array(False)))
+
+    if polish:
+        # Active-set polish: clamp near-active bounds and solve the reduced
+        # KKT system exactly. Dimensionally-consistent activity test via
+        # sqrt(diag P) scaling.
+        dsqrt = jnp.sqrt(jnp.clip(jnp.diag(P), 1e-300, None))
+        active = s * dsqrt < z / dsqrt
+
+        free_mask = ~active
+        fm = free_mask.astype(dtype)
+        # H = [[P_ff, 0], [0, I_aa]] in scattered form
+        H = P * fm[:, None] * fm[None, :] + jnp.diag(1.0 - fm)
+        rhs = jnp.where(free_mask, -q - P @ jnp.where(active, lb, 0.0), lb)
+        chol_p = jsl.cho_factor(H)
+        x_pol = jsl.cho_solve(chol_p, rhs)
+        x_pol = jnp.where(active, lb, x_pol)
+        grad = P @ x_pol + q
+        z_pol = jnp.where(active, grad, 0.0)
+        # Validity: polished point must be primal/dual feasible
+        valid = jnp.all(x_pol >= lb - 1e-9 * (1 + jnp.abs(lb))) & jnp.all(z_pol >= -tol_feas * q_scale)
+        x = jnp.where(valid, x_pol, x)
+        z = jnp.where(valid, z_pol, z)
+        s = x - lb
+
+    obj = 0.5 * jnp.dot(x, P @ x) + jnp.dot(q, x)
+    return QPResult(x=x, z=z, s=s, gap=jnp.dot(s, z), iterations=it, primal_objective=obj)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def solve_qp(P, q, G, h, tol_gap=1e-12, tol_feas=1e-10, max_iter=60):
+    """General inequality-constrained QP: min 1/2 x'Px + q'x s.t. G x <= h.
+
+    Same Mehrotra scheme with slacks s = h - Gx > 0 and the reduced normal
+    system (P + G' diag(z/s) G) dx = rhs. Used for the optional curvature
+    constraint path; the pure bound case should use solve_qp_box.
+    """
+    n = q.shape[0]
+    m = h.shape[0]
+    dtype = q.dtype
+    P = 0.5 * (P + P.T)
+    eye = jnp.eye(n, dtype=dtype)
+
+    chol0 = jsl.cho_factor(P + eye * (1e-10 * jnp.mean(jnp.diag(P)) + 1e-12))
+    x0 = jsl.cho_solve(chol0, -q)
+    s0 = jnp.maximum(h - G @ x0, 1.0)
+    z0 = jnp.ones(m, dtype=dtype)
+
+    q_scale = 1.0 + jnp.max(jnp.abs(q))
+
+    def body(carry):
+        x, s, z, it, _ = carry
+        d = z / s
+        r_d = P @ x + q + G.T @ z
+        r_p = s - h + G @ x
+        mu = jnp.dot(s, z) / m
+
+        H = P + (G.T * d[None, :]) @ G
+        chol = jsl.cho_factor(H)
+
+        def newton(r_c):
+            # dz = (-r_c - z ds)/s with ds = -r_p - G dx; eliminating into
+            # P dx + G' dz = -r_d gives (P + G' D G) dx = -r_d + G'(r_c/s) - G'(d r_p)
+            rhs = -r_d + G.T @ (r_c / s) - G.T @ (d * r_p)
+            dx = jsl.cho_solve(chol, rhs)
+            ds = -r_p - G @ dx
+            dz = (-r_c - z * ds) / s
+            return dx, ds, dz
+
+        dx_a, ds_a, dz_a = newton(s * z)
+        a_p = _max_step(s, ds_a)
+        a_d = _max_step(z, dz_a)
+        mu_aff = jnp.dot(s + a_p * ds_a, z + a_d * dz_a) / m
+        sigma = (mu_aff / mu) ** 3
+
+        dx, ds, dz = newton(s * z + ds_a * dz_a - sigma * mu)
+        eta = 0.99
+        a_p = jnp.minimum(1.0, eta * _max_step(s, ds))
+        a_d = jnp.minimum(1.0, eta * _max_step(z, dz))
+        x = x + a_p * dx
+        s = s + a_p * ds
+        z = z + a_d * dz
+
+        r_d = P @ x + q + G.T @ z
+        gap = jnp.dot(s, z) / m
+        obj = 0.5 * jnp.dot(x, P @ x) + jnp.dot(q, x)
+        done = (gap <= tol_gap * (1.0 + jnp.abs(obj))) & \
+               (jnp.max(jnp.abs(r_d)) <= tol_feas * q_scale)
+        return x, s, z, it + 1, done
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return (it < max_iter) & (~done)
+
+    x, s, z, it, _ = jax.lax.while_loop(
+        cond, body, (x0, s0, z0, jnp.array(0, dtype=jnp.int32), jnp.array(False)))
+    obj = 0.5 * jnp.dot(x, P @ x) + jnp.dot(q, x)
+    return QPResult(x=x, z=z, s=s, gap=jnp.dot(s, z), iterations=it, primal_objective=obj)

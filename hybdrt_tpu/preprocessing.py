@@ -1,0 +1,356 @@
+"""Host-side data preprocessing: step detection, signal models, scaling
+estimates, and basis-grid construction.
+
+This is data preparation, not device compute; it runs once per fit in numpy
+(reference: hybdrt/preprocessing.py). Downsampling of long chrono series is in
+this module as well (log-uniform sampling around steps).
+"""
+import numpy as np
+from scipy import signal as sp_signal
+
+from .utils.array import unit_step, nearest_index
+from .utils.validation import check_step_model
+
+
+# ------------------------------------------------------------------
+# Step detection (reference preprocessing.py:17-181)
+# ------------------------------------------------------------------
+def identify_steps(y, allow_consecutive=True, rthresh=50, athresh=1e-10):
+    """Indices where the input signal steps."""
+    y = np.asarray(y)
+    dy = np.diff(y)
+    step_idx = np.where((np.abs(dy) >= np.median(np.abs(dy)) * rthresh)
+                        & (np.abs(dy) >= athresh))[0] + 1
+    if not allow_consecutive:
+        idx_diff = np.concatenate(([2], np.diff(step_idx)))
+        step_idx = step_idx[idx_diff > 1]
+    return step_idx
+
+
+def split_steps(x, step_index):
+    step_index = np.asarray(step_index)
+    if step_index[0] > 0:
+        step_index = np.insert(step_index, 0, 0)
+    if step_index[-1] < len(x):
+        step_index = np.append(step_index, len(x))
+    return [x[start:end] for start, end in zip(step_index[:-1], step_index[1:])]
+
+
+def get_step_indices_from_step_times(times, step_times):
+    times = np.asarray(times)
+    out = []
+    for st in step_times:
+        delta = np.where(times >= st, times - st, np.inf)
+        out.append(int(np.argmin(delta)))
+    return np.array(out)
+
+
+def get_step_sizes(times, y, step_times, step_index=None):
+    if step_index is None:
+        step_index = get_step_indices_from_step_times(times, step_times)
+    n_steps = len(step_times)
+    step_sizes = np.zeros(n_steps)
+    for n in range(n_steps):
+        end = len(y) if n == n_steps - 1 else step_index[n + 1]
+        prev_start = 0 if n == 0 else step_index[n - 1]
+        step_sizes[n] = np.mean(y[step_index[n]:end]) - np.mean(y[prev_start:step_index[n]])
+    return step_sizes
+
+
+def get_step_info(times, y, allow_consecutive=True, offset_step_times=False, offset_size=None,
+                  rthresh=50, athresh=1e-10):
+    step_idx = identify_steps(y, allow_consecutive, rthresh, athresh)
+    step_times = np.asarray(times)[step_idx].copy()
+    if offset_step_times:
+        if offset_size is None:
+            t_sample = np.min(np.diff(times))
+            # Actual step assumed one sample before observed; 1e-8 fudge keeps
+            # step_time strictly after the previous sample (reference :71-80)
+            offset_size = -t_sample * (1 - 1e-8)
+        step_times = step_times + offset_size
+    step_sizes = get_step_sizes(times, y, step_times, step_index=step_idx)
+    return step_times, step_sizes
+
+
+def process_input_signal(times, input_signal, step_model, offset_steps, offset_size=None,
+                         rthresh=50, fixed_tau_rise=None):
+    check_step_model(step_model)
+    allow_consecutive = step_model == "ideal"
+    step_times, step_sizes = get_step_info(times, input_signal, allow_consecutive,
+                                           offset_steps, offset_size, rthresh)
+    if step_model != "ideal":
+        num_steps = len(step_times)
+        fit = fit_signal_steps(times, input_signal, fixed_tau_rise=fixed_tau_rise)
+        step_times = step_times + fit["x"][1:num_steps + 1] * 1e-6
+        tau_rise = np.exp(fit["x"][num_steps + 1:])
+    else:
+        tau_rise = None
+    return step_times, step_sizes, tau_rise
+
+
+def generate_model_signal(times, step_times, step_sizes, tau_rise, step_model):
+    """Idealized input signal from identified steps (reference :181-208)."""
+    times = np.asarray(times)
+    signal = np.zeros(len(times))
+    if step_model == "ideal":
+        for st, sa in zip(step_times, step_sizes):
+            signal += sa * unit_step(times, st)
+    else:
+        for st, sa, tr in zip(step_times, step_sizes, tau_rise):
+            mask = times >= st
+            signal[mask] += sa * (1 - np.exp(-(times[mask] - st) / tr))
+    return signal
+
+
+def evaluate_step_fit(times, step_times, step_sizes, x):
+    """Decaying-exponential step model (reference preprocessing.py:1020-1043)."""
+    num_steps = len(step_times)
+    signal_offset = x[0]
+    t_step = step_times + x[1:num_steps + 1] * 1e-6
+    tau_rise = np.exp(x[num_steps + 1:])
+    y_hat = np.zeros(len(times)) + signal_offset
+    for n in range(num_steps):
+        mask = times >= t_step[n]
+        y_hat[mask] += step_sizes[n] * (1 - np.exp(-(times[mask] - t_step[n]) / tau_rise[n]))
+    return y_hat
+
+
+def fit_signal_steps(times, signal, tau_var_penalty=0.1, t_step_offset_penalty=1e-5,
+                     fixed_tau_rise=None):
+    """Least-squares fit of non-ideal (exp-decay) steps (reference :1045-1147)."""
+    from scipy.optimize import least_squares
+    step_times, step_sizes = get_step_info(times, signal, allow_consecutive=False)
+    num_steps = len(step_times)
+
+    def resid(x):
+        if fixed_tau_rise is not None:
+            x = np.concatenate([x[:num_steps + 1], np.full(num_steps, np.log(fixed_tau_rise))])
+        r = evaluate_step_fit(times, step_times, step_sizes, x) - signal
+        penalties = np.concatenate([
+            t_step_offset_penalty * x[1:num_steps + 1],
+            tau_var_penalty * (x[num_steps + 1:] - np.mean(x[num_steps + 1:])),
+        ])
+        return np.concatenate([r, penalties])
+
+    x0 = np.zeros(1 + 2 * num_steps)
+    x0[num_steps + 1:] = np.log(np.min(np.diff(times)))
+    result = least_squares(resid, x0)
+    return {"x": result.x, "step_times": step_times, "step_sizes": step_sizes}
+
+
+# ------------------------------------------------------------------
+# Rp estimation (reference preprocessing.py:764-840)
+# ------------------------------------------------------------------
+def estimate_rp(times, step_times, input_step_sizes, response_signal, step_model, z):
+    """Estimate the polarization resistance from chrono and/or EIS data."""
+    if times is not None:
+        times = np.asarray(times)
+        step_times = np.asarray(step_times, dtype=float)
+        input_step_sizes = np.asarray(input_step_sizes, dtype=float)
+        if step_model == "ideal":
+            # Condense consecutive steps into single steps
+            new_step_index = np.concatenate(([0], np.where(np.diff(step_times) > 2e-5)[0] + 1))
+            if len(new_step_index) < len(step_times):
+                step_times_new = step_times[new_step_index]
+                step_sizes_new = np.zeros_like(step_times_new)
+                for i, start_index in enumerate(new_step_index):
+                    end_index = len(input_step_sizes) if i == len(new_step_index) - 1 \
+                        else new_step_index[i + 1]
+                    step_sizes_new[i] = np.sum(input_step_sizes[start_index:end_index])
+                step_times, input_step_sizes = step_times_new, step_sizes_new
+
+        step_index = get_step_indices_from_step_times(times, step_times)
+        step_r_min = np.full(len(step_index), np.nan)
+        step_r_max = np.full(len(step_index), np.nan)
+        for i, start_index in enumerate(step_index):
+            end_index = len(times) if i == len(step_index) - 1 else step_index[i + 1]
+            if start_index == end_index:
+                continue
+            pre_step_val = response_signal[start_index - 1]
+            step_response = response_signal[start_index:end_index]
+            step_r_min[i] = np.min((step_response - pre_step_val) / input_step_sizes[i])
+            step_r_max[i] = np.max((step_response - pre_step_val) / input_step_sizes[i])
+        r_min_chrono = np.nanmean(step_r_min)
+        r_max_chrono = np.nanpercentile(step_r_max, 99)
+    else:
+        r_min_chrono, r_max_chrono = np.inf, 0.0
+
+    if z is not None:
+        r_min_eis = np.min(np.asarray(z).real)
+        r_max_eis = np.max(np.asarray(z).real)
+    else:
+        r_min_eis, r_max_eis = np.inf, 0.0
+
+    return max(r_max_chrono, r_max_eis) - min(r_min_chrono, r_min_eis)
+
+
+# ------------------------------------------------------------------
+# Quantile/extreme flagging (reference :844-860)
+# ------------------------------------------------------------------
+def get_quantile_limits(y, qr_size=0.5, qr_thresh=1.5):
+    q_lo = np.percentile(y, 50 - 100 * qr_size / 2)
+    q_hi = np.percentile(y, 50 + 100 * qr_size / 2)
+    qr = q_hi - q_lo
+    return q_lo - qr * qr_thresh, q_hi + qr * qr_thresh
+
+
+def identify_extreme_values(y, qr_size=0.5, qr_thresh=1.5):
+    y_min, y_max = get_quantile_limits(y, qr_size, qr_thresh)
+    return (y < y_min) | (y > y_max)
+
+
+# ------------------------------------------------------------------
+# Tau grid construction (reference :918-1018)
+# ------------------------------------------------------------------
+def get_time_since_step(times, step_times, prestep_value=None):
+    times = np.asarray(times)
+    step_times = np.asarray(step_times, dtype=float)
+    time_deltas = []
+    t_sample = np.min(np.diff(times)) if len(times) > 1 else times[0]
+    if prestep_value is not None:
+        time_deltas.append(np.tile(prestep_value, len(times[times < step_times[0]])))
+    for i, start_time in enumerate(step_times):
+        end_time = np.inf if i == len(step_times) - 1 else step_times[i + 1]
+        mask = (times >= start_time) & (times < end_time)
+        if np.sum(mask) > 0:
+            time_deltas.append(np.maximum(times[mask] - start_time, t_sample))
+    return np.concatenate(time_deltas)
+
+
+def get_tau_lim(frequencies, times, step_times):
+    if frequencies is not None:
+        eis_tau_min = 1 / (2 * np.pi * np.max(frequencies))
+        eis_tau_max = 1 / (2 * np.pi * np.min(frequencies))
+    else:
+        eis_tau_min, eis_tau_max = np.inf, -np.inf
+    if times is not None:
+        td = get_time_since_step(times, step_times)
+        chrono_tau_min, chrono_tau_max = np.min(td), np.max(td)
+    else:
+        chrono_tau_min, chrono_tau_max = np.inf, -np.inf
+    return min(eis_tau_min, chrono_tau_min), max(eis_tau_max, chrono_tau_max)
+
+
+def get_num_decades(frequencies, times, step_times):
+    tau_min, tau_max = get_tau_lim(frequencies, times, step_times)
+    return np.log10(tau_max) - np.log10(tau_min)
+
+
+def get_basis_tau(frequencies, times, step_times, ppd=10, extend_decades=1, tau_grid=None):
+    """10-ppd log grid covering the data range +- extend_decades, optionally
+    snapped to a shared supergrid (reference preprocessing.py:982-1013)."""
+    tau_min, tau_max = get_tau_lim(frequencies, times, step_times)
+    log_tau_min = np.log10(tau_min) - extend_decades
+    log_tau_max = np.log10(tau_max) + extend_decades
+
+    if tau_grid is not None:
+        tau_grid = np.asarray(tau_grid)
+        if 10 ** log_tau_min < np.min(tau_grid):
+            left_index = 0
+        else:
+            left_index = nearest_index(tau_grid, 10 ** log_tau_min, constraint=-1)
+        if 10 ** log_tau_max > np.max(tau_grid):
+            right_index = len(tau_grid)
+        else:
+            right_index = nearest_index(tau_grid, 10 ** log_tau_max, constraint=1) + 1
+        return tau_grid[left_index:right_index]
+
+    num_points_exact = (log_tau_max - log_tau_min) * ppd + 1
+    num_points = int(np.ceil(num_points_exact))
+    add_decades = 0.5 * (num_points - num_points_exact) / ppd
+    return np.logspace(log_tau_min - add_decades, log_tau_max + add_decades, num_points)
+
+
+def get_epsilon_from_ppd(ppd, factor=1):
+    return factor / np.log(10 ** (1 / ppd))
+
+
+# ------------------------------------------------------------------
+# Chrono downsampling (reference preprocessing.py:210-506)
+# ------------------------------------------------------------------
+def generate_log_times(times, step_times, ppd, prestep_samples=None):
+    """Target sample times: log-uniform after each step (reference :210-270)."""
+    times = np.asarray(times)
+    step_times = np.asarray(step_times, dtype=float)
+    t_sample = np.min(np.diff(times))
+    out = []
+    if prestep_samples is not None and prestep_samples > 0:
+        pre = times[times < step_times[0]]
+        if len(pre) > prestep_samples:
+            idx = np.unique(np.linspace(0, len(pre) - 1, prestep_samples).astype(int))
+            pre = pre[idx]
+        out.append(pre)
+    for i, st in enumerate(step_times):
+        end_time = times[-1] if i == len(step_times) - 1 else step_times[i + 1]
+        span = end_time - st
+        if span <= t_sample:
+            continue
+        num_decades = np.log10(span) - np.log10(t_sample)
+        n_pts = max(2, int(np.ceil(num_decades * ppd)) + 1)
+        out.append(st + np.logspace(np.log10(t_sample), np.log10(span), n_pts))
+    return np.concatenate(out) if out else times
+
+
+def filter_chrono_signal(times, y, step_index=None, decimate_index=None, sigma_factor=0.01,
+                         max_sigma=None, remove_outliers=False, outlier_kw=None, median_prefilter=False):
+    """Antialiasing filter applied segmentwise between steps (reference :507-601)."""
+    from scipy.ndimage import gaussian_filter1d, median_filter
+    y = np.asarray(y, dtype=float).copy()
+    if step_index is None:
+        step_index = identify_steps(y)
+    segments = np.split(np.arange(len(y)), step_index)
+    y_out = y.copy()
+    for seg in segments:
+        if len(seg) < 5:
+            continue
+        seg_y = y[seg]
+        if median_prefilter:
+            seg_y = median_filter(seg_y, size=5, mode="nearest")
+        sigma = max(1.0, sigma_factor * len(seg))
+        if max_sigma is not None:
+            sigma = min(sigma, max_sigma)
+        y_out[seg] = gaussian_filter1d(seg_y, sigma, mode="nearest")
+    return y_out
+
+
+def downsample_data(times, i_signal, v_signal, target_times=None, step_times=None,
+                    op_mode="galv", ppd=20, prestep_samples=10, antialiased=True):
+    """Log-uniform downsampling around steps (reference preprocessing.py:335-470).
+
+    Returns (sample_index, (times, i, v)).
+    """
+    times = np.asarray(times)
+    i_signal = np.asarray(i_signal, dtype=float)
+    v_signal = np.asarray(v_signal, dtype=float)
+    if step_times is None:
+        input_signal = i_signal if op_mode == "galv" else v_signal
+        step_idx = identify_steps(input_signal)
+        step_times = times[step_idx]
+    if target_times is None:
+        target_times = generate_log_times(times, step_times, ppd, prestep_samples)
+
+    # Map each target time to the nearest available sample at-or-after it
+    sample_index = np.unique(np.searchsorted(times, target_times, side="left").clip(0, len(times) - 1))
+
+    if antialiased:
+        step_index = get_step_indices_from_step_times(times, step_times)
+        response = v_signal if op_mode == "galv" else i_signal
+        response_f = filter_chrono_signal(times, response, step_index=step_index)
+        if op_mode == "galv":
+            v_signal = response_f
+        else:
+            i_signal = response_f
+
+    return sample_index, (times[sample_index], i_signal[sample_index], v_signal[sample_index])
+
+
+def discard_first_n_chrono(times, i_signal, v_signal, n, op_mode="galv"):
+    """Remove the first n samples after each step (reference :discard_first_n)."""
+    times = np.asarray(times)
+    input_signal = i_signal if op_mode == "galv" else v_signal
+    step_idx = identify_steps(np.asarray(input_signal))
+    keep = np.ones(len(times), dtype=bool)
+    for si in step_idx:
+        keep[si:si + n] = False
+    idx = np.where(keep)[0]
+    return idx, (times[idx], np.asarray(i_signal)[idx], np.asarray(v_signal)[idx])

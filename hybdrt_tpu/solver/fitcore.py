@@ -1,0 +1,137 @@
+"""End-to-end QPHB fit loop as a single jittable XLA computation.
+
+The reference drives the fit with a python while loop around cvxopt calls
+(reference hybdrt/models/drt1d.py:877-988). Here the entire self-tuning outer
+loop — iteration-0 ridge normalization, hybrid weight factoring, vz-offset
+column rewrites, and convergence — is a lax.while_loop over pure-jnp state, so
+one fit is one XLA program and a batch of fits is a vmap of it.
+"""
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import qphb
+from .qphb import QPHBConfig, QPHBState
+
+
+class FitConfig(NamedTuple):
+    """Static fit-loop configuration."""
+    cfg: QPHBConfig
+    data_type: str = "eis"          # 'eis' | 'chrono' | 'hybrid'
+    num_chrono: int = 0
+    vz_offset: bool = False
+    vz_index: int = -1
+    max_iter: int = 50
+    x_rtol: float = 1e-2
+    max_hp_iter: int = 1
+    qp_max_iter: int = 60
+
+
+class FitCarry(NamedTuple):
+    state: QPHBState
+    rzm: jnp.ndarray
+
+
+def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,
+               rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
+               weight_factor, hyp, fcfg: FitConfig):
+    st, rzm = carry
+    nc = fcfg.num_chrono
+
+    weights = st.weights
+    if fcfg.data_type == "hybrid":
+        factors = jnp.concatenate([
+            jnp.full((nc,), 1.0) * chrono_weight_factor,
+            jnp.full((rzv.shape[0] - nc,), 1.0) * eis_weight_factor,
+        ])
+        weights = weights * factors
+    # Global weight factor applies from the second iteration (reference drt1d.py:891-892)
+    weights = jnp.where(st.it > 0, weights * weight_factor, weights)
+    st_in = st._replace(weights=weights)
+
+    st_new, _ = qphb.iterate_qphb(st_in, rzv, rzm, vmm, m_stack, m_stack[1], dop_gmat,
+                                  l1v, lb, est_weights, hyp, fcfg.cfg,
+                                  x_rtol=fcfg.x_rtol, max_hp_iter=fcfg.max_hp_iter,
+                                  qp_max_iter=fcfg.qp_max_iter)
+
+    # Normalize rho update scale to the iteration-0 ridge solution
+    # (reference drt1d.py:946-962)
+    ns = fcfg.cfg.num_special
+
+    def set_norms(s):
+        x_drt = s.x[ns:]
+        xmx = jnp.stack([x_drt @ m_stack[k][ns:, ns:] @ x_drt
+                         for k in range(fcfg.cfg.k_range)])
+        if fcfg.cfg.fit_dop:
+            ds_, de_ = fcfg.cfg.dop_start, fcfg.cfg.dop_start + fcfg.cfg.dop_size
+            x_dop = s.x[ds_:de_]
+            dop_xmx = jnp.stack([x_dop @ m_stack[k][ds_:de_, ds_:de_] @ x_dop
+                                 for k in range(fcfg.cfg.k_range)])
+        else:
+            dop_xmx = s.dop_xmx_norms
+        return s._replace(xmx_norms=xmx, dop_xmx_norms=dop_xmx)
+
+    st_new = jax.lax.cond(st.it == 0, set_norms, lambda s: s, st_new)
+
+    # vz_offset column rewrite with the updated prediction
+    # (reference drt1d.py:972-979)
+    if fcfg.data_type == "hybrid" and fcfg.vz_offset:
+        y_hat = rzm_vz @ st_new.x
+        vz_sep = y_hat.at[nc:].multiply(-1.0)
+        rzm = rzm.at[:, fcfg.vz_index].set(vz_sep * vz_strength_vec)
+
+    return FitCarry(state=st_new, rzm=rzm)
+
+
+@partial(jax.jit, static_argnames=("fcfg",))
+def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
+                  x0, s0, rho0, dop_rho0, init_weights, est_weights, outlier_t0,
+                  rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
+                  weight_factor, fcfg: FitConfig):
+    """Run the full QPHB outer loop; returns (final_state, final_rzm)."""
+    k = fcfg.cfg.k_range
+    state0 = QPHBState(
+        x=x0, s_vectors=s0, rho_vector=rho0, dop_rho_vector=dop_rho0,
+        weights=init_weights, outlier_t=outlier_t0,
+        xmx_norms=jnp.ones(k, dtype=rzv.dtype), dop_xmx_norms=jnp.ones(k, dtype=rzv.dtype),
+        it=jnp.array(0, dtype=jnp.int32), converged=jnp.array(False))
+
+    def cond(carry):
+        return (carry.state.it < fcfg.max_iter) & (~carry.state.converged)
+
+    def body(carry):
+        return _loop_body(carry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,
+                          rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
+                          weight_factor, hyp, fcfg)
+
+    final = jax.lax.while_loop(cond, body, FitCarry(state=state0, rzm=rzm))
+    return final.state, final.rzm
+
+
+def qphb_fit_eager(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
+                   x0, s0, rho0, dop_rho0, init_weights, est_weights, outlier_t0,
+                   rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
+                   weight_factor, fcfg: FitConfig):
+    """Python-driven variant collecting per-iteration history (diagnostics)."""
+    k = fcfg.cfg.k_range
+    state = QPHBState(
+        x=jnp.asarray(x0), s_vectors=jnp.asarray(s0), rho_vector=jnp.asarray(rho0),
+        dop_rho_vector=jnp.asarray(dop_rho0), weights=jnp.asarray(init_weights),
+        outlier_t=jnp.asarray(outlier_t0),
+        xmx_norms=jnp.ones(k, dtype=rzv.dtype), dop_xmx_norms=jnp.ones(k, dtype=rzv.dtype),
+        it=jnp.array(0, dtype=jnp.int32), converged=jnp.array(False))
+    carry = FitCarry(state=state, rzm=jnp.asarray(rzm))
+    history = []
+    while int(carry.state.it) < fcfg.max_iter and not bool(carry.state.converged):
+        carry = _loop_body(carry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,
+                           rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
+                           weight_factor, hyp, fcfg)
+        st = carry.state
+        history.append({
+            "x": st.x, "s_vectors": st.s_vectors, "rho_vector": st.rho_vector,
+            "dop_rho_vector": st.dop_rho_vector, "weights": st.weights,
+            "outlier_t": st.outlier_t, "converged": bool(st.converged),
+        })
+    return carry.state, carry.rzm, history

@@ -1,0 +1,81 @@
+"""Precision-aware array utilities.
+
+Mirrors the behavior of reference hybdrt/utils/array.py (rel_round :23,
+is_subset :48, get_subset_index :84, is_uniform :142, is_log_uniform :155,
+unit_step, nearest_index) with numpy host-side implementations; these drive
+grid construction and matrix-reuse caching, not device compute.
+"""
+import numpy as np
+
+
+def rel_round(x, precision):
+    """Round to a relative precision of ``precision`` significant digits."""
+    x = np.asarray(x)
+    # Digits to the left of the decimal point
+    x_max = np.max(np.abs(x)) if x.size else 0.0
+    if x_max == 0:
+        return x
+    num_digits = int(np.ceil(np.log10(x_max)))
+    return np.round(x, precision - num_digits)
+
+
+def is_uniform(x, tol_digits=10):
+    """True if x is uniformly spaced."""
+    x = np.asarray(x)
+    if len(x) < 2:
+        return False
+    xdiff = np.diff(x)
+    return bool(np.all(rel_round(xdiff, tol_digits) == rel_round(xdiff[0], tol_digits)))
+
+
+def is_log_uniform(x, tol_digits=10):
+    """True if x is uniformly spaced in log space."""
+    x = np.asarray(x)
+    if len(x) < 2 or np.any(x <= 0):
+        return False
+    return is_uniform(np.log(x), tol_digits)
+
+
+def nearest_index(x_array, x_val, constraint=None):
+    """Index of the entry of ``x_array`` nearest to ``x_val``.
+
+    :param constraint: if -1, require x_array[idx] <= x_val; if 1, require >=.
+    """
+    x_array = np.asarray(x_array)
+    if constraint is None:
+        return int(np.argmin(np.abs(x_array - x_val)))
+    elif constraint in (-1, 1):
+        delta = (x_array - x_val) * constraint
+        delta[delta < 0] = np.inf
+        if np.all(np.isinf(delta)):
+            # No entry satisfies the constraint; fall back to nearest
+            return int(np.argmin(np.abs(x_array - x_val)))
+        return int(np.argmin(delta))
+    else:
+        raise ValueError(f"Invalid constraint {constraint}; options: None, -1, 1")
+
+
+def is_subset(x, y, precision=10):
+    """True if x is a contiguous subset of y (to relative precision)."""
+    x = rel_round(np.asarray(x), precision)
+    y = rel_round(np.asarray(y), precision)
+    return bool(np.all(np.isin(x, y)))
+
+
+def get_subset_index(x, y, precision=10):
+    """Indices of entries of y matching entries of x."""
+    x = rel_round(np.asarray(x), precision)
+    y = rel_round(np.asarray(y), precision)
+    return np.where(np.isin(y, x))[0]
+
+
+def unit_step(x, x0=0.0):
+    """Heaviside step: 1 where x >= x0, else 0."""
+    x = np.asarray(x)
+    return np.where(x >= x0, 1.0, 0.0)
+
+
+def group_values(x, precision=10):
+    """Group close values of x, returning sorted unique representative values."""
+    xr = rel_round(np.asarray(x), precision)
+    return np.unique(xr)

@@ -1,0 +1,73 @@
+"""Probability helpers (reference: hybdrt/utils/stats.py).
+
+Written with jax.numpy so they can be used inside jitted solver code; they
+also accept plain numpy arrays.
+"""
+import jax.numpy as jnp
+from jax.scipy.special import gammaln, erf
+import numpy as np
+
+
+def harmonic_mean(x, y):
+    return 2 * x * y / (x + y)
+
+
+def pdf_normal(x, loc, scale):
+    return 1 / (scale * jnp.sqrt(2 * jnp.pi)) * jnp.exp(-0.5 * (x - loc) ** 2 / scale ** 2)
+
+
+def log_pdf_normal(x, mu, sigma):
+    return -0.5 * (jnp.log(2 * jnp.pi) + 2 * jnp.log(sigma) + ((x - mu) / sigma) ** 2)
+
+
+def cdf_normal(x, loc, scale):
+    return 0.5 * (1 + erf((x - loc) / (scale * jnp.sqrt(2.0))))
+
+
+def outer_cdf_normal(x, loc, scale):
+    """Integrated pdf for values more extreme than x (farther from the mean)."""
+    return 2 * (1 - cdf_normal(jnp.abs(x), loc, scale))
+
+
+def inner_cdf_normal(x, loc, scale):
+    return 1 - outer_cdf_normal(x, loc, scale)
+
+
+def pdf_gamma(x, shape, rate):
+    return jnp.exp(log_pdf_gamma(x, shape, rate, True))
+
+
+def log_pdf_gamma(x, alpha, beta, include_constants=True):
+    lp = (alpha - 1) * jnp.log(x) - beta * x
+    if include_constants:
+        lp = lp + alpha * jnp.log(beta) - gammaln(alpha)
+    return lp
+
+
+def pdf_invgamma(x, alpha, beta):
+    return jnp.exp(alpha * jnp.log(beta) - gammaln(alpha) - (alpha + 1) * jnp.log(x) - beta / x)
+
+
+def pdf_exp(x, rate):
+    return rate * jnp.exp(-rate * x)
+
+
+def pdf_laplace(x, mu, rate):
+    return 0.5 * rate * jnp.exp(-rate * jnp.abs(x - mu))
+
+
+def robust_std(x, axis=None):
+    """IQR-based robust standard deviation estimate."""
+    x = np.asarray(x)
+    iqr = np.nanpercentile(x, 75, axis=axis) - np.nanpercentile(x, 25, axis=axis)
+    return iqr / 1.349
+
+
+def bic(llh, num_params, num_data):
+    """Bayesian information criterion (reference: utils/stats.py:137)."""
+    return num_params * np.log(num_data) - 2 * llh
+
+
+def bayes_factor(bic_1, bic_2):
+    """Approximate Bayes factor of model 2 vs model 1 from BICs."""
+    return np.exp((bic_1 - bic_2) / 2)

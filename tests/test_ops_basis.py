@@ -1,0 +1,131 @@
+"""Unit tests for basis functions and matrix assembly against independent
+numerical references (quadrature, finite differences)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hybdrt_tpu.ops import basis, mat1d, lookup
+
+
+EPS = 4.342944819032518  # 10 ppd
+
+
+def test_gaussian_derivatives_match_finite_difference():
+    y = np.linspace(-3, 3, 41)
+    h = 1e-5
+    phi = basis.get_basis_func("gaussian")
+    for order in (1, 2, 3):
+        f = basis.get_basis_func_derivative("gaussian", order)
+        if order == 1:
+            fd = (phi(y + h, 2.0) - phi(y - h, 2.0)) / (2 * h)
+        elif order == 2:
+            fd = (phi(y + h, 2.0) - 2 * phi(y, 2.0) + phi(y - h, 2.0)) / h ** 2
+        else:
+            f2 = basis.get_basis_func_derivative("gaussian", 2)
+            fd = (f2(y + h, 2.0) - f2(y - h, 2.0)) / (2 * h)
+        assert np.allclose(np.asarray(f(y, 2.0)), np.asarray(fd), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("order", [0, 1, 2, 3])
+def test_integrated_derivative_kernel_vs_quadrature(order):
+    """Closed-form integral of d^k phi_n d^k phi_m equals direct quadrature."""
+    eps = 2.0
+    y = np.linspace(-30, 30, 200001)
+    dfunc = basis.get_basis_func_derivative("gaussian", order)
+    kern = basis.integrated_derivative_kernel(order)
+    for x_n, x_m in [(0.0, 0.0), (0.0, 0.5), (-1.0, 1.5)]:
+        num = np.trapezoid(np.asarray(dfunc(y - x_n, eps)) * np.asarray(dfunc(y - x_m, eps)), x=y)
+        closed = float(kern(x_n, x_m, eps))
+        assert np.isclose(num, closed, rtol=1e-6, atol=1e-12), (order, x_n, x_m)
+
+
+def test_indefinite_integrated_derivative_matches_definite():
+    """Indefinite kernel over (-inf, inf) limits reduces to the definite form."""
+    eps = 2.0
+    grid = jnp.linspace(-1.0, 1.0, 5)
+    for order in (0, 1, 2):
+        m_def = np.asarray(mat1d.construct_integrated_derivative_matrix(
+            grid, order=order, epsilon=eps))
+        m_indef = np.asarray(mat1d.construct_integrated_derivative_matrix(
+            grid, order=order, epsilon=eps, integration_limits=(-60.0, 60.0)))
+        assert np.allclose(m_def, m_indef, rtol=1e-8, atol=1e-10), order
+
+
+def test_impedance_matrix_interp_matches_trapz():
+    freq = np.logspace(5, -1, 40)
+    tau = np.logspace(-6, 1, 71)
+    for part in ("real", "imag"):
+        a_interp = np.asarray(mat1d.construct_impedance_matrix(
+            freq, part, tau, epsilon=EPS, integrate_method="interp"))
+        a_trapz = np.asarray(mat1d.construct_impedance_matrix(
+            freq, part, tau, epsilon=EPS, integrate_method="trapz"))
+        assert np.max(np.abs(a_interp - a_trapz)) < 1e-5
+
+
+def test_impedance_matrix_delta_basis_is_rc():
+    """Delta basis gives exact single-RC impedance."""
+    freq = np.logspace(3, -1, 11)
+    tau = np.array([1e-3, 1e-2])
+    w = 2 * np.pi * freq
+    a_re = np.asarray(mat1d.construct_impedance_matrix(freq, "real", tau, basis_type="delta"))
+    a_im = np.asarray(mat1d.construct_impedance_matrix(freq, "imag", tau, basis_type="delta"))
+    expected = 1 / (1 + 1j * w[:, None] * tau[None, :])
+    assert np.allclose(a_re, expected.real)
+    assert np.allclose(a_im, expected.imag)
+
+
+def test_response_matrix_delta_basis_is_exponential():
+    times = np.linspace(0, 1, 50)[1:]
+    tau = np.array([0.01, 0.1])
+    a, a_layered = mat1d.construct_response_matrix(
+        tau, times, "ideal", np.array([0.0]), np.array([2.0]), basis_type="delta")
+    expected = 2.0 * (1 - np.exp(-times[:, None] / tau[None, :]))
+    assert np.allclose(np.asarray(a), expected)
+    assert a_layered.shape == (1, len(times), 2)
+
+
+def test_response_matrix_interp_matches_trapz():
+    times = np.logspace(-5, 0, 30)
+    tau = np.logspace(-5, 0, 21)
+    kw = dict(basis_type="gaussian", epsilon=EPS)
+    a_i, _ = mat1d.construct_response_matrix(tau, times, "ideal", np.array([0.0]),
+                                             np.array([1.0]), integrate_method="interp", **kw)
+    a_t, _ = mat1d.construct_response_matrix(tau, times, "ideal", np.array([0.0]),
+                                             np.array([1.0]), integrate_method="trapz", **kw)
+    assert np.max(np.abs(np.asarray(a_i) - np.asarray(a_t))) < 2e-5
+
+
+def test_eis_var_matrix_properties():
+    freq = np.logspace(4, 0, 17)
+    vmm = np.asarray(mat1d.construct_eis_var_matrix(freq, 0.25, 0.25, None))
+    assert vmm.shape == (34, 34)
+    assert np.allclose(vmm.sum(axis=1), 1.0)
+    assert np.all(vmm >= 0)
+    # uniform structure: same-part weight 1, cross-part weight reim_cor, rows normalized
+    vmm_u = np.asarray(mat1d.construct_eis_var_matrix(freq, 0.25, 0.25, "uniform"))
+    n = 17
+    rowsum = n * (1 + 0.25)
+    assert np.allclose(vmm_u[:n, :n], 1.0 / rowsum)
+    assert np.allclose(vmm_u[:n, n:], 0.25 / rowsum)
+    assert np.allclose(vmm_u.sum(axis=1), 1.0)
+
+
+def test_chrono_var_matrix_blocks_per_step():
+    times = np.concatenate([np.linspace(-0.1, -0.01, 5), np.linspace(0.001, 0.5, 20),
+                            np.linspace(0.501, 1.0, 20)])
+    step_times = np.array([0.0, 0.5005])
+    vmm = np.asarray(mat1d.construct_chrono_var_matrix(times, step_times, 4.0, None))
+    assert np.allclose(vmm.sum(axis=1), 1.0)
+    # no correlation across step boundary
+    assert np.all(vmm[:5, 5:] == 0)
+    assert np.all(vmm[5:25, 25:] == 0)
+
+
+def test_lookup_tables_monotonic_domain():
+    (lg_re, z_re), (lg_im, z_im) = lookup.generate_impedance_lookup("gaussian", EPS)
+    assert len(lg_re) == 2000 and len(z_re) == 2000
+    assert np.all(np.diff(lg_re) > 0)
+    # real part decays monotonically with wt
+    assert z_re[0] > z_re[-1]
+    lg_td, resp = lookup.generate_response_lookup("gaussian", "galv", "ideal", EPS)
+    assert np.all(np.diff(resp) > -1e-12)  # step response is nondecreasing in t/tau
