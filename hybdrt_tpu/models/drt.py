@@ -19,6 +19,7 @@ from ..solver import qphb as qphb_mod
 from ..solver import fitcore
 from ..solver.qphb import QPHBConfig
 from ..utils import chrono as chrono_utils
+from ..utils.device import on_host
 from ..utils import eis as eis_utils
 from ..utils import validation
 
@@ -138,6 +139,7 @@ class DRT:
     # ------------------------------------------------------------------
     # Lookup + config helpers
     # ------------------------------------------------------------------
+    @on_host
     def _refresh_lookups(self):
         if self.integrate_method == "interp" and self.tau_basis_type not in \
                 ("Cole-Cole", "zga", "delta"):
@@ -315,6 +317,7 @@ class DRT:
     # ------------------------------------------------------------------
     # Fit preparation (reference drt1d.py:5439-5963)
     # ------------------------------------------------------------------
+    @on_host
     def _prep_for_fit(self, times, i_signal, v_signal, frequencies, z, step_times, step_sizes,
                       downsample, downsample_kw, offset_steps, step_offset_size,
                       smooth_inf_response, scale_data, rp_scale):
@@ -384,6 +387,7 @@ class DRT:
             (rm_drt, induc_rv, inf_rv, cap_rv, rm_dop, zm_drt, induc_zv, cap_zv, zm_dop,
              penalty_matrices)
 
+    @on_host
     def _prep_chrono_fit_matrix(self, times, step_times, step_sizes, tau_rise,
                                 smooth_inf_response):
         rm, rm_layered = mat1d.construct_response_matrix(
@@ -418,6 +422,7 @@ class DRT:
             rm_dop = None
         return rm, inf_rv, induc_rv, cap_rv, rm_dop
 
+    @on_host
     def _prep_impedance_fit_matrix(self, frequencies):
         self.f_fit = np.asarray(frequencies)
         zmr = np.asarray(mat1d.construct_impedance_matrix(
@@ -442,6 +447,7 @@ class DRT:
         self.fit_matrices["zm_dop"] = zm_dop
         return zm, induc_zv, cap_zv, zm_dop
 
+    @on_host
     def _prep_penalty_matrices(self):
         """Integral penalty matrices for orders 0..2 (reference drt1d.py:5673)."""
         penalty_matrices = {}
@@ -1266,22 +1272,131 @@ class DRT:
     # ------------------------------------------------------------------
     # Prediction (reference drt1d.py:2962-3694)
     # ------------------------------------------------------------------
-    def predict_distribution(self, tau=None, ppd=20, order=0, x=None):
+    @on_host
+    def predict_distribution(self, tau=None, ppd=20, order=0, x=None, sign=None,
+                             normalize=False):
         """gamma(ln tau) (and derivatives) on an evaluation grid."""
         if tau is None:
             tau = self.get_tau_eval(ppd)
         em = np.asarray(basis.construct_func_eval_matrix(
             np.log(self.basis_tau), np.log(np.asarray(tau)), self.tau_basis_type,
             self.tau_epsilon, order, self.zga_params))
+        if sign is None:
+            sign = 0 if self.series_neg else 1
         if x is None:
-            x = self.get_drt_params(sign=0) if self.series_neg \
+            x = self.get_drt_params(sign=sign) if self.series_neg \
                 else self.fit_parameters["x"]
         else:
             x = np.asarray(x)
-        return em @ x
+            if len(x) > len(self.basis_tau):
+                x = self.get_drt_params(x, sign)
+        out = em @ x
+        if normalize:
+            out = out / self.predict_r_p(absolute=True)
+        return out
 
     predict_drt = predict_distribution
 
+    # ------------------------------------------------------------------
+    # Peak analysis (reference drt1d.py:3753-4115)
+    # ------------------------------------------------------------------
+    def find_peaks(self, tau=None, x=None, normalize=True, ppd=10, prominence=None,
+                   height=None, sign=1, return_info=False, method="thresh",
+                   prob_thresh=0.25, fxx_var_floor=1e-5, num_peaks=None, **kw):
+        """Find peaks in the DRT via curvature minima, optionally filtered by
+        posterior peak probability (method='prob')."""
+        from scipy import signal as sp_signal
+        from scipy.special import ndtr
+        if method not in ("thresh", "prob"):
+            raise ValueError(f"Invalid method {method}; options: thresh, prob")
+        if tau is None:
+            tau = self.get_tau_eval(ppd)
+        tau = np.asarray(tau)
+        fxx = self.predict_distribution(tau=tau, x=x, order=2, sign=sign,
+                                        normalize=normalize)
+        if prominence is None:
+            prominence = 0.05 * np.std(fxx[~np.isinf(fxx)]) + 5e-3 \
+                if method == "thresh" else 5e-3
+        if height is None:
+            height = 0 if method == "thresh" else 1e-3
+
+        if self.fit_kwargs.get("nonneg", True) and sign != 0:
+            peak_indices, peak_info = sp_signal.find_peaks(-sign * fxx, height=height,
+                                                           prominence=prominence, **kw)
+        else:
+            f = self.predict_distribution(tau=tau, x=x, order=0, sign=sign,
+                                          normalize=normalize)
+            idx_list, info_list = [], []
+            for peak_sign in (-1, 1):
+                p_idx, p_info = sp_signal.find_peaks(-peak_sign * fxx, height=height,
+                                                     prominence=prominence, **kw)
+                pos = peak_sign * f[p_idx] > 0
+                idx_list.append(p_idx[pos])
+                info_list.append({k: v[pos] for k, v in p_info.items()})
+            peak_indices = np.concatenate(idx_list)
+            peak_info = {k: np.concatenate([pi[k] for pi in info_list])
+                         for k in info_list[0].keys()}
+            order_idx = np.argsort(peak_indices)
+            peak_indices = peak_indices[order_idx]
+            peak_info = {k: v[order_idx] for k, v in peak_info.items()}
+
+        if method == "prob" and len(peak_indices) > 0:
+            min_prom = np.minimum(peak_info["prominences"], peak_info["peak_heights"])
+            fxx_cov = self.estimate_distribution_cov(tau=tau, order=2)
+            fxx_sigma = np.sqrt(np.maximum(np.diag(fxx_cov), fxx_var_floor))
+            if normalize:
+                fxx_sigma = fxx_sigma / self.predict_r_p(absolute=True)
+            # P(|peak| > 0) from the normal posterior of the curvature
+            peak_prob = 1 - 2 * (1 - ndtr(min_prom / fxx_sigma[peak_indices]))
+            peak_prob = 2 * ndtr(min_prom / fxx_sigma[peak_indices]) - 1
+            if num_peaks is not None:
+                prob_sort = np.sort(peak_prob)[::-1]
+                prob_thresh = prob_sort[min(num_peaks - 1, len(peak_prob) - 1)]
+            keep = peak_prob >= prob_thresh
+            peak_info["probs"] = peak_prob
+            peak_indices = peak_indices[keep]
+
+        if return_info:
+            return tau[peak_indices], tau, peak_indices, peak_info
+        return tau[peak_indices]
+
+    def estimate_peak_coef(self, tau=None, peak_indices=None, x=None, sign=1,
+                           epsilon_factor=1.25, max_epsilon=1.25, min_epsilon=None,
+                           epsilon_uniform=None, peak_tau=None, trough_tau=None,
+                           **find_peaks_kw):
+        """Split the coefficient vector into per-peak contributions
+        (reference drt1d.py:3974)."""
+        from .. import peaks as peaks_mod
+        if peak_indices is not None and tau is None:
+            raise ValueError("If peak_indices are provided, the tau grid must also be provided")
+        x = self.get_drt_params(x, sign)
+        if peak_indices is None and peak_tau is None:
+            _, tau, peak_indices, _ = self.find_peaks(x=x, sign=sign, return_info=True,
+                                                      **find_peaks_kw)
+        if tau is None:
+            tau = self.get_tau_eval(10)
+        f = self.predict_distribution(tau, x=x, sign=sign)
+        fxx = self.predict_distribution(tau, x=x, sign=sign, order=2)
+        peak_weights = peaks_mod.estimate_peak_weight_distributions(
+            tau, f, fxx, peak_indices, self.basis_tau, epsilon_factor, max_epsilon,
+            min_epsilon, epsilon_uniform, peak_tau=peak_tau, trough_tau=trough_tau)
+        return x * peak_weights
+
+    def estimate_peak_distributions(self, tau=None, ppd=10, tau_find_peaks=None,
+                                    peak_indices=None, x=None, sign=1, **peak_coef_kw):
+        """Per-peak gamma(ln tau) curves on an evaluation grid."""
+        if tau is None:
+            tau = self.get_tau_eval(ppd)
+        x_peaks = self.estimate_peak_coef(tau=tau_find_peaks, peak_indices=peak_indices,
+                                          x=x, sign=sign, **peak_coef_kw)
+        return np.stack([self.predict_distribution(tau, x=xp) for xp in x_peaks])
+
+    def quantify_peaks(self, tau=None, ppd=10, **kw):
+        """Per-peak polarization resistance contributions (reference drt1d.py:4101)."""
+        x_peaks = self.estimate_peak_coef(tau=tau, **kw)
+        return np.array([self.predict_r_p(x=xp) for xp in x_peaks])
+
+    @on_host
     def predict_dop(self, nu=None, x=None, order=0, normalize=False,
                     normalize_tau=None, delta_density=False):
         """DOP distribution over nu (reference drt1d.py:3273-3361)."""
@@ -1308,6 +1423,7 @@ class DRT:
         num = int((log_max - log_min) * ppd) + 1
         return np.logspace(log_min, log_max, num)
 
+    @on_host
     def predict_z(self, frequencies, include_vz_offset=True, x=None, include_dop=True,
                   include_drt=True, include_inductance=True, include_ohmic=True,
                   include_cap=True):
@@ -1350,6 +1466,7 @@ class DRT:
             z = z * (1 - fit_parameters.get("vz_offset", 0) * vz_strength)
         return z
 
+    @on_host
     def predict_response(self, times=None, step_times=None, step_sizes=None, x=None,
                          include_vz_offset=True, subtract_background=False, v_baseline=None):
         """Predicted chrono response (reference drt1d.py:3363-3499)."""
@@ -1433,6 +1550,7 @@ class DRT:
     # ------------------------------------------------------------------
     # Uncertainty (reference drt1d.py:3063-3258, 4116-4146)
     # ------------------------------------------------------------------
+    @on_host
     def estimate_param_cov(self, p_matrix=None):
         """Covariance = P^-1 with coefficient rescaling (reference drt1d.py:4116)."""
         if p_matrix is None:
@@ -1455,6 +1573,7 @@ class DRT:
                 scale_vec[start:end] = self.coefficient_scale * self.dop_scale_vector
         return p_inv * scale_vec[:, None] * scale_vec[None, :]
 
+    @on_host
     def estimate_distribution_cov(self, tau=None, ppd=20, order=0, extend_var=True):
         """Covariance of gamma(ln tau) via B Sigma_x B^T (reference drt1d.py:3063)."""
         if tau is None:

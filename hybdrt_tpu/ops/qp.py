@@ -41,9 +41,35 @@ def _max_step(v, dv):
 
 @partial(jax.jit, static_argnames=("max_iter", "polish"))
 def solve_qp_box(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, polish=True):
-    """Solve min 1/2 x'Px + q'x s.t. x >= lb. P must be symmetric PD."""
+    """Solve min 1/2 x'Px + q'x s.t. x >= lb. P must be symmetric PD.
+
+    The problem is Jacobi-equilibrated (x = D x~ with D = diag(P)^-1/2) before
+    solving: an exact reparameterization that removes scaling-induced
+    ill-conditioning, which matters for float32 execution on TPU where the
+    overfit weight-initialization QP has cond(P) ~ 1e7.
+    """
+    d_eq = 1.0 / jnp.sqrt(jnp.clip(jnp.diagonal(P), 1e-300, None))
+    P_orig, q_orig, lb_orig = P, q, lb
+    P = P * d_eq[:, None] * d_eq[None, :]
+    q = q * d_eq
+    lb = lb / d_eq
+
+    res = _solve_qp_box_core(P, q, lb, tol_gap, tol_feas, max_iter, polish)
+    x = res.x * d_eq
+    z = res.z / d_eq
+    s = x - lb_orig
+    obj = 0.5 * jnp.dot(x, P_orig @ x) + jnp.dot(q_orig, x)
+    return QPResult(x=x, z=z, s=s, gap=jnp.dot(jnp.maximum(s, 0), z),
+                    iterations=res.iterations, primal_objective=obj)
+
+
+def _solve_qp_box_core(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, polish=True):
     n = q.shape[0]
     dtype = q.dtype
+    # Precision-aware tolerances: float32 cannot reach 1e-12 relative gap
+    eps = jnp.finfo(dtype).eps
+    tol_gap = jnp.maximum(jnp.asarray(tol_gap, dtype=dtype), 50 * eps)
+    tol_feas = jnp.maximum(jnp.asarray(tol_feas, dtype=dtype), 50 * eps)
     P = 0.5 * (P + P.T)
 
     # --- Initialization: damped unconstrained solution pushed interior
@@ -83,7 +109,8 @@ def solve_qp_box(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, polish=Tr
         a_p = _max_step(s, ds_aff)
         a_d = _max_step(z, dz_aff)
         mu_aff = jnp.dot(s + a_p * ds_aff, z + a_d * dz_aff) / n
-        sigma = (mu_aff / mu) ** 3
+        sigma = (mu_aff / jnp.maximum(mu, 1e-300)) ** 3
+        sigma = jnp.clip(sigma, 0.0, 1.0)
 
         # Corrector step
         r_c = s * z + ds_aff * dz_aff - sigma * mu
@@ -97,8 +124,9 @@ def solve_qp_box(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, polish=Tr
         a_d = jnp.minimum(1.0, eta * _max_step(z, dz))
 
         x = x + a_p * dx
-        s = s + a_p * ds
-        z = z + a_d * dz
+        tiny = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-25, dtype=dtype)
+        s = jnp.maximum(s + a_p * ds, tiny)
+        z = jnp.maximum(z + a_d * dz, tiny)
         return x, s, z, it + 1, converged(x, s, z)
 
     def cond(carry):

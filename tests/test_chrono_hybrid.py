@@ -1,0 +1,132 @@
+"""End-to-end chrono and hybrid fit tests on synthetic data with exact
+ground truth (RC elements have closed-form step responses and impedances)."""
+import numpy as np
+import pytest
+
+from hybdrt_tpu.models.drt import DRT
+
+
+RNG = np.random.default_rng(0)
+
+
+def _simulate_chrono(r_inf=0.3, rcs=((1.0, 1e-3), (0.8, 1e-1)), v_base=0.05,
+                     i_step=0.1, noise=2e-4):
+    t_pre = np.linspace(-0.01, -0.0005, 20)
+    t_post = np.logspace(-5, 0.5, 150)
+    times = np.concatenate([t_pre, t_post])
+    i_sig = np.where(times >= 0, i_step, 0.0)
+    v = v_base + r_inf * i_sig
+    for r, tau in rcs:
+        v = v + i_step * np.where(times >= 0, r * (1 - np.exp(-np.maximum(times, 0) / tau)), 0.0)
+    v = v + RNG.normal(size=len(times)) * noise
+    return times, i_sig, v
+
+
+def _simulate_eis(r_inf=0.3, rcs=((1.0, 1e-3), (0.8, 1e-1)), induc=1e-7, noise=2e-3):
+    freq = np.logspace(5, -1, 41)
+    z = r_inf + 2j * np.pi * freq * induc
+    for r, tau in rcs:
+        z = z + r / (1 + 2j * np.pi * freq * tau)
+    z = z + (RNG.normal(size=len(freq)) + 1j * RNG.normal(size=len(freq))) * noise
+    return freq, z
+
+
+def test_fit_chrono_recovers_parameters():
+    times, i_sig, v = _simulate_chrono()
+    drt = DRT()
+    drt.fit_chrono(times, i_sig, v)
+    assert abs(drt.fit_parameters["R_inf"] - 0.3) < 0.02
+    assert abs(drt.predict_r_p() - 1.8) < 0.05
+    assert abs(drt.fit_parameters["v_baseline"][0] - 0.05) < 1e-3
+    v_hat = drt.predict_response(times)
+    assert np.median(np.abs(v_hat - v)) < 1e-3
+
+
+def test_fit_chrono_step_detection():
+    """Steps are auto-detected from the input signal."""
+    times, i_sig, v = _simulate_chrono()
+    drt = DRT()
+    drt.fit_chrono(times, i_sig, v)
+    assert len(drt.step_times) == 1
+    # Step offset places the step one sample before the first changed sample
+    assert -0.001 < drt.step_times[0] < 1e-4
+
+
+def test_fit_hybrid_recovers_parameters():
+    times, i_sig, v = _simulate_chrono()
+    freq, z = _simulate_eis()
+    drt = DRT()
+    drt.fit_hybrid(times, i_sig, v, freq, z)
+    assert abs(drt.fit_parameters["R_inf"] - 0.3) < 0.02
+    assert abs(drt.predict_r_p() - 1.8) < 0.05
+    assert abs(drt.fit_parameters["inductance"] - 1e-7) < 2e-8
+    # vz_offset should be small for consistent chrono/EIS data
+    assert abs(drt.fit_parameters["vz_offset"]) < 0.05
+    assert drt.fit_type == "qphb_hybrid"
+    # Sigma vectors exist for both domains
+    assert drt.fit_parameters["v_sigma_tot"] is not None
+    assert drt.fit_parameters["z_sigma_tot"] is not None
+
+
+def test_fit_hybrid_weight_factor_methods():
+    times, i_sig, v = _simulate_chrono()
+    freq, z = _simulate_eis()
+    for method in ("weight", "rp", None):
+        drt = DRT()
+        drt.fit_hybrid(times, i_sig, v, freq, z, hybrid_weight_factor_method=method)
+        assert abs(drt.predict_r_p() - 1.8) < 0.1, method
+
+
+def test_fit_chrono_downsample():
+    times, i_sig, v = _simulate_chrono()
+    drt = DRT()
+    drt.fit_chrono(times, i_sig, v, downsample=True,
+                   downsample_kw={"prestep_samples": 5, "ppd": 10})
+    assert len(drt.get_fit_times()) < len(times)
+    assert abs(drt.predict_r_p() - 1.8) < 0.1
+
+
+def test_fit_chrono_multi_step():
+    """Two steps of different sign."""
+    t_pre = np.linspace(-0.01, -0.0005, 10)
+    t1 = np.logspace(-5, -0.31, 60)
+    t2 = 0.5 + np.logspace(-5, -0.31, 60)
+    times = np.concatenate([t_pre, t1, t2])
+    i_sig = np.where(times >= 0.5, -0.05, np.where(times >= 0, 0.1, 0.0))
+    def resp(t0, amp):
+        dt = np.maximum(times - t0, 0)
+        on = times >= t0
+        return amp * np.where(on, 0.3 + 1.0 * (1 - np.exp(-dt / 1e-2)), 0.0)
+    v = 0.02 + resp(0.0, 0.1) + resp(0.5, -0.15)
+    v = v + RNG.normal(size=len(times)) * 1e-4
+    drt = DRT()
+    drt.fit_chrono(times, i_sig, v)
+    assert len(drt.step_times) == 2
+    assert abs(drt.fit_parameters["R_inf"] - 0.3) < 0.05
+    assert abs(drt.predict_r_p() - 1.0) < 0.1
+
+
+def test_fit_eis_with_outlier_model():
+    """Bernoulli outlier error model downweights a corrupted point."""
+    freq, z = _simulate_eis(noise=1e-3)
+    z_bad = z.copy()
+    z_bad[12] += 0.3 + 0.3j  # gross outlier
+    drt = DRT()
+    drt.fit_eis(freq, z_bad, outlier_p=0.05)
+    out_t = drt.qphb_params["outlier_t"]
+    # The corrupted point should have high outlier probability
+    n = len(freq)
+    assert (1 - out_t[12]) > 0.5 or (1 - out_t[n + 12]) > 0.5
+    # Fit should still recover parameters approximately
+    assert abs(drt.predict_r_p() - 1.8) < 0.1
+
+
+def test_remove_outliers_prefit():
+    freq, z = _simulate_eis(noise=1e-3)
+    z_bad = z.copy()
+    z_bad[20] += 0.5 - 0.4j
+    drt = DRT()
+    drt.fit_eis(freq, z_bad, remove_outliers=True, outlier_p=0.05)
+    assert drt.eis_outlier_index is not None
+    assert drt.eis_outlier_index[20]
+    assert abs(drt.predict_r_p() - 1.8) < 0.1

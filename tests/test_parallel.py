@@ -1,0 +1,84 @@
+"""Batched + sharded fit tests on a virtual multi-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hybdrt_tpu.parallel import BatchedEISFitter
+from hybdrt_tpu.parallel.sharding import make_mesh, pad_batch
+from hybdrt_tpu.models.drt import DRT
+
+
+def _batch(b, n_freq=41, seed=0):
+    rng = np.random.default_rng(seed)
+    freq = np.logspace(5, -1, n_freq)
+    taus = 10 ** rng.uniform(-3, 0, b)
+    rs = rng.uniform(0.5, 2.0, b)
+    z = 0.5 + np.stack([r / (1 + (2j * np.pi * freq * t) ** 0.9)
+                        for r, t in zip(rs, taus)])
+    z = z + (rng.normal(size=z.shape) + 1j * rng.normal(size=z.shape)) * 0.003
+    return freq, z, rs
+
+
+@pytest.fixture(scope="module")
+def fitter_and_data():
+    freq, z, rs = _batch(12)
+    mesh = make_mesh(jax.devices("cpu"))
+    fitter = BatchedEISFitter(freq, mesh=mesh)
+    return fitter, freq, z, rs
+
+
+def test_batched_fit_recovers_parameters(fitter_and_data):
+    fitter, freq, z, rs = fitter_and_data
+    res = fitter.fit(z)
+    assert res.x.shape == (12, len(fitter.basis_tau))
+    rp = fitter.predict_r_p(res)
+    assert np.max(np.abs(rp - rs)) < 0.1
+    assert np.max(np.abs(res.r_inf - 0.5)) < 0.05
+
+
+def test_batched_matches_single_fit(fitter_and_data):
+    """vmapped batch fit is numerically identical to a single-spectrum fit."""
+    fitter, freq, z, rs = fitter_and_data
+    res = fitter.fit(z)
+    drt = DRT()
+    drt.fit_eis(freq, z[5])
+    assert np.allclose(drt.fit_parameters["x"], res.x[5], rtol=1e-6, atol=1e-10)
+    assert np.isclose(drt.fit_parameters["R_inf"], res.r_inf[5], rtol=1e-6)
+
+
+def test_batch_padding_to_mesh(fitter_and_data):
+    """Batch size not divisible by mesh size is padded then truncated."""
+    fitter, freq, z, rs = fitter_and_data
+    res = fitter.fit(z[:10])  # 10 not divisible by 8
+    assert res.x.shape[0] == 10
+    assert np.all(np.isfinite(res.x))
+
+
+def test_sharding_produces_distributed_output(fitter_and_data):
+    fitter, freq, z, rs = fitter_and_data
+    rzv, scale = fitter.scale_batch(z)
+    rzv_p, _ = pad_batch(rzv, fitter.mesh)
+    from hybdrt_tpu.parallel.sharding import shard_batch
+    rzv_dev = shard_batch(jnp.asarray(rzv_p), fitter.mesh)
+    states = fitter._fit_batch(rzv_dev)
+    # Output x should be sharded over the batch axis (one shard per device)
+    shard_devs = {s.device for s in states.x.addressable_shards}
+    assert len(shard_devs) == len(jax.devices("cpu"))
+
+
+def test_batched_predict_z(fitter_and_data):
+    fitter, freq, z, rs = fitter_and_data
+    res = fitter.fit(z)
+    z_hat = fitter.predict_z(res)
+    assert z_hat.shape == z.shape
+    assert np.median(np.abs(z_hat - z)) < 0.01
+
+
+def test_dryrun_multichip():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", __file__.replace("tests/test_parallel.py", "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(4)
