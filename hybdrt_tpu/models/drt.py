@@ -111,6 +111,13 @@ class DRT:
         self.fit_matrices = {}
         self.qphb_params = None
         self.qphb_history = None
+        self.pfrt_result = None
+        self.candidate_dict = None
+        self.candidate_df = None
+        self.best_candidate_dict = None
+        self.best_candidate_df = None
+        self.discrete_candidate_dict = None
+        self.discrete_candidate_df = None
 
         # Outlier state
         self.eis_outlier_index = None
@@ -1574,11 +1581,13 @@ class DRT:
         return p_inv * scale_vec[:, None] * scale_vec[None, :]
 
     @on_host
-    def estimate_distribution_cov(self, tau=None, ppd=20, order=0, extend_var=True):
+    def estimate_distribution_cov(self, tau=None, ppd=20, order=0, extend_var=True,
+                                  p_matrix=None, sign=None, normalize=False,
+                                  var_floor=0.0):
         """Covariance of gamma(ln tau) via B Sigma_x B^T (reference drt1d.py:3063)."""
         if tau is None:
             tau = self.get_tau_eval(ppd)
-        cov = self.estimate_param_cov()
+        cov = self.estimate_param_cov(p_matrix=p_matrix)
         if cov is None:
             return None
         ns = self.get_qp_mat_offset()
@@ -1587,8 +1596,20 @@ class DRT:
             np.log(self.basis_tau), np.log(np.asarray(tau)), self.tau_basis_type,
             self.tau_epsilon, order, self.zga_params))
         if self.series_neg:
-            em = np.hstack([em, -em])
+            if sign is None:
+                sign = 0
+            if sign == 0:
+                em = np.hstack([em, -em])
+            elif sign == 1:
+                em = np.hstack([em, np.zeros_like(em)])
+            else:
+                em = np.hstack([np.zeros_like(em), -em])
         dist_cov = em @ cov_drt @ em.T
+        if normalize:
+            dist_cov = dist_cov / self.predict_r_p(absolute=True) ** 2
+        if var_floor:
+            dist_cov[np.diag_indices_from(dist_cov)] = np.maximum(
+                np.diag(dist_cov), var_floor)
         if extend_var:
             # Extrapolate uncertainty beyond the basis range (reference drt1d.py:3124)
             tau = np.asarray(tau)
@@ -1631,11 +1652,12 @@ class DRT:
         return float(qphb_mod.evaluate_rss(jnp.asarray(x), jnp.asarray(rm), jnp.asarray(rv),
                                            jnp.asarray(weights)))
 
-    def evaluate_llh(self, weights=None, marginalize_weights=True, alpha_0=2, beta_0=1):
+    def evaluate_llh(self, weights=None, x=None, marginalize_weights=True, alpha_0=2,
+                     beta_0=1):
         if weights is None:
             weights = self.qphb_params["weights"]
         rm, rv = self.qphb_params["rm"], self.qphb_params["rv"]
-        x = self._raw_x()
+        x = self._raw_x() if x is None else np.asarray(x)
         return float(qphb_mod.evaluate_llh(jnp.asarray(x), jnp.asarray(rm), jnp.asarray(rv),
                                            jnp.asarray(weights),
                                            marginalize_weights=marginalize_weights,
@@ -1685,6 +1707,591 @@ class DRT:
             elif name == "background_scale":
                 x[start] = fp["background_scale"]
         return x
+
+    # ------------------------------------------------------------------
+    # Warm continuation (reference drt1d.py:1270)
+    # ------------------------------------------------------------------
+    def _continue_from_init(self, x_init, rho_vector, dop_rho_vector, s_vectors,
+                            weights, outlier_t, max_iter=10, min_iter=2, xtol=1e-2,
+                            weight_factor=1.0, eis_weight_factor=None,
+                            chrono_weight_factor=None, **hyper_updates):
+        """Continue the QPHB loop from a given state with updated hypers.
+
+        Returns the final QPHBState. Uses stored fit matrices (qphb_params)."""
+        qp = self.qphb_params
+        hypers = dict(qp["hypers"])
+        hypers.update(hyper_updates)
+        hyp = _hypers_to_pytree(hypers)
+        cfg = qp["cfg"]
+        k_range = cfg.k_range
+        m_stack = np.stack([qp["penalty_matrices"][f"m{k}"] for k in range(k_range)])
+
+        data_type = self.fit_type.split("_")[-1] if self.fit_type else "eis"
+        if eis_weight_factor is None:
+            eis_weight_factor = qp.get("eis_weight_factor", 1.0)
+        if chrono_weight_factor is None:
+            chrono_weight_factor = qp.get("chrono_weight_factor", 1.0)
+
+        if "vz_offset" in self.special_qp_params:
+            rzm_vz = np.array(qp["rm"], copy=True)
+            vb_start, vb_end = self.get_special_indices("v_baseline")
+            rzm_vz[:, vb_start:vb_end] = 0
+            vz_strength_vec = qp["vz_strength_vec"]
+            vz_index = self.special_qp_params["vz_offset"]["index"]
+            use_vz = True
+        else:
+            rzm_vz = np.zeros_like(qp["rm"])
+            vz_strength_vec = np.ones(qp["rm"].shape[0])
+            vz_index = -1
+            use_vz = False
+
+        fcfg = fitcore.FitConfig(
+            cfg=cfg, data_type=data_type, num_chrono=qp["num_chrono"],
+            vz_offset=use_vz and data_type == "hybrid", vz_index=vz_index,
+            max_iter=max_iter, x_rtol=xtol, max_hp_iter=1,
+            continue_mode=True, min_iter=min_iter)
+
+        dop_gmat_arg = None
+        state0 = fitcore.QPHBState(
+            x=jnp.asarray(x_init), s_vectors=jnp.asarray(np.asarray(s_vectors)),
+            rho_vector=jnp.asarray(rho_vector),
+            dop_rho_vector=jnp.asarray(dop_rho_vector if dop_rho_vector is not None
+                                       else np.ones(k_range)),
+            weights=jnp.asarray(weights), outlier_t=jnp.asarray(outlier_t),
+            xmx_norms=jnp.asarray(qp["xmx_norms"]),
+            dop_xmx_norms=jnp.asarray(qp["dop_xmx_norms"]),
+            it=jnp.array(0, dtype=jnp.int32), converged=jnp.array(False))
+
+        carry = fitcore.FitCarry(state=state0, rzm=jnp.asarray(qp["rm"]))
+        args = (jnp.asarray(qp["rv"]), jnp.asarray(qp["vmm"]), jnp.asarray(m_stack),
+                dop_gmat_arg, jnp.asarray(qp["l1_lambda_vector"]), jnp.asarray(qp["lb"]),
+                jnp.asarray(qp["est_weights"]), jnp.asarray(rzm_vz),
+                jnp.asarray(vz_strength_vec), jnp.asarray(float(chrono_weight_factor)),
+                jnp.asarray(float(eis_weight_factor)), jnp.asarray(float(weight_factor)),
+                hyp, fcfg)
+        while int(carry.state.it) < max_iter and not bool(carry.state.converged):
+            carry = fitcore._loop_body(carry, *args)
+        return carry.state
+
+    # ------------------------------------------------------------------
+    # PFRT: probability function of relaxation times (reference drt1d.py:2558)
+    # ------------------------------------------------------------------
+    def _pfrt_fit_core(self, times, i_signal, v_signal, frequencies, z, factors=None,
+                       max_iter_per_step=10, max_init_iter=20, xtol=1e-2, nonneg=True,
+                       series_neg=False, **kw):
+        from ..solver import qphb as qphb_mod_
+        hypers_default = hyp_mod.get_default_hypers(True, self.fit_dop, self.nu_basis_type)
+        if factors is None:
+            factors = np.logspace(-1, 1, 11)
+        factors = np.asarray(factors)
+
+        def prep_step_hypers(step_factor):
+            return {"s_0": hypers_default["s_0"] * step_factor,
+                    "l2_lambda_0": hypers_default["l2_lambda_0"] / step_factor}
+
+        init_kw = dict(kw)
+        init_kw.update(prep_step_hypers(factors[0]))
+
+        if times is None:
+            self.fit_eis(frequencies, z, nonneg=nonneg, series_neg=series_neg,
+                         max_iter=max_init_iter, xtol=xtol, **init_kw)
+        elif frequencies is None:
+            self.fit_chrono(times, i_signal, v_signal, nonneg=nonneg,
+                            series_neg=series_neg, max_iter=max_init_iter, xtol=xtol,
+                            **init_kw)
+        else:
+            self.fit_hybrid(times, i_signal, v_signal, frequencies, z, nonneg=nonneg,
+                            max_iter=max_init_iter, xtol=xtol, **init_kw)
+
+        qp = self.qphb_params
+        cfg = qp["cfg"]
+        k_range = cfg.k_range
+        m_stack = np.stack([qp["penalty_matrices"][f"m{k}"] for k in range(k_range)])
+
+        step_x, step_llh, step_p_mat, step_hypers = [], [], [], []
+
+        def record_step(x, rho, dop_rho, s_vectors, hypers_used):
+            x = np.asarray(x)
+            weights, _, _ = qphb_mod.estimate_weights(
+                jnp.asarray(x), jnp.asarray(qp["rv"]), jnp.asarray(qp["vmm"]),
+                jnp.asarray(qp["rm"]))
+            weights = np.asarray(weights)
+            step_x.append(x)
+            step_llh.append(self.evaluate_llh(weights=weights, x=x,
+                                              marginalize_weights=True))
+            hyp_eval = _hypers_to_pytree(dict(qp["hypers"], **hypers_used))
+            p_matrix, _ = qphb_mod.calculate_pq(
+                jnp.asarray(qp["rm"]), jnp.asarray(qp["rv"]), jnp.asarray(m_stack),
+                hyp_eval, jnp.asarray(qp["l1_lambda_vector"]), jnp.asarray(rho),
+                jnp.asarray(dop_rho if dop_rho is not None else np.ones(k_range)),
+                jnp.asarray(np.asarray(s_vectors)), jnp.asarray(weights), cfg)
+            step_p_mat.append(np.asarray(p_matrix))
+            step_hypers.append(hypers_used)
+
+        # Initial fit result
+        x_cur = self._raw_x()
+        rho_cur = qp["rho_vector"]
+        dop_rho_cur = qp["dop_rho_vector"]
+        s_cur = np.stack(qp["s_vectors"])
+        weights_cur = qp["true_weights"]
+        outlier_t_cur = qp["outlier_t"]
+        record_step(x_cur, rho_cur, dop_rho_cur, s_cur, prep_step_hypers(factors[0]))
+
+        for factor in factors[1:]:
+            upd = prep_step_hypers(factor)
+            state = self._continue_from_init(
+                x_cur, rho_cur, dop_rho_cur if dop_rho_cur is not None else None,
+                s_cur, weights_cur, outlier_t_cur, max_iter=max_iter_per_step,
+                xtol=xtol, **upd)
+            x_cur = np.asarray(state.x)
+            rho_cur = np.asarray(state.rho_vector)
+            dop_rho_cur = np.asarray(state.dop_rho_vector)
+            s_cur = np.asarray(state.s_vectors)
+            weights_cur = np.asarray(state.weights)
+            outlier_t_cur = np.asarray(state.outlier_t)
+            record_step(x_cur, rho_cur, dop_rho_cur, s_cur, upd)
+
+        self.pfrt_result = {
+            "factors": factors,
+            "step_x": step_x,
+            "step_llh": step_llh,
+            "step_p_mat": step_p_mat,
+            "step_hypers": step_hypers,
+        }
+        return self
+
+    def pfrt_fit_eis(self, frequencies, z, factors=None, max_iter_per_step=10,
+                     max_init_iter=20, xtol=1e-2, nonneg=True, **kw):
+        return self._pfrt_fit_core(None, None, None, frequencies, z, factors=factors,
+                                   max_iter_per_step=max_iter_per_step,
+                                   max_init_iter=max_init_iter, xtol=xtol,
+                                   nonneg=nonneg, **kw)
+
+    def pfrt_fit_chrono(self, times, i_signal, v_signal, factors=None,
+                        max_iter_per_step=10, max_init_iter=20, xtol=1e-2, nonneg=True,
+                        **kw):
+        return self._pfrt_fit_core(times, i_signal, v_signal, None, None,
+                                   factors=factors, max_iter_per_step=max_iter_per_step,
+                                   max_init_iter=max_init_iter, xtol=xtol,
+                                   nonneg=nonneg, **kw)
+
+    def pfrt_fit_hybrid(self, times, i_signal, v_signal, frequencies, z, factors=None,
+                        max_iter_per_step=10, max_init_iter=20, xtol=1e-2, nonneg=True,
+                        **kw):
+        return self._pfrt_fit_core(times, i_signal, v_signal, frequencies, z,
+                                   factors=factors, max_iter_per_step=max_iter_per_step,
+                                   max_init_iter=max_init_iter, xtol=xtol,
+                                   nonneg=nonneg, **kw)
+
+    def predict_pfrt(self, tau=None, tau_pfrt=None, sign=1, prior_mu=-4, prior_sigma=0.5,
+                     find_peaks_kw=None, n_eff_factor=0.5, fxx_var_floor=1e-5,
+                     extend_var=True, smooth=True, smooth_kw=None, integrate=False,
+                     integrate_threshold=1e-6, normalize=True):
+        """Aggregate per-factor peak probabilities into the total PFRT
+        (reference drt1d.py:2716-2860)."""
+        from scipy import signal as sp_signal
+        from scipy.special import ndtr
+        from ..utils import stats as stats_mod
+
+        factors = self.pfrt_result["factors"]
+        step_llh = np.asarray(self.pfrt_result["step_llh"])
+        step_x = self.pfrt_result["step_x"]
+        step_p_mat = self.pfrt_result["step_p_mat"]
+
+        log_prior = np.asarray(stats_mod.log_pdf_normal(
+            jnp.asarray(np.log(factors)), prior_mu, prior_sigma))
+        log_post = log_prior + step_llh
+        log_post_eff = (log_post - np.max(log_post)) * n_eff_factor
+        if len(factors) > 1:
+            post_area = np.trapezoid(np.exp(log_post_eff), x=np.log(factors))
+        else:
+            post_area = np.exp(log_post_eff[0])
+        post_prob_eff = np.exp(log_post_eff) / post_area
+
+        if find_peaks_kw is None:
+            find_peaks_kw = {"height": 1e-3, "prominence": 5e-3}
+        for k in ("height", "prominence"):
+            find_peaks_kw.setdefault(k, 0)
+
+        if tau_pfrt is None:
+            tau_pfrt = self.get_tau_eval(10)
+        if tau is None:
+            tau = tau_pfrt
+
+        tot_pfrt = np.zeros(len(tau_pfrt))
+        step_pfrt = np.zeros((len(factors), len(tau_pfrt)))
+        for i, x_raw in enumerate(step_x):
+            x_drt = self.extract_qphb_parameters(x_raw)["x"]
+            fxx = self.predict_distribution(tau_pfrt, x=x_drt, sign=sign, order=2,
+                                            normalize=True)
+            fxx_cov = self.estimate_distribution_cov(
+                tau_pfrt, p_matrix=step_p_mat[i], order=2, sign=sign, normalize=True,
+                var_floor=fxx_var_floor, extend_var=extend_var)
+            fxx_sigma = np.sqrt(np.maximum(np.diag(fxx_cov), 0))
+            f = self.predict_distribution(tau_pfrt, x=x_drt, sign=sign, order=0,
+                                          normalize=True)
+            f_cov = self.estimate_distribution_cov(
+                tau_pfrt, p_matrix=step_p_mat[i], order=0, sign=sign, normalize=True,
+                var_floor=fxx_var_floor, extend_var=extend_var)
+            f_sigma = np.sqrt(np.maximum(np.diag(f_cov), 0))
+
+            peak_index, peak_info = sp_signal.find_peaks(-sign * fxx, **find_peaks_kw)
+            if len(peak_index) == 0:
+                continue
+            min_prom = np.minimum(peak_info["prominences"], peak_info["peak_heights"])
+            # P(curvature peak is real) and P(function height > 0)
+            fxx_prob = 2 * ndtr(min_prom / fxx_sigma[peak_index]) - 1
+            heights = f[peak_index]
+            f_prob = 2 * ndtr(np.abs(heights) / f_sigma[peak_index]) - 1
+            peak_prob = np.minimum(f_prob, fxx_prob)
+            step_pfrt[i, peak_index] = peak_prob
+            tot_pfrt[peak_index] += post_prob_eff[i] * peak_prob
+
+        tot_pfrt /= np.sum(post_prob_eff)
+        self.pfrt_result["tau_pfrt"] = np.asarray(tau_pfrt)
+        self.pfrt_result["raw_pfrt"] = tot_pfrt.copy()
+        self.pfrt_result["step_pfrt"] = step_pfrt
+
+        if smooth:
+            # Aggregate neighboring peak probabilities that shift slightly
+            # with the hyperparameter factor
+            if smooth_kw is None:
+                smooth_kw = {"epsilon": 5}
+            ln_b = np.log(np.asarray(tau_pfrt))
+            ln_e = np.log(np.asarray(tau))
+            d = ln_e[:, None] - ln_b[None, :]
+            basis_matrix = np.exp(-(smooth_kw["epsilon"] * d) ** 2)
+            tot_pfrt = basis_matrix @ tot_pfrt
+
+        if integrate:
+            from . import pfrt as pfrt_mod
+            peak_index, peak_prob = pfrt_mod.integrate_peaks(tot_pfrt, integrate_threshold)
+            out = np.zeros_like(tot_pfrt)
+            out[peak_index] = peak_prob
+            tot_pfrt = out
+
+        if normalize and np.max(tot_pfrt) > 0:
+            tot_pfrt = tot_pfrt / np.max(tot_pfrt)
+        return tot_pfrt
+
+    def select_pfrt_candidates(self, start_thresh=0.99, end_thresh=0.01,
+                               peak_thresh=1e-6):
+        from . import pfrt as pfrt_mod
+        return pfrt_mod.select_candidates(
+            self.pfrt_result["raw_pfrt"], self.pfrt_result["step_pfrt"],
+            self.pfrt_result["step_llh"], start_thresh, end_thresh, peak_thresh)
+
+    # ------------------------------------------------------------------
+    # Dual inversion: candidate generation + discrete model selection
+    # (reference drt1d.py:1497-2557)
+    # ------------------------------------------------------------------
+    def _candidate_state(self):
+        qp = self.qphb_params
+        return (self._raw_x(), qp["rho_vector"],
+                qp["dop_rho_vector"], np.stack(qp["s_vectors"]),
+                qp["true_weights"], qp["outlier_t"])
+
+    def _generate_candidates_s0(self, multiplier, steps, xtol, max_iter, **kw):
+        """Sweep the local regularization mode s_0 up (or down) from the
+        baseline fit, warm-starting each step (reference drt1d.py:1497)."""
+        x_in, rho_in, dop_rho_in, s_base, weights_in, out_t_in = self._candidate_state()
+        s_in = s_base.copy()
+        cands, hypers_list = [], []
+        for i in range(1, steps + 1):
+            s0_factor = multiplier ** i
+            if multiplier > 1:
+                s_in = s_base * s0_factor
+            else:
+                s_in = s_in * multiplier
+            new_hypers = {"s_0": np.asarray(self.fit_kwargs["s_0"]) * s0_factor,
+                          "l2_lambda_0": self.fit_kwargs["l2_lambda_0"] / s0_factor}
+            state = self._continue_from_init(x_in, rho_in, dop_rho_in, s_in, weights_in,
+                                             out_t_in, max_iter=max_iter, xtol=xtol,
+                                             **new_hypers, **kw)
+            x_in = np.asarray(state.x)
+            rho_in = np.asarray(state.rho_vector)
+            dop_rho_in = np.asarray(state.dop_rho_vector)
+            s_in = np.asarray(state.s_vectors)
+            weights_in = np.asarray(state.weights)
+            out_t_in = np.asarray(state.outlier_t)
+            cands.append(x_in.copy())
+            hypers_list.append(new_hypers)
+        return cands, hypers_list
+
+    def _generate_candidates_weights(self, multiplier, steps, xtol, max_iter, **kw):
+        """Sweep a global data-weight factor to suppress peaks
+        (reference drt1d.py:1567)."""
+        x_in, rho_in, dop_rho_in, s_base, weights_in, out_t_in = self._candidate_state()
+        cands, hypers_list = [], []
+        for i in range(1, steps + 1):
+            weight_factor = multiplier ** i
+            state = self._continue_from_init(x_in, rho_in, dop_rho_in, s_base.copy(),
+                                             weights_in, out_t_in, max_iter=max_iter,
+                                             xtol=xtol, weight_factor=weight_factor, **kw)
+            x_in = np.asarray(state.x)
+            rho_in = np.asarray(state.rho_vector)
+            dop_rho_in = np.asarray(state.dop_rho_vector)
+            weights_in = np.asarray(state.weights)
+            out_t_in = np.asarray(state.outlier_t)
+            cands.append(x_in.copy())
+            hypers_list.append({"weight_factor": weight_factor})
+        return cands, hypers_list
+
+    def generate_candidates(self, s0_multiplier=4, s0_steps=2, weight_multiplier=0.5,
+                            weight_steps=3, include_qphb_history=True, fill=True,
+                            min_fill_num=None, xtol=1e-2, max_iter=10, llh_kw=None,
+                            find_peaks_kw=None, **kw):
+        """Generate candidate DRT solutions by sweeping regularization up/down
+        around the baseline fit (reference drt1d.py:1632)."""
+        import pandas as pd
+        from ..utils.stats import bic as bic_fn
+
+        if include_qphb_history and self.qphb_history is not None:
+            qphb_x = [np.asarray(h["x"]) for h in self.qphb_history]
+        else:
+            qphb_x = [self._raw_x()]
+
+        down_x, down_hypers = self._generate_candidates_weights(
+            weight_multiplier, weight_steps, xtol, max_iter, **kw)
+        up_x, up_hypers = self._generate_candidates_s0(
+            s0_multiplier, s0_steps, xtol, max_iter, **kw)
+
+        hypers_keys = set()
+        for h in down_hypers + up_hypers:
+            hypers_keys |= set(h.keys())
+        default_hypers = [{k: self.fit_kwargs.get(k) for k in hypers_keys}] * len(qphb_x)
+
+        candidate_x = np.array(qphb_x + up_x + down_x)
+        candidate_hypers = default_hypers + up_hypers + down_hypers
+
+        if llh_kw is None:
+            llh_kw = {}
+        qp = self.qphb_params
+        cand_weights = [np.asarray(qphb_mod.estimate_weights(
+            jnp.asarray(x), jnp.asarray(qp["rv"]), jnp.asarray(qp["vmm"]),
+            jnp.asarray(qp["rm"]))[0]) for x in candidate_x]
+        candidate_llh = np.array([self.evaluate_llh(weights=w, x=x, **llh_kw)
+                                  for x, w in zip(candidate_x, cand_weights)])
+
+        if find_peaks_kw is None:
+            find_peaks_kw = {}
+        peak_results = [self.find_peaks(x=self.extract_qphb_parameters(x)["x"],
+                                        return_info=True, **find_peaks_kw)
+                        for x in candidate_x]
+        candidate_peak_tau = [pr[0] for pr in peak_results]
+        candidate_peak_info = [pr[3] for pr in peak_results]
+        candidate_num_peaks = np.array([len(pt) for pt in candidate_peak_tau])
+
+        num_special = self.get_qp_mat_offset()
+        candidate_bic = np.array([
+            bic_fn(llh, num_special + int(npk) * 4, self.num_independent_data)
+            for npk, llh in zip(candidate_num_peaks, candidate_llh)])
+
+        self.candidate_dict = {
+            "x": candidate_x, "peak_tau": candidate_peak_tau,
+            "peak_info": candidate_peak_info, "num_peaks": candidate_num_peaks,
+            "llh": candidate_llh, "bic": candidate_bic, "hypers": candidate_hypers,
+        }
+        best_llh = np.max(candidate_llh)
+        best_bic = np.min(candidate_bic)
+        self.candidate_df = pd.DataFrame({
+            "num_peaks": candidate_num_peaks, "llh": candidate_llh,
+            "bic": candidate_bic, "rel_llh": candidate_llh - best_llh,
+            "rel_bic": candidate_bic - best_bic})
+
+        # Best candidate per peak count
+        self.best_candidate_dict = {}
+        best_rows = []
+        for npk in np.unique(candidate_num_peaks):
+            mask = candidate_num_peaks == npk
+            best = np.where(mask & (candidate_llh == np.max(candidate_llh[mask])))[0][0]
+            self.best_candidate_dict[int(npk)] = {
+                "x": candidate_x[best], "llh": candidate_llh[best],
+                "bic": candidate_bic[best], "peak_tau": candidate_peak_tau[best],
+                "peak_info": candidate_peak_info[best], "hypers": candidate_hypers[best]}
+            best_rows.append((int(npk), int(npk), candidate_llh[best], candidate_bic[best],
+                              candidate_llh[best] - best_llh, candidate_bic[best] - best_bic))
+
+        if fill:
+            # Fill missing peak counts by subsetting the most prominent peaks
+            # of the next-larger candidate (reference drt1d.py:1756-1808)
+            nums = sorted(self.best_candidate_dict.keys())
+            if min_fill_num is not None:
+                target_min = max(1, nums[0] + min_fill_num) if min_fill_num < 0 \
+                    else min_fill_num
+                if target_min < nums[0]:
+                    nums = [target_min - 1] + nums
+            new_cands = {}
+            for lo_num, hi_num in zip(nums[:-1], nums[1:]):
+                if hi_num - lo_num <= 1:
+                    continue
+                hi = self.best_candidate_dict[hi_num]
+                info = hi["peak_info"]
+                min_prom = np.minimum(info["prominences"], info["peak_heights"])
+                order = np.argsort(min_prom)[::-1]
+                for j in range(lo_num + 1, hi_num):
+                    new_cands[j] = dict(hi, peak_tau=hi["peak_tau"][order[:j]],
+                                        peak_info={k: v[order[:j]] for k, v in info.items()})
+            self.best_candidate_dict.update(new_cands)
+            self.best_candidate_dict = dict(sorted(self.best_candidate_dict.items()))
+
+        self.best_candidate_df = pd.DataFrame(
+            best_rows, columns=["model_id", "num_peaks", "llh", "bic", "rel_llh", "rel_bic"])
+        return dict(self.candidate_dict)
+
+    def convert_candidate_to_discrete(self, candidate_num_peaks, model_init_kw=None,
+                                      **fit_kw):
+        """Candidate DRT -> initialized + refined discrete element model
+        (reference drt1d.py:1823)."""
+        from .elements import DiscreteElementModel
+        info = self.get_candidate(candidate_num_peaks, "continuous")
+        if model_init_kw is None:
+            model_init_kw = {}
+        dem = DiscreteElementModel.from_drt(self, x=info["x"], peak_tau=info["peak_tau"],
+                                            **model_init_kw)
+        dem.fit_eis(self.get_fit_frequencies(), self.z_fit, **fit_kw)
+        return dem
+
+    def create_discrete_models(self, candidates=None, max_num_peaks=10,
+                               model_init_kw=None, llh_kw=None, lml_kw=None, **fit_kw):
+        """Fit discrete models for each candidate peak count and rank by
+        LLH/BIC/LML (reference drt1d.py:1853)."""
+        import pandas as pd
+        if max_num_peaks is None:
+            max_num_peaks = np.inf
+        if candidates is None:
+            candidates = [k for k in self.best_candidate_dict if 0 < k <= max_num_peaks]
+        llh_kw = llh_kw or {}
+        lml_kw = lml_kw or {}
+
+        self.discrete_candidate_dict = {}
+        rows = []
+        for cand in candidates:
+            try:
+                dem = self.convert_candidate_to_discrete(cand, model_init_kw, **fit_kw)
+            except Exception as err:
+                if self.warn:
+                    warnings.warn(f"Discrete model for {cand} peaks failed: {err}")
+                continue
+            llh = dem.evaluate_llh(**llh_kw)
+            lml = dem.evaluate_lml(**lml_kw)
+            bic = dem.evaluate_bic()
+            self.discrete_candidate_dict[cand] = {
+                "model": dem, "llh": llh, "bic": bic, "lml": lml,
+                "lml-bic": 0.5 * (lml - 0.5 * bic),
+                "peak_tau": dem.get_peak_tau(),
+                "time_constants": dem.get_time_constants()}
+            rows.append((cand, cand, llh, bic, lml, 0.5 * (lml - 0.5 * bic)))
+
+        if not rows:
+            raise RuntimeError("No discrete candidates could be fitted")
+        arr = np.array([r[2:] for r in rows])
+        best = {"llh": arr[:, 0].max(), "bic": arr[:, 1].min(), "lml": arr[:, 2].max(),
+                "lml-bic": arr[:, 3].max()}
+        for i, cand in enumerate([r[0] for r in rows]):
+            d = self.discrete_candidate_dict[cand]
+            d["rel_llh"] = d["llh"] - best["llh"]
+            d["rel_bic"] = d["bic"] - best["bic"]
+            d["rel_lml"] = d["lml"] - best["lml"]
+            d["rel_lml-bic"] = d["lml-bic"] - best["lml-bic"]
+        self.discrete_candidate_df = pd.DataFrame(
+            [(r[0], r[1], r[2], r[3], r[4], r[5], r[2] - best["llh"], r[3] - best["bic"],
+              r[4] - best["lml"], r[5] - best["lml-bic"]) for r in rows],
+            columns=["model_id", "num_peaks", "llh", "bic", "lml", "lml-bic",
+                     "rel_llh", "rel_bic", "rel_lml", "rel_lml-bic"])
+        return dict(self.discrete_candidate_dict)
+
+    def _dual_fit_core(self, times, i_signal, v_signal, frequencies, z, generate_kw=None,
+                       discrete_kw=None, **qphb_kw):
+        qphb_kw.setdefault("store_history", True)
+        if times is None:
+            self.fit_eis(frequencies, z, **qphb_kw)
+        elif frequencies is None:
+            self.fit_chrono(times, i_signal, v_signal, **qphb_kw)
+        else:
+            self.fit_hybrid(times, i_signal, v_signal, frequencies, z, **qphb_kw)
+        self.generate_candidates(**(generate_kw or {}))
+        self.create_discrete_models(**(discrete_kw or {}))
+        return self
+
+    def dual_fit_eis(self, frequencies, z, generate_kw=None, discrete_kw=None, **qphb_kw):
+        return self._dual_fit_core(None, None, None, frequencies, z,
+                                   generate_kw=generate_kw, discrete_kw=discrete_kw,
+                                   **qphb_kw)
+
+    def dual_fit_chrono(self, times, i_signal, v_signal, generate_kw=None,
+                        discrete_kw=None, **qphb_kw):
+        return self._dual_fit_core(times, i_signal, v_signal, None, None,
+                                   generate_kw=generate_kw, discrete_kw=discrete_kw,
+                                   **qphb_kw)
+
+    def dual_fit_hybrid(self, times, i_signal, v_signal, frequencies, z, generate_kw=None,
+                        discrete_kw=None, **qphb_kw):
+        return self._dual_fit_core(times, i_signal, v_signal, frequencies, z,
+                                   generate_kw=generate_kw, discrete_kw=discrete_kw,
+                                   **qphb_kw)
+
+    def get_candidate_df(self, candidate_type):
+        if candidate_type == "continuous":
+            return self.best_candidate_df
+        if candidate_type == "discrete":
+            return self.discrete_candidate_df
+        raise ValueError(f"Invalid candidate_type {candidate_type}")
+
+    def get_candidate(self, candidate_num_peaks, candidate_type):
+        source = {"continuous": self.best_candidate_dict,
+                  "discrete": self.discrete_candidate_dict}.get(candidate_type)
+        if source is None:
+            raise ValueError(f"Invalid candidate_type {candidate_type}")
+        if candidate_num_peaks not in source:
+            raise ValueError(f"No candidate with {candidate_num_peaks} peaks exists")
+        return source[candidate_num_peaks]
+
+    def get_best_candidate_id(self, candidate_type, criterion=None):
+        directions = {"bic": -1, "lml": 1, "lml-bic": 1}
+        df = self.get_candidate_df(candidate_type)
+        if criterion is None:
+            criterion = "lml-bic" if candidate_type == "discrete" else "bic"
+        vals = df[criterion].values * directions[criterion]
+        return df.loc[df.index[np.argmax(vals)], "model_id"]
+
+    def evaluate_norm_bayes_factors(self, candidate_type="discrete", criterion="bic",
+                                    candidate_id=None):
+        """Bayes factors of each candidate relative to the best
+        (reference drt1d.py:2383)."""
+        df = self.get_candidate_df(candidate_type)
+        vals = df[criterion].values
+        if criterion == "bic":
+            bf = np.exp(-0.5 * (vals - np.min(vals)))
+        else:
+            bf = np.exp(vals - np.max(vals))
+        if candidate_id is not None:
+            idx = np.where(df["model_id"].values == candidate_id)[0]
+            return bf[idx]
+        return bf
+
+    def predict_pdrt(self, tau=None, ppd=20, criterion="bic", criterion_factor=1):
+        """BIC/LML-weighted model-averaged peak-probability density over tau
+        (reference drt1d.py:2502)."""
+        if tau is None:
+            tau = self.get_tau_eval(ppd)
+        tau = np.asarray(tau)
+        pdrt = np.zeros(len(tau))
+        for cand_id, info in self.discrete_candidate_dict.items():
+            peak_tau = info["model"].get_peak_tau(find_peaks_kw={"height": 0})
+            if criterion == "bic":
+                peak_prob = np.exp(-0.5 * criterion_factor * info["rel_bic"])
+            elif criterion == "lml":
+                peak_prob = np.exp(criterion_factor * info["rel_lml"])
+            elif criterion is None:
+                peak_prob = 1.0
+            else:
+                raise ValueError(f"Invalid criterion {criterion}")
+            for pt in peak_tau:
+                pdrt += peak_prob * np.exp(-(self.tau_epsilon * np.log(tau / pt)) ** 2)
+        if np.max(pdrt) > 0:
+            pdrt /= np.max(pdrt)
+        return pdrt
 
     # ------------------------------------------------------------------
     def copy(self):

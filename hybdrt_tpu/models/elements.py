@@ -283,17 +283,29 @@ class DiscreteElementModel:
     # ------------------------------------------------------------------
     @classmethod
     def from_drt(cls, drt, model_string=None, element_types="HN", peak_kw=None,
-                 min_peak_r=None):
+                 min_peak_r=None, x=None, peak_tau=None):
         """Initialize a discrete model from a DRT fit's peak decomposition
-        (reference elements.py:90)."""
+        (reference elements.py:90). Optionally use an explicit raw parameter
+        vector ``x`` and/or candidate ``peak_tau`` (dual-inversion path)."""
         from .. import peaks as peaks_mod
         if peak_kw is None:
             peak_kw = {}
-        peak_tau, tau_grid, peak_indices, _ = drt.find_peaks(return_info=True, **peak_kw)
-        x_peaks = drt.estimate_peak_coef(tau=tau_grid, peak_indices=peak_indices)
+        fit_params = drt.fit_parameters if x is None \
+            else drt.extract_qphb_parameters(np.asarray(x))
+        x_drt = fit_params["x"]
+        if peak_tau is None:
+            peak_tau, tau_grid, peak_indices, _ = drt.find_peaks(
+                x=x_drt, return_info=True, **peak_kw)
+        else:
+            tau_grid = drt.get_tau_eval(10)
+            peak_indices = None
+        if len(peak_tau) == 0:
+            raise ValueError("No peaks found to initialize discrete model")
+        x_peaks = drt.estimate_peak_coef(tau=tau_grid, peak_indices=peak_indices,
+                                         x=x_drt, peak_tau=peak_tau if peak_indices is None else None)
         f_peaks = [drt.predict_distribution(tau_grid, x=xp) for xp in x_peaks]
 
-        n_peaks = len(peak_indices)
+        n_peaks = len(peak_tau)
         if isinstance(element_types, str):
             element_types = [element_types] * n_peaks
         peak_params = peaks_mod.estimate_peak_params(tau_grid, element_types,
@@ -319,12 +331,12 @@ class DiscreteElementModel:
         peak_iter = iter(peak_params)
         for el_name, el_type in zip(model.element_names, model.element_types):
             if el_type == "R":
-                x0.append(max(drt.fit_parameters.get("R_inf", 1e-6), 1e-8))
+                x0.append(max(fit_params.get("R_inf", 1e-6), 1e-8))
             elif el_type == "L":
-                induc = drt.fit_parameters.get("inductance", 1e-9)
+                induc = fit_params.get("inductance", 1e-9)
                 x0.append(np.log(max(induc, 1e-12)))
             elif el_type == "C":
-                x0.append(max(drt.fit_parameters.get("C_inv", 1e-6), 1e-10))
+                x0.append(max(fit_params.get("C_inv", 1e-6), 1e-10))
             else:
                 x0.extend(next(peak_iter))
         model.parameter_values = np.array(x0, dtype=float)
@@ -349,7 +361,7 @@ class DiscreteElementModel:
     def predict_distribution(self, tau=None, x=None, ppd=20):
         x = self.get_parameter_values(x)
         if tau is None:
-            ln_t0 = [x[self.parameter_indices[i][0] + 1] for i, t in
+            ln_t0 = [np.clip(x[self.parameter_indices[i][0] + 1], -46, 46) for i, t in
                      enumerate(self.element_types) if t in ("HN", "RQ", "RC")]
             lo = (min(ln_t0) if ln_t0 else -5) - 3 * np.log(10)
             hi = (max(ln_t0) if ln_t0 else 0) + 3 * np.log(10)
@@ -478,7 +490,10 @@ class DiscreteElementModel:
         x = self.get_parameter_values(x)
         llh = self.evaluate_llh(x, include_constants=True)
         h = self.hess_ + np.eye(self.num_params) / prior_scale ** 2
+        h = np.nan_to_num(h, nan=0.0, posinf=1e300, neginf=-1e300)
         sign, logdet = np.linalg.slogdet(h / (2 * np.pi))
+        if sign <= 0 or not np.isfinite(logdet):
+            return -np.inf
         lp_prior = -0.5 * self.num_params * np.log(2 * np.pi * prior_scale ** 2) \
             - 0.5 * np.sum(x ** 2) / prior_scale ** 2
         return llh + lp_prior - 0.5 * logdet
@@ -486,6 +501,26 @@ class DiscreteElementModel:
     def estimate_param_cov(self):
         """Covariance from the Gauss-Newton Hessian."""
         return np.linalg.inv(self.hess_ + 1e-12 * np.eye(self.num_params))
+
+    def get_time_constants(self, x=None):
+        """tau_0 of each relaxation element."""
+        x = self.get_parameter_values(x)
+        taus = [np.exp(np.clip(x[self.parameter_indices[i][0] + 1], -700, 700))
+                for i, t in enumerate(self.element_types) if t in ("HN", "RQ", "RC")]
+        return np.array(taus)
+
+    def get_peak_tau(self, find_peaks_kw=None, ppd=20):
+        """tau locations of peaks in the model distribution."""
+        from scipy import signal as sp_signal
+        if find_peaks_kw is None:
+            find_peaks_kw = {"height": 0}
+        gamma, tau = self.predict_distribution(ppd=ppd)
+        gamma = np.nan_to_num(gamma, posinf=np.nanmax(gamma[np.isfinite(gamma)])
+                              if np.any(np.isfinite(gamma)) else 1.0)
+        peak_idx, _ = sp_signal.find_peaks(np.abs(gamma), **find_peaks_kw)
+        if len(peak_idx) == 0:
+            return self.get_time_constants()
+        return tau[peak_idx]
 
     def get_parameter_dict(self, x=None):
         x = self.get_parameter_values(x)

@@ -27,6 +27,11 @@ class FitConfig(NamedTuple):
     x_rtol: float = 1e-2
     max_hp_iter: int = 1
     qp_max_iter: int = 60
+    # Warm-continuation mode (reference drt1d.py:1270 _continue_from_init):
+    # keep xmx_norms fixed, apply weight_factor from iteration 0, and require
+    # min_iter iterations before convergence can stop the loop
+    continue_mode: bool = False
+    min_iter: int = 2
 
 
 class FitCarry(NamedTuple):
@@ -47,8 +52,12 @@ def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weight
             jnp.full((rzv.shape[0] - nc,), 1.0) * eis_weight_factor,
         ])
         weights = weights * factors
-    # Global weight factor applies from the second iteration (reference drt1d.py:891-892)
-    weights = jnp.where(st.it > 0, weights * weight_factor, weights)
+    # Global weight factor applies from the second iteration in a fresh fit
+    # (reference drt1d.py:891-892) but from iteration 0 in continuation mode
+    if fcfg.continue_mode:
+        weights = weights * weight_factor
+    else:
+        weights = jnp.where(st.it > 0, weights * weight_factor, weights)
     st_in = st._replace(weights=weights)
 
     st_new, _ = qphb.iterate_qphb(st_in, rzv, rzm, vmm, m_stack, m_stack[1], dop_gmat,
@@ -73,7 +82,13 @@ def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weight
             dop_xmx = s.dop_xmx_norms
         return s._replace(xmx_norms=xmx, dop_xmx_norms=dop_xmx)
 
-    st_new = jax.lax.cond(st.it == 0, set_norms, lambda s: s, st_new)
+    if fcfg.continue_mode:
+        # Norms stay fixed at the values from the original fit; convergence
+        # cannot terminate the loop before min_iter iterations
+        st_new = st_new._replace(
+            converged=st_new.converged & (st_new.it >= fcfg.min_iter))
+    else:
+        st_new = jax.lax.cond(st.it == 0, set_norms, lambda s: s, st_new)
 
     # vz_offset column rewrite with the updated prediction
     # (reference drt1d.py:972-979)

@@ -79,3 +79,18 @@ def group_values(x, precision=10):
     """Group close values of x, returning sorted unique representative values."""
     xr = rel_round(np.asarray(x), precision)
     return np.unique(xr)
+
+
+def find_contiguous_ranges(index):
+    """Split a sorted integer index array into contiguous [start, end) ranges.
+
+    Returns (range_starts, range_ends) such that index is the union of
+    arange(start, end) over the pairs (reference utils/array.py usage in
+    models/pfrt.py:22-31)."""
+    index = np.asarray(index)
+    if len(index) == 0:
+        return np.array([], dtype=int), np.array([], dtype=int)
+    breaks = np.where(np.diff(index) > 1)[0]
+    range_starts = np.concatenate([[index[0]], index[breaks + 1]])
+    range_ends = np.concatenate([index[breaks], [index[-1]]]) + 1
+    return range_starts, range_ends
