@@ -1,0 +1,589 @@
+"""DRTMD: multi-dimensional DRT mapping over operating-condition coordinates.
+
+Container + driver for fitting hundreds-thousands of spectra observed at
+coordinates psi, on a shared tau supergrid (reference hybdrt/mapping/drtmd.py).
+
+Two fit paths:
+  * ``fit_all()`` — per-observation fits through the workhorse DRT instance
+    (handles mixed chrono/EIS/hybrid data and per-observation grids), as in
+    the reference's serial loop (drtmd.py:303-319);
+  * ``fit_all(batched=True)`` — the TPU path: when all observations are EIS
+    spectra on one shared frequency grid, the entire set is fitted as one
+    vmapped, mesh-sharded XLA computation (hybdrt_tpu.parallel), replacing the
+    serial loop with a single device program.
+"""
+import pickle
+import time
+import warnings
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..models.drt import DRT
+from ..utils.array import nearest_index
+from . import resolve as resolve_mod
+
+
+class DRTMD:
+    def __init__(self, tau_supergrid, psi_dim_names=None, store_attr_categories=None,
+                 extend_basis_decades=1, tau_basis_type="gaussian", tau_epsilon=None,
+                 step_model="ideal", chrono_mode="galv", fit_inductance=True,
+                 fit_ohmic=True, fit_capacitance=False, fixed_basis_nu=None,
+                 fit_dop=False, normalize_dop=True, nu_basis_type="gaussian",
+                 nu_epsilon=None, chrono_reader: Optional[Callable] = None,
+                 eis_reader: Optional[Callable] = None, fit_kw=None, fit_type="drt",
+                 print_diagnostics=False, print_progress=True, warn=False):
+        self.drt1d = DRT(tau_supergrid=tau_supergrid, tau_epsilon=tau_epsilon,
+                         tau_basis_type=tau_basis_type, fixed_basis_nu=fixed_basis_nu,
+                         nu_epsilon=nu_epsilon, nu_basis_type=nu_basis_type,
+                         extend_basis_decades=extend_basis_decades,
+                         step_model=step_model, chrono_mode=chrono_mode,
+                         fit_inductance=fit_inductance, fit_ohmic=fit_ohmic,
+                         fit_capacitance=fit_capacitance, fit_dop=fit_dop,
+                         normalize_dop=normalize_dop, warn=warn,
+                         print_diagnostics=print_diagnostics)
+
+        self.psi_dim_names = psi_dim_names
+        self.store_attr_categories = store_attr_categories or ["config", "fit_core"]
+
+        self.tau_supergrid = np.asarray(tau_supergrid)
+        self.tau_basis_type = tau_basis_type
+        self.tau_epsilon = self.drt1d.tau_epsilon
+        self.fit_inductance = fit_inductance
+        self.fit_ohmic = fit_ohmic
+        self.fit_capacitance = fit_capacitance
+        self.fixed_basis_nu = fixed_basis_nu
+        self.nu_basis_type = nu_basis_type
+        self.nu_epsilon = nu_epsilon
+        self.fit_dop = fit_dop
+        self.normalize_dop = normalize_dop
+        self.step_model = step_model
+        self.chrono_mode = chrono_mode
+
+        if chrono_reader is None:
+            def chrono_reader(file):
+                from .. import fileload as fl
+                return fl.read_chrono(file, return_tuple=True)
+        self.chrono_reader = chrono_reader
+        if eis_reader is None:
+            def eis_reader(file):
+                from .. import fileload as fl
+                return fl.read_eis(file, return_tuple=True)
+        self.eis_reader = eis_reader
+
+        self.fit_type = fit_type
+        fit_kw = dict(fit_kw or {})
+        fit_kw.setdefault("nonneg", True)
+        self.fit_kw = fit_kw
+
+        # Observation store
+        self.obs_psi = None if psi_dim_names is None else np.zeros((0, len(psi_dim_names)))
+        self.obs_data = []
+        self.obs_group_id = []
+        self.obs_data_badness = np.zeros(0)
+        self.obs_ignore_flag = np.zeros(0, dtype=bool)
+
+        # Fit results
+        self.obs_x = np.zeros((0, len(self.tau_supergrid)))
+        self.obs_drt_var = np.zeros((0, len(self.tau_supergrid)))
+        self.obs_special = None
+        self.obs_fit_attr = []
+        self.obs_fit_status = np.zeros(0, dtype=bool)
+        self.obs_fit_errors = []
+        self.obs_fit_badness = np.zeros(0)
+        self.obs_tau_indices = []
+        self.obs_llh = np.zeros(0)
+        self.obs_rss = np.zeros(0)
+
+        # Resolved / filtered results
+        self.obs_resolve_status = np.zeros(0, dtype=bool)
+        self.obs_x_resolved = np.zeros((0, len(self.tau_supergrid)))
+        self.obs_special_resolved = None
+        self.obs_x_filt = np.zeros((0, len(self.tau_supergrid)))
+        self.obs_special_filt = None
+
+        self.print_diagnostics = print_diagnostics
+        self.print_progress = print_progress
+        self.warn = warn
+
+    # ------------------------------------------------------------------
+    @property
+    def num_obs(self):
+        return len(self.obs_data)
+
+    def drt_param_shape(self):
+        return (len(self.tau_supergrid),)
+
+    def special_param_shape(self, key):
+        sp = self.drt1d.special_qp_params.get(key, {"size": 1})
+        size = sp.get("size", 1)
+        return () if size == 1 else (size,)
+
+    @property
+    def _fit_func_name(self):
+        return {"drt": None}.get(self.fit_type)  # placeholder; resolved per-obs
+
+    def validate_psi(self, psi):
+        if self.psi_dim_names is not None and len(psi) != len(self.psi_dim_names):
+            raise ValueError(f"psi must have {len(self.psi_dim_names)} entries")
+
+    # ------------------------------------------------------------------
+    # Observation management (reference drtmd.py:186-243)
+    # ------------------------------------------------------------------
+    def add_observation(self, psi, chrono_data, eis_data, group_id=None, fit=False):
+        psi = np.atleast_1d(psi).flatten()
+        if self.obs_psi is None:
+            self.obs_psi = np.zeros((0, len(psi)))
+        self.validate_psi(psi)
+
+        n = self.num_obs
+        self.obs_psi = np.insert(self.obs_psi, n, psi, axis=0)
+        self.obs_data.append((chrono_data, eis_data))
+        self.obs_data_badness = np.append(self.obs_data_badness, 0)
+        self.obs_group_id.append(group_id)
+        self.obs_ignore_flag = np.append(self.obs_ignore_flag, False)
+        self.obs_fit_status = np.append(self.obs_fit_status, False)
+        self.obs_fit_errors.append(None)
+        self.obs_fit_badness = np.append(self.obs_fit_badness, 0)
+        self.obs_fit_attr.append(None)
+        self.obs_tau_indices.append(None)
+        zero_row = np.zeros((1, len(self.tau_supergrid)))
+        self.obs_x = np.concatenate([self.obs_x, zero_row])
+        self.obs_drt_var = np.concatenate([self.obs_drt_var, zero_row])
+        self.obs_x_resolved = np.concatenate([self.obs_x_resolved, zero_row])
+        self.obs_x_filt = np.concatenate([self.obs_x_filt, zero_row])
+        self.obs_llh = np.append(self.obs_llh, 0)
+        self.obs_rss = np.append(self.obs_rss, 0)
+        self.obs_resolve_status = np.append(self.obs_resolve_status, False)
+
+        if self.obs_special is not None:
+            for key in self.obs_special:
+                shape = (1, *self.special_param_shape(key))
+                self.obs_special[key] = np.concatenate([self.obs_special[key],
+                                                        np.zeros(shape)])
+                self.obs_special_resolved[key] = np.concatenate(
+                    [self.obs_special_resolved[key], np.zeros(shape)])
+                self.obs_special_filt[key] = np.concatenate(
+                    [self.obs_special_filt[key], np.zeros(shape)])
+        if fit:
+            self.fit_observation(self.num_obs - 1)
+
+    def add_observations(self, psi_array, chrono_data_list=None, eis_data_list=None,
+                         group_ids=None):
+        n = len(psi_array)
+        chrono_data_list = chrono_data_list or [None] * n
+        eis_data_list = eis_data_list or [None] * n
+        group_ids = group_ids if group_ids is not None else [None] * n
+        for psi, cd, ed, gid in zip(psi_array, chrono_data_list, eis_data_list, group_ids):
+            self.add_observation(psi, cd, ed, group_id=gid)
+
+    def get_obs_data(self, obs_index):
+        chrono_data, eis_data = self.obs_data[obs_index]
+        if isinstance(chrono_data, (str, Path)):
+            chrono_data = self.chrono_reader(chrono_data)
+        elif chrono_data is None:
+            chrono_data = (None, None, None)
+        if isinstance(eis_data, (str, Path)):
+            eis_data = self.eis_reader(eis_data)
+        elif eis_data is None:
+            eis_data = (None, None)
+        return chrono_data, eis_data
+
+    def initialize_obs_special(self):
+        self.obs_special = {}
+        self.obs_special_resolved = {}
+        self.obs_special_filt = {}
+        for key in self.drt1d.special_qp_params:
+            shape = (self.num_obs, *self.special_param_shape(key))
+            self.obs_special[key] = np.zeros(shape)
+            self.obs_special_resolved[key] = np.zeros(shape)
+            self.obs_special_filt[key] = np.zeros(shape)
+
+    def format_1d_params(self, drt, left_index, right_index):
+        x_drt = np.zeros(len(self.tau_supergrid))
+        x_drt[left_index:right_index] = drt.fit_parameters["x"]
+        x_special = {k: drt.fit_parameters.get(k if k != "x_dop" else "x_dop")
+                     for k in drt.special_qp_params}
+        for k in drt.special_qp_params:
+            if k == "v_baseline":
+                x_special[k] = np.atleast_1d(drt.fit_parameters["v_baseline"])
+                if self.special_param_shape(k) == ():
+                    x_special[k] = x_special[k][0]
+        return x_drt, x_special
+
+    # ------------------------------------------------------------------
+    # Fitting (reference drtmd.py:245-328)
+    # ------------------------------------------------------------------
+    def fit_observation(self, obs_index, ignore_errors=False):
+        chrono_data, eis_data = self.get_obs_data(obs_index)
+        try:
+            times = chrono_data[0]
+            freq = eis_data[0]
+            if times is None and freq is None:
+                raise ValueError("Observation has no data")
+            if times is None:
+                self.drt1d.fit_eis(*eis_data, **self.fit_kw)
+            elif freq is None:
+                self.drt1d.fit_chrono(*chrono_data, **self.fit_kw)
+            else:
+                self.drt1d.fit_hybrid(*chrono_data, *eis_data, **self.fit_kw)
+
+            self.obs_fit_attr[obs_index] = self.drt1d.get_attributes(
+                which=self.store_attr_categories)
+            self.obs_llh[obs_index] = self.drt1d.evaluate_llh()
+            self.obs_rss[obs_index] = self.drt1d.evaluate_rss()
+
+            left_index = nearest_index(self.tau_supergrid, self.drt1d.basis_tau[0])
+            right_index = nearest_index(self.tau_supergrid, self.drt1d.basis_tau[-1]) + 1
+            self.obs_tau_indices[obs_index] = (left_index, right_index)
+
+            if self.obs_special is None:
+                self.initialize_obs_special()
+
+            x_drt, x_special = self.format_1d_params(self.drt1d, left_index, right_index)
+            if not np.all(np.isfinite(x_drt)):
+                raise ValueError("Fit produced non-finite DRT coefficients")
+            self.obs_x[obs_index] = x_drt
+            drt_cov = self.drt1d.estimate_distribution_cov(tau=self.tau_supergrid,
+                                                           extend_var=True)
+            if drt_cov is not None:
+                self.obs_drt_var[obs_index] = np.diag(drt_cov)
+            for key in self.drt1d.special_qp_params:
+                if key not in self.obs_special:
+                    shape = (self.num_obs, *self.special_param_shape(key))
+                    self.obs_special[key] = np.zeros(shape)
+                    self.obs_special_resolved[key] = np.zeros(shape)
+                    self.obs_special_filt[key] = np.zeros(shape)
+                self.obs_special[key][obs_index] = x_special[key]
+            self.obs_fit_status[obs_index] = True
+        except Exception as err:
+            if ignore_errors:
+                print(f"Error at obs_index {obs_index}; observation ignored.\n{err}")
+                self.obs_fit_status[obs_index] = False
+                self.obs_ignore_flag[obs_index] = True
+                self.obs_fit_errors[obs_index] = err
+            else:
+                raise
+
+    def fit_observations(self, obs_index, print_interval=None, ignore_errors=False):
+        num_to_fit = len(obs_index)
+        if print_interval is None:
+            print_interval = int(np.ceil(num_to_fit / 10)) if num_to_fit else 1
+        start_time = time.time()
+        for i, index in enumerate(obs_index):
+            self.fit_observation(index, ignore_errors=ignore_errors)
+            if self.print_progress and ((i + 1) % print_interval == 0 or i == num_to_fit - 1):
+                print(f"{i + 1} / {num_to_fit}")
+        if num_to_fit > 0 and self.print_progress:
+            elapsed = time.time() - start_time
+            print("Fitted {} observations in {:.1f} s ({:.2f} s/obs)".format(
+                num_to_fit, elapsed, elapsed / num_to_fit))
+
+    def fit_all(self, refit=False, print_interval=None, ignore_errors=False,
+                batched=False, mesh=None, dtype=None):
+        """Fit all (unfitted) observations.
+
+        With batched=True, requires all observations to be EIS spectra on a
+        single shared frequency grid; runs one vmapped sharded computation.
+        """
+        if refit:
+            fit_index = np.arange(self.num_obs)
+        else:
+            fit_index = np.where(~self.obs_fit_status & ~self.obs_ignore_flag)[0]
+        if batched:
+            self._fit_batched(fit_index, mesh=mesh, dtype=dtype)
+        else:
+            self.fit_observations(fit_index, print_interval, ignore_errors)
+
+    def _fit_batched(self, fit_index, mesh=None, dtype=None):
+        """TPU fast path: one sharded vmapped fit over all EIS observations."""
+        import jax.numpy as jnp
+        from ..parallel.batch import BatchedEISFitter
+
+        if len(fit_index) == 0:
+            return
+        # Gather and validate the shared frequency grid
+        freqs, zs = [], []
+        for i in fit_index:
+            chrono_data, eis_data = self.get_obs_data(i)
+            if chrono_data[0] is not None or eis_data[0] is None:
+                raise ValueError("Batched fitting requires EIS-only observations")
+            freqs.append(np.asarray(eis_data[0]))
+            zs.append(np.asarray(eis_data[1]))
+        f0 = freqs[0]
+        for f in freqs[1:]:
+            if len(f) != len(f0) or not np.allclose(f, f0):
+                raise ValueError("Batched fitting requires a shared frequency grid")
+        z_batch = np.stack(zs)
+
+        fitter = BatchedEISFitter(
+            f0, tau_supergrid=self.tau_supergrid, fit_ohmic=self.fit_ohmic,
+            fit_inductance=self.fit_inductance, fit_capacitance=self.fit_capacitance,
+            fit_dop=self.fit_dop, nonneg=self.fit_kw.get("nonneg", True),
+            dtype=dtype if dtype is not None else jnp.float64, mesh=mesh)
+        result = fitter.fit(z_batch)
+        self._batch_fitter = fitter
+
+        # Locate the shared basis window on the supergrid
+        left_index = nearest_index(self.tau_supergrid, fitter.basis_tau[0])
+        right_index = nearest_index(self.tau_supergrid, fitter.basis_tau[-1]) + 1
+
+        template = fitter.template
+        self.drt1d.set_attributes(template.get_attributes(["config", "fit_core"]))
+        if self.obs_special is None:
+            # Temporarily borrow the template's special params for shapes
+            self.drt1d.special_qp_params = template.special_qp_params
+            self.initialize_obs_special()
+
+        for bi, i in enumerate(fit_index):
+            self.obs_x[i, left_index:right_index] = result.x[bi]
+            self.obs_tau_indices[i] = (left_index, right_index)
+            if "R_inf" in self.obs_special:
+                self.obs_special["R_inf"][i] = result.r_inf[bi]
+            if "inductance" in self.obs_special:
+                self.obs_special["inductance"][i] = result.inductance[bi]
+            if "C_inv" in self.obs_special:
+                self.obs_special["C_inv"][i] = result.c_inv[bi]
+            if "x_dop" in self.obs_special and result.x_dop is not None:
+                self.obs_special["x_dop"][i] = result.x_dop[bi]
+            # Store the per-observation state needed to rebuild (P, q) lazily
+            self.obs_fit_attr[i] = {
+                "batched": True, "x_raw": result.x_raw[bi],
+                "scale": result.scale[bi], "weights": result.weights[bi],
+                "rho": result.rho[bi], "s_vectors": result.s_vectors[bi],
+                "z": z_batch[bi],
+            }
+            self.obs_fit_status[i] = True
+        z_hat = fitter.predict_z(result)
+        resid = np.abs(z_hat - z_batch)
+        self.obs_rss[fit_index] = np.sum(resid ** 2, axis=1)
+
+    def get_fit(self, obs_index):
+        """Reconstruct a DRT instance holding the fit of one observation."""
+        if not self.obs_fit_status[obs_index]:
+            raise ValueError(f"Observation {obs_index} has not been fitted")
+        attr = self.obs_fit_attr[obs_index]
+        if isinstance(attr, dict) and attr.get("batched"):
+            return self._rebuild_batched_fit(obs_index, attr)
+        drt = DRT(interpolate_integrals=False)
+        drt.set_attributes(attr)
+        drt.interpolate_lookups = self.drt1d.interpolate_lookups
+        drt.integrate_method = "interp"
+        return drt
+
+    def _rebuild_batched_fit(self, obs_index, attr):
+        """Build a lightweight DRT carrying (P, q) from stored batched state."""
+        import jax.numpy as jnp
+        from ..solver import qphb as qphb_mod
+        from ..models.drt import _hypers_to_pytree
+
+        fitter = self._batch_fitter
+        template = fitter.template
+        qp = template.qphb_params
+        m_stack = np.stack([qp["penalty_matrices"][f"m{k}"] for k in range(3)])
+        hyp = _hypers_to_pytree(qp["hypers"])
+        rzv = np.concatenate([attr["z"].real, attr["z"].imag]) / attr["scale"]
+        p_matrix, q_vector = qphb_mod.calculate_pq(
+            jnp.asarray(qp["rm"]), jnp.asarray(rzv), jnp.asarray(m_stack), hyp,
+            jnp.asarray(qp["l1_lambda_vector"]), jnp.asarray(attr["rho"]),
+            jnp.ones(3), jnp.asarray(attr["s_vectors"]), jnp.asarray(attr["weights"]),
+            qp["cfg"])
+
+        drt = DRT(interpolate_integrals=False)
+        drt.set_attributes(template.get_attributes(["config", "fit_core"]))
+        drt.interpolate_lookups = self.drt1d.interpolate_lookups
+        drt.integrate_method = "interp"
+        drt.coefficient_scale = attr["scale"]
+        drt.impedance_scale = attr["scale"]
+        drt.fit_parameters = drt.extract_qphb_parameters(attr["x_raw"])
+        drt.fit_parameters["p_matrix"] = np.asarray(p_matrix)
+        drt.fit_parameters["q_vector"] = np.asarray(q_vector)
+        return drt
+
+    # ------------------------------------------------------------------
+    # Resolution (reference drtmd.py:398-560)
+    # ------------------------------------------------------------------
+    def get_group_index(self, group_id):
+        return np.where(np.array([g == group_id for g in self.obs_group_id]))[0]
+
+    def resolve_observations(self, obs_index, psi_sort_dims=None, psi_distance_dims=None,
+                             truncate=False, sigma=1, lambda_psi=1, tau_filter_sigma=0,
+                             special_filter_sigma=0):
+        obs_index = np.asarray(obs_index)
+        include = self.obs_fit_status[obs_index] & ~self.obs_ignore_flag[obs_index]
+        obs_index = obs_index[include]
+
+        if psi_sort_dims is not None:
+            sort_vals = [self.obs_psi[obs_index, self.psi_dim_names.index(d)]
+                         for d in psi_sort_dims][::-1]
+            obs_index = obs_index[np.lexsort(sort_vals)]
+
+        if len(obs_index) == 0:
+            warnings.warn("No valid observations in resolution group")
+            return
+        if len(obs_index) == 1:
+            ti = self.obs_tau_indices[obs_index[0]]
+            self.obs_x_resolved[obs_index] = self.obs_x[obs_index]
+            for k, v in (self.obs_special or {}).items():
+                self.obs_special_resolved[k][obs_index] = v[obs_index]
+            self.obs_resolve_status[obs_index] = True
+            return
+
+        obs_drt_list = [self.get_fit(i) for i in obs_index]
+        obs_tau_indices = [self.obs_tau_indices[i] for i in obs_index]
+        x_drt, x_special, tau_indices = resolve_mod.resolve_observations(
+            obs_drt_list, obs_tau_indices, self.fit_kw.get("nonneg", True),
+            truncate=truncate, sigma=sigma, lambda_psi=lambda_psi, unpack=True,
+            tau_filter_sigma=tau_filter_sigma, special_filter_sigma=special_filter_sigma)
+
+        self.obs_x_resolved[obs_index[:, None],
+                            np.arange(tau_indices[0], tau_indices[1])[None, :]] = x_drt
+        for key in x_special:
+            if key not in self.obs_special_resolved:
+                shape = (self.num_obs, *self.special_param_shape(key))
+                self.obs_special_resolved[key] = np.zeros(shape)
+            self.obs_special_resolved[key][obs_index] = x_special[key]
+        self.obs_resolve_status[obs_index] = True
+
+    def resolve_group(self, group_id, batch_size=7, overlap=2, psi_sort_dims=None,
+                      psi_distance_dims=None, truncate=False, sigma=1, lambda_psi=1,
+                      tau_filter_sigma=0, special_filter_sigma=0):
+        """Overlapping-batch joint refinement of a group
+        (reference drtmd.py:486-560)."""
+        obs_index = self.get_group_index(group_id)
+        include = self.obs_fit_status[obs_index] & ~self.obs_ignore_flag[obs_index]
+        obs_index = obs_index[include]
+
+        if psi_sort_dims is not None or psi_distance_dims is not None:
+            dims = psi_sort_dims or psi_distance_dims
+            sort_vals = [self.obs_psi[obs_index, self.psi_dim_names.index(d)]
+                         for d in dims][::-1]
+            obs_index = obs_index[np.lexsort(sort_vals)]
+
+        self.obs_x_resolved[obs_index] = 0
+        num_obs = len(obs_index)
+        if num_obs == 0:
+            return
+        batch_size = min(batch_size, num_obs)
+        step = max(batch_size - overlap, 1)
+        num_batches = 1 + int(np.ceil(max(num_obs - batch_size, 0) / step))
+
+        x_batch = np.zeros((num_batches, num_obs, self.obs_x_resolved.shape[1]))
+        x_special = {k: np.zeros((num_batches, num_obs, *self.special_param_shape(k)))
+                     for k in (self.obs_special_resolved or {})}
+        batch_margins = np.full((num_batches, num_obs), -1.0)
+
+        for i, start in enumerate(range(0, num_obs, step)):
+            if num_obs - start < batch_size:
+                start = max(0, num_obs - batch_size)
+            end = start + batch_size
+            batch_index = obs_index[start:end]
+            self.resolve_observations(batch_index, None, psi_distance_dims, truncate,
+                                      sigma, lambda_psi, tau_filter_sigma,
+                                      special_filter_sigma)
+            x_batch[i, start:end] = self.obs_x_resolved[batch_index]
+            for key in x_special:
+                x_special[key][i, start:end] = self.obs_special_resolved[key][batch_index]
+            batch_margins[i, start:end] = np.minimum(np.arange(batch_size),
+                                                     np.arange(batch_size)[::-1])
+            if end >= num_obs:
+                break
+
+        if overlap > 0 and num_obs > 1:
+            batch_weights = batch_margins + 0.1
+            batch_weights[batch_weights < 0] = 0
+            x_weights = np.moveaxis(np.tile(batch_weights, (x_batch.shape[-1], 1, 1)), 0, -1)
+            self.obs_x_resolved[obs_index] = np.average(x_batch, axis=0, weights=x_weights)
+            for key, val in x_special.items():
+                if val.ndim > 2:
+                    kw_weights = np.moveaxis(np.tile(batch_weights, (val.shape[-1], 1, 1)), 0, -1)
+                else:
+                    kw_weights = batch_weights
+                self.obs_special_resolved[key][obs_index] = np.average(
+                    val, axis=0, weights=kw_weights)
+        self.obs_resolve_status[obs_index] = True
+
+    # ------------------------------------------------------------------
+    # Prediction (reference drtmd.py:788-1135)
+    # ------------------------------------------------------------------
+    def predict_x(self, psi=None, obs_index=None, resolved=True):
+        """DRT coefficients (on the supergrid) at requested psi/indices; nearest
+        neighbor in psi if interpolation is not required."""
+        x_source = self.obs_x_resolved if (resolved and self.obs_resolve_status.any()) \
+            else self.obs_x
+        if obs_index is not None:
+            return x_source[np.asarray(obs_index)]
+        if psi is None:
+            return x_source
+        psi = np.atleast_2d(psi)
+        idx = [int(np.argmin(np.sum((self.obs_psi - p) ** 2, axis=1))) for p in psi]
+        return x_source[idx]
+
+    def predict_drt(self, psi=None, obs_index=None, tau=None, order=0, resolved=True):
+        """gamma(ln tau) for requested observations."""
+        from ..ops import basis as basis_mod
+        if tau is None:
+            tau = self.tau_supergrid
+        x = self.predict_x(psi, obs_index, resolved)
+        em = np.asarray(basis_mod.construct_func_eval_matrix(
+            np.log(self.tau_supergrid), np.log(np.asarray(tau)), self.tau_basis_type,
+            self.tau_epsilon, order))
+        return x @ em.T
+
+    def predict_r_p(self, psi=None, obs_index=None, resolved=True):
+        from ..ops import basis as basis_mod
+        area = basis_mod.get_basis_func_area(self.tau_basis_type, self.tau_epsilon)
+        x = self.predict_x(psi, obs_index, resolved)
+        return np.sum(np.abs(x), axis=-1) * area
+
+    def predict_special(self, key, psi=None, obs_index=None, resolved=True):
+        source = self.obs_special_resolved if (resolved and self.obs_resolve_status.any()) \
+            else self.obs_special
+        vals = source[key]
+        if obs_index is not None:
+            return vals[np.asarray(obs_index)]
+        if psi is None:
+            return vals
+        psi = np.atleast_2d(psi)
+        idx = [int(np.argmin(np.sum((self.obs_psi - p) ** 2, axis=1))) for p in psi]
+        return vals[idx]
+
+    # ------------------------------------------------------------------
+    # Persistence (reference drtmd.py:1382-1477)
+    # ------------------------------------------------------------------
+    _persist_attrs = [
+        "tau_supergrid", "psi_dim_names", "tau_basis_type", "tau_epsilon",
+        "fixed_basis_nu", "nu_basis_type", "nu_epsilon", "fit_dop", "fit_kw",
+        "obs_psi", "obs_data", "obs_group_id", "obs_data_badness", "obs_ignore_flag",
+        "obs_x", "obs_drt_var", "obs_special", "obs_fit_status", "obs_fit_badness",
+        "obs_tau_indices", "obs_llh", "obs_rss", "obs_resolve_status",
+        "obs_x_resolved", "obs_special_resolved", "obs_x_filt", "obs_special_filt",
+        "obs_fit_attr",
+    ]
+
+    def get_attributes(self):
+        return {k: getattr(self, k) for k in self._persist_attrs}
+
+    def set_attributes(self, att_dict):
+        for k, v in att_dict.items():
+            setattr(self, k, v)
+
+    def save_attributes(self, dest):
+        with open(dest, "wb") as f:
+            pickle.dump(self.get_attributes(), f)
+
+    @classmethod
+    def from_source(cls, source):
+        if not isinstance(source, dict):
+            with open(source, "rb") as f:
+                att_dict = pickle.load(f)
+        else:
+            att_dict = dict(source)
+        config_keys = ["tau_supergrid", "psi_dim_names", "tau_basis_type",
+                       "tau_epsilon", "fixed_basis_nu", "nu_epsilon", "nu_basis_type",
+                       "fit_dop"]
+        init_kw = {k: att_dict.pop(k) for k in config_keys if k in att_dict}
+        drtmd = cls(**init_kw)
+        drtmd.set_attributes(att_dict)
+        return drtmd

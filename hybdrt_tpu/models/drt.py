@@ -22,6 +22,7 @@ from ..utils import chrono as chrono_utils
 from ..utils.device import on_host
 from ..utils import eis as eis_utils
 from ..utils import validation
+from . import kk as kk_mod
 
 
 SPECIAL_PARAM_OPTIONS = ["R_inf", "v_baseline", "inductance", "C_inv", "vz_offset",
@@ -1059,7 +1060,8 @@ class DRT:
                      jnp.asarray(init_weights), jnp.asarray(est_weights),
                      jnp.asarray(outlier_t), jnp.asarray(rzm_vz),
                      jnp.asarray(vz_strength_vec), jnp.asarray(float(chrono_weight_factor)),
-                     jnp.asarray(float(eis_weight_factor)), jnp.asarray(float(weight_factor)))
+                     jnp.asarray(float(eis_weight_factor)),
+                     jnp.asarray(np.asarray(weight_factor, dtype=float)))
 
         if store_history or not jit_loop:
             state, rzm_final, history = fitcore.qphb_fit_eager(*loop_args, fcfg)
@@ -1709,6 +1711,66 @@ class DRT:
         return x
 
     # ------------------------------------------------------------------
+    # Kramers-Kronig test (reference drt1d.py:1370-1496, models/kk.py)
+    # ------------------------------------------------------------------
+    def kk_fit(self, frequencies, z, nonneg=False, l2_lambda_0=1e-2,
+               extend_basis_decades=2, outlier_index=None, **kw):
+        """Overfitted DRT used as a KK-consistency representation."""
+        extend_orig = self.extend_basis_decades
+        self.extend_basis_decades = extend_basis_decades
+        try:
+            if outlier_index is not None:
+                weight_factor = np.ones(len(frequencies) * 2)
+                weight_factor[np.asarray(outlier_index)] = 1e-10
+                weight_factor[np.asarray(outlier_index) + len(frequencies)] = 1e-10
+            else:
+                weight_factor = 1
+            self.fit_eis(frequencies, z, nonneg=nonneg, l2_lambda_0=l2_lambda_0,
+                         weight_factor=weight_factor, **kw)
+        finally:
+            self.extend_basis_decades = extend_orig
+        return self
+
+    def eval_kk_residuals(self, norm="modulus"):
+        f_fit = self.get_fit_frequencies()
+        y_hat = self.predict_z(f_fit)
+        return kk_mod.normalize_residuals(self.z_fit, y_hat, norm=norm)
+
+    def get_kk_outliers(self, norm="modulus", n_iter=2, p_thresh=1e-4, n_sigma=None,
+                        std_sample_fraction=0.6):
+        y_err = self.eval_kk_residuals(norm=norm)
+        return kk_mod.get_outliers(y_err, n_iter, p_thresh, n_sigma=n_sigma,
+                                   std_sample_fraction=std_sample_fraction)
+
+    def get_kk_limits(self, outlier_index, max_num_outliers=2):
+        return kk_mod.get_limits(self.get_fit_frequencies(), outlier_index,
+                                 max_num_outliers=max_num_outliers)
+
+    def kk_test(self, frequencies, z, nonneg=False, l2_lambda_0=1e-2,
+                extend_basis_decades=2, norm="modulus", max_num_outliers=2,
+                p_thresh=1e-4, n_sigma=None, std_sample_fraction=0.6, n_iter=2,
+                n_outlier_iter=2, show_plot=False):
+        """Iterative KK test: overfit -> flag outliers -> refit with outliers
+        downweighted -> valid frequency window (reference drt1d.py:1370)."""
+        frequencies = np.asarray(frequencies)
+        z = np.asarray(z)
+        outlier_index = None
+        for _ in range(n_iter):
+            self.kk_fit(frequencies, z, nonneg=nonneg, l2_lambda_0=l2_lambda_0,
+                        extend_basis_decades=extend_basis_decades,
+                        outlier_index=outlier_index)
+            outlier_index = self.get_kk_outliers(
+                norm=norm, p_thresh=p_thresh, n_iter=n_outlier_iter, n_sigma=n_sigma,
+                std_sample_fraction=std_sample_fraction)
+            f_min, f_max = self.get_kk_limits(outlier_index,
+                                              max_num_outliers=max_num_outliers)
+            fz_clean = kk_mod.trim_data(frequencies, z, f_min, f_max)
+        if show_plot:
+            from ..plotting import plot_kk_results
+            plot_kk_results(self, outlier_index=outlier_index, f_lim=(f_min, f_max))
+        return outlier_index, (f_min, f_max), fz_clean
+
+    # ------------------------------------------------------------------
     # Warm continuation (reference drt1d.py:1270)
     # ------------------------------------------------------------------
     def _continue_from_init(self, x_init, rho_vector, dop_rho_vector, s_vectors,
@@ -2292,6 +2354,61 @@ class DRT:
         if np.max(pdrt) > 0:
             pdrt /= np.max(pdrt)
         return pdrt
+
+    # ------------------------------------------------------------------
+    # Attribute persistence (reference drt1d.py:6325-6391)
+    # ------------------------------------------------------------------
+    @property
+    def attribute_categories(self):
+        return {
+            "config": [
+                "fixed_basis_tau", "tau_supergrid", "basis_tau", "tau_basis_type",
+                "tau_epsilon", "extend_basis_decades", "step_model", "chrono_mode",
+                "fixed_basis_nu", "basis_nu", "nu_basis_type", "nu_epsilon", "fit_dop",
+                "normalize_dop", "fit_inductance", "fit_ohmic", "fit_capacitance",
+                "series_neg", "integrate_method", "v_baseline_deg", "v_baseline_sqrt",
+            ],
+            "fit_core": [
+                "fit_parameters", "fit_type", "fit_kwargs", "special_qp_params",
+                "coefficient_scale", "impedance_scale", "input_signal_scale",
+                "response_signal_scale", "inductance_scale", "capacitance_scale",
+                "dop_scale_vector", "v_baseline_scale", "scaled_response_offset",
+                "qphb_params", "step_times", "step_sizes", "tau_rise",
+                "nonconsec_step_times", "t_fit", "f_fit", "z_fit", "z_fit_scaled",
+                "raw_input_signal", "raw_response_signal",
+            ],
+            "detail": ["qphb_history", "pfrt_result", "fit_matrices"],
+        }
+
+    def get_attributes(self, which=None):
+        """Collect attributes by category into a dict (reference drt1d.py:6361)."""
+        cats = self.attribute_categories
+        if which is None:
+            which = ["config", "fit_core"]
+        if isinstance(which, str):
+            which = [which]
+        out = {}
+        for cat in which:
+            for name in cats[cat]:
+                out[name] = deepcopy(getattr(self, name, None))
+        return out
+
+    def set_attributes(self, att_dict):
+        for k, v in att_dict.items():
+            setattr(self, k, v)
+        return self
+
+    def save_attributes(self, which, dest):
+        import pickle
+        with open(dest, "wb") as f:
+            pickle.dump(self.get_attributes(which), f)
+
+    def load_attributes(self, source):
+        import pickle
+        if isinstance(source, dict):
+            return self.set_attributes(source)
+        with open(source, "rb") as f:
+            return self.set_attributes(pickle.load(f))
 
     # ------------------------------------------------------------------
     def copy(self):

@@ -1,0 +1,104 @@
+"""Tests for the multi-dimensional mapping layer (DRTMD + resolve)."""
+import numpy as np
+import pytest
+
+from hybdrt_tpu.mapping.drtmd import DRTMD
+
+
+FREQ = np.logspace(5, -1, 41)
+TAU_SUPER = np.logspace(-7, 2, 91)
+B = 10
+PSIS = np.linspace(0, 1, B)
+
+
+def _zarc(f, r, tau0, a=0.9):
+    return r / (1 + (2j * np.pi * f * tau0) ** a)
+
+
+def _make_map_data():
+    rng = np.random.default_rng(0)
+    z_list = []
+    for p in PSIS:
+        tau_peak = 10 ** (-3 + 2 * p)
+        z = 0.3 + 0.2 * p + _zarc(FREQ, 1.0 + 0.5 * p, tau_peak)
+        z = z + (rng.normal(size=len(FREQ)) + 1j * rng.normal(size=len(FREQ))) * 0.002
+        z_list.append(z)
+    return z_list
+
+
+@pytest.fixture(scope="module")
+def fitted_md():
+    md = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False, print_progress=False)
+    for p, z in zip(PSIS, _make_map_data()):
+        md.add_observation([p], None, (FREQ, z), group_id="g1")
+    md.fit_all()
+    return md
+
+
+def test_fit_all_recovers_trends(fitted_md):
+    md = fitted_md
+    assert md.obs_fit_status.all()
+    rp = md.predict_r_p()
+    assert np.max(np.abs(rp - (1.0 + 0.5 * PSIS))) < 0.05
+    r_inf = md.obs_special["R_inf"]
+    assert np.max(np.abs(r_inf - (0.3 + 0.2 * PSIS))) < 0.05
+
+
+def test_obs_x_on_supergrid(fitted_md):
+    md = fitted_md
+    assert md.obs_x.shape == (B, len(TAU_SUPER))
+    # Peak location should move with psi
+    peak_tau = TAU_SUPER[np.argmax(md.obs_x, axis=1)]
+    assert np.all(np.diff(np.log(peak_tau)) > -0.5)
+    assert peak_tau[-1] > 10 * peak_tau[0]
+
+
+def test_resolve_group(fitted_md):
+    md = fitted_md
+    md.resolve_group("g1", psi_sort_dims=["T"])
+    assert md.obs_resolve_status.all()
+    rp_res = md.predict_r_p(resolved=True)
+    assert np.max(np.abs(rp_res - (1.0 + 0.5 * PSIS))) < 0.05
+    # Resolution smooths across psi: total curvature should not increase much
+    def roughness(x):
+        return np.sum(np.diff(x, n=2, axis=0) ** 2)
+    assert roughness(md.obs_x_resolved) < roughness(md.obs_x) * 1.5
+
+
+def test_batched_fit_matches_serial(fitted_md):
+    md2 = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False, print_progress=False)
+    for p, z in zip(PSIS, _make_map_data()):
+        md2.add_observation([p], None, (FREQ, z), group_id="g1")
+    md2.fit_all(batched=True)
+    assert md2.obs_fit_status.all()
+    assert np.allclose(md2.obs_x, fitted_md.obs_x, atol=1e-7)
+    # Resolve works from the batched path (lazy P,q reconstruction)
+    md2.resolve_group("g1", psi_sort_dims=["T"])
+    assert md2.obs_resolve_status.all()
+
+
+def test_predict_at_psi(fitted_md):
+    md = fitted_md
+    x = md.predict_x(psi=[[0.5]], resolved=False)
+    assert x.shape == (1, len(TAU_SUPER))
+    drt_curves = md.predict_drt(obs_index=[0, 5], resolved=False)
+    assert drt_curves.shape == (2, len(TAU_SUPER))
+
+
+def test_persistence_roundtrip(tmp_path, fitted_md):
+    md = fitted_md
+    dest = tmp_path / "md.pkl"
+    md.save_attributes(dest)
+    md2 = DRTMD.from_source(str(dest))
+    assert np.allclose(md2.obs_x, md.obs_x)
+    assert np.allclose(md2.predict_r_p(resolved=False), md.predict_r_p(resolved=False))
+
+
+def test_ignore_errors():
+    md = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False, print_progress=False)
+    md.add_observation([0.0], None, (FREQ, _make_map_data()[0]))
+    md.add_observation([1.0], None, (FREQ[:5], np.full(5, np.nan + 0j)))  # bad data
+    md.fit_all(ignore_errors=True)
+    assert md.obs_fit_status[0]
+    assert not md.obs_fit_status[1]
+    assert md.obs_ignore_flag[1]
