@@ -41,12 +41,16 @@ def impute_nans(ndy, method="filter", filter_func=None, **filter_kw):
 
 
 def outlier_prob(y, mu_in, sigma_in, sigma_out, p_prior):
-    """Posterior outlier probability under a two-component gaussian model."""
+    """Posterior outlier probability under a two-component gaussian model
+    (reference preprocessing.py:860-876)."""
     pdf_in = np.exp(-0.5 * (y - mu_in) ** 2 / sigma_in ** 2) / sigma_in
     pdf_out = np.exp(-0.5 * (y - mu_in) ** 2 / sigma_out ** 2) / sigma_out
     denom = (1 - p_prior) * pdf_in + p_prior * pdf_out
     with np.errstate(invalid="ignore", divide="ignore"):
-        return p_prior * pdf_out / denom
+        p_out = p_prior * pdf_out / denom
+    # Deviations smaller than the inlier spread are never outliers
+    p_out[np.abs(y - mu_in) <= sigma_in] = 0
+    return p_out
 
 
 def flag_outliers(ndy, filter_size, thresh=0.9, p_prior=0.01,
