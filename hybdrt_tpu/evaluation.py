@@ -1,0 +1,288 @@
+"""Accuracy evaluation of DRT estimates against exact models
+(reference hybdrt/evaluation.py): regression metrics (R^2, chi^2, RSS, KL/JS
+divergence with singularity discretization), classification metrics on matched
+peaks (precision/recall/F1), and combined scores."""
+import numpy as np
+from scipy.stats import hmean
+
+from . import peaks as peaks_mod
+
+
+# ------------------------------------------------------------------
+# Regression metrics (reference evaluation.py:807-987)
+# ------------------------------------------------------------------
+def r2_score(y_true, y_est, weights=None):
+    y_true = np.asarray(y_true)
+    y_est = np.asarray(y_est)
+    if weights is None:
+        weights = np.ones_like(y_true)
+    ss_res = np.sum(weights * (y_true - y_est) ** 2)
+    ss_tot = np.sum(weights * (y_true - np.average(y_true, weights=weights)) ** 2)
+    return 1 - ss_res / ss_tot
+
+
+def chi_sq(y_true, y_est, weights=None):
+    y_true = np.asarray(y_true)
+    y_est = np.asarray(y_est)
+    resid = y_est - y_true
+    if np.iscomplexobj(resid):
+        resid = np.concatenate([resid.real, resid.imag])
+        if weights is not None and np.iscomplexobj(weights):
+            weights = np.concatenate([weights.real, weights.imag])
+        elif weights is not None:
+            weights = np.tile(weights, 2)
+    if weights is None:
+        weights = np.ones_like(resid)
+    return np.sum((resid * weights) ** 2) / len(resid)
+
+
+def rss(p, q, weights=None, sigma_uniform=None, normalize=False):
+    p = np.asarray(p)
+    q = np.asarray(q)
+    resid = p - q
+    if sigma_uniform is not None:
+        resid = resid / sigma_uniform
+    elif weights is not None:
+        resid = resid * weights
+    out = np.sum(resid ** 2)
+    if normalize:
+        out = out / len(p)
+    return out
+
+
+def normalize_distributions(x, *distributions, common_norm=False, discrete=False):
+    """Normalize distributions to unit area (or unit sum for discrete)."""
+    out = []
+    if common_norm:
+        norms = [np.sum(np.abs(d)) if discrete
+                 else np.trapezoid(np.abs(d), x=x) for d in distributions]
+        norm = max(norms)
+        return [d / norm for d in distributions]
+    for d in distributions:
+        norm = np.sum(np.abs(d)) if discrete else np.trapezoid(np.abs(d), x=x)
+        out.append(d / norm if norm > 0 else d)
+    return out
+
+
+def kl_div_array(x, p, q, pad=1e-5, normalize=False, discrete=False):
+    """Pointwise KL divergence contribution p*log(p/q)."""
+    p = np.asarray(p, dtype=float)
+    q = np.asarray(q, dtype=float)
+    if normalize:
+        p, q = normalize_distributions(x, p, q, discrete=discrete)
+    p = np.abs(p) + pad
+    q = np.abs(q) + pad
+    return p * np.log(p / q)
+
+
+def kl_divergence(x, p, q, pad=1e-5, normalize=False, discrete=False):
+    div = kl_div_array(x, p, q, pad, normalize, discrete)
+    return np.sum(div) if discrete else np.trapezoid(div, x=x)
+
+
+def js_div_array(x, p, q, **kl_kw):
+    m = 0.5 * (np.asarray(p) + np.asarray(q))
+    return 0.5 * kl_div_array(x, p, m, **kl_kw) + 0.5 * kl_div_array(x, q, m, **kl_kw)
+
+
+def js_divergence(x, p, q, **kl_kw):
+    div = js_div_array(x, p, q, **kl_kw)
+    return np.sum(div) if kl_kw.get("discrete") else np.trapezoid(div, x=x)
+
+
+def sqe_distance(x, p, q, normalize=False, discrete=False):
+    if normalize:
+        p, q = normalize_distributions(x, p, q, discrete=discrete)
+    arr = (np.asarray(p) - np.asarray(q)) ** 2
+    return np.sum(arr) if discrete else np.trapezoid(arr, x=x)
+
+
+def divergence_index(div):
+    """Map a divergence to a [0, 1] accuracy index."""
+    return np.exp(-div)
+
+
+def discretize_distribution(tau, gamma, singularity_info=None):
+    """Convert gamma(ln tau) into per-point masses, inserting point masses for
+    singular (RC-like) elements (reference evaluation.py:909-933)."""
+    ln_tau = np.log(np.asarray(tau))
+    gamma = np.asarray(gamma, dtype=float)
+    # Trapezoid mass in each interval, split to nodes
+    d = np.diff(ln_tau)
+    masses = np.zeros_like(gamma)
+    seg = 0.5 * (gamma[:-1] + gamma[1:]) * d
+    masses[:-1] += 0.5 * seg
+    masses[1:] += 0.5 * seg
+    if singularity_info is not None:
+        for r, tau_0 in singularity_info:
+            idx = int(np.argmin(np.abs(ln_tau - np.log(tau_0))))
+            masses[idx] += r
+    return masses
+
+
+def calculate_reg_metrics(tau, y_exact, y_est, discrete=False, normalize=True,
+                          pad=1e-5, sigma_uniform=None):
+    """Regression summary: R^2, RSS, KL/JS divergence indices
+    (reference evaluation.py:567-604)."""
+    x = np.log(np.asarray(tau))
+    kl = kl_divergence(x, y_exact, y_est, pad=pad, normalize=normalize,
+                       discrete=discrete)
+    js = js_divergence(x, y_exact, y_est, pad=pad, normalize=normalize,
+                       discrete=discrete)
+    return {
+        "r2": r2_score(y_exact, y_est),
+        "rss": rss(y_exact, y_est, sigma_uniform=sigma_uniform, normalize=True),
+        "kl_div": kl,
+        "js_div": js,
+        "kl_index": divergence_index(kl),
+        "js_index": divergence_index(js),
+    }
+
+
+# ------------------------------------------------------------------
+# Peak classification metrics (reference evaluation.py:606-722, 1021-1124)
+# ------------------------------------------------------------------
+def get_similarity_function(function_type):
+    if function_type == "gaussian":
+        def func(y, epsilon, order=2):
+            return np.exp(-np.abs(np.asarray(y) * epsilon) ** order)
+        return func
+    raise ValueError(f"Invalid similarity function {function_type}")
+
+
+def match_peaks(est_peak_tau, true_peak_tau):
+    """Greedy nearest-log-tau matching of estimated to true peaks
+    (reference evaluation.py:1040). Returns index of matched true peak for
+    each estimated peak (-1 = unmatched)."""
+    est = np.log(np.asarray(est_peak_tau, dtype=float))
+    true = np.log(np.asarray(true_peak_tau, dtype=float))
+    match_index = np.full(len(est), -1, dtype=int)
+    if len(true) == 0 or len(est) == 0:
+        return match_index
+    dist = np.abs(est[:, None] - true[None, :])
+    order = np.argsort(dist, axis=None)
+    used_est, used_true = set(), set()
+    for flat in order:
+        i, j = np.unravel_index(flat, dist.shape)
+        if i in used_est or j in used_true:
+            continue
+        match_index[i] = j
+        used_est.add(i)
+        used_true.add(j)
+    return match_index
+
+
+def peak_similarity(est_peak_tau, true_peak_tau, sim_function_type="gaussian",
+                    order=2, epsilon=1.0):
+    """Similarity of matched peak positions in log tau."""
+    match_index = match_peaks(est_peak_tau, true_peak_tau)
+    sim_func = get_similarity_function(sim_function_type)
+    est = np.log(np.asarray(est_peak_tau, dtype=float))
+    true = np.log(np.asarray(true_peak_tau, dtype=float))
+    sims = np.zeros(len(est))
+    for i, j in enumerate(match_index):
+        if j >= 0:
+            sims[i] = sim_func(est[i] - true[j], epsilon, order)
+    return sims, match_index
+
+
+def cls_metrics_from_counts(tp_count, fp_count, fn_count):
+    precision = tp_count / (tp_count + fp_count) if tp_count + fp_count > 0 else 0.0
+    recall = tp_count / (tp_count + fn_count) if tp_count + fn_count > 0 else 0.0
+    f1 = try_hmean([precision, recall])
+    return {"precision": precision, "recall": recall, "f1": f1,
+            "tp": tp_count, "fp": fp_count, "fn": fn_count}
+
+
+def calculate_cls_metrics(est_peak_tau, exact_peak_tau, sim_function_kw=None):
+    """Soft precision/recall/F1 from peak-position similarities
+    (reference evaluation.py:606-652)."""
+    sim_function_kw = sim_function_kw or {"epsilon": 1.0, "order": 2}
+    sims, match_index = peak_similarity(est_peak_tau, exact_peak_tau,
+                                        **sim_function_kw)
+    tp = float(np.sum(sims))
+    fp = float(len(est_peak_tau) - tp)
+    fn = float(len(exact_peak_tau) - tp)
+    fp = max(fp, 0.0)
+    fn = max(fn, 0.0)
+    return cls_metrics_from_counts(tp, fp, fn)
+
+
+def try_hmean(x):
+    x = np.asarray(x, dtype=float)
+    if np.any(x <= 0):
+        return 0.0
+    return hmean(x)
+
+
+def calculate_combo_metrics(reg_summary, cls_summary):
+    """Harmonic-mean combination of regression and classification accuracy
+    (reference evaluation.py:682)."""
+    return {
+        "f1-js": try_hmean([cls_summary["f1"], reg_summary["js_index"]]),
+        "f1-kl": try_hmean([cls_summary["f1"], reg_summary["kl_index"]]),
+        "f1-r2": try_hmean([cls_summary["f1"], max(reg_summary["r2"], 0)]),
+    }
+
+
+def aggregate_metrics(metric_dicts, weights=None):
+    keys = metric_dicts[0].keys()
+    if weights is None:
+        weights = np.ones(len(metric_dicts))
+    weights = np.asarray(weights, dtype=float)
+    return {k: float(np.average([m[k] for m in metric_dicts], weights=weights))
+            for k in keys}
+
+
+# ------------------------------------------------------------------
+# DrtScorer (reference evaluation.py:16-456)
+# ------------------------------------------------------------------
+class DrtScorer:
+    """Score estimated DRT models against an exact generative model.
+
+    Models may be DRT instances, DiscreteElementModel instances, or callables
+    gamma(tau); exact peak locations may be passed directly."""
+
+    def __init__(self, normalize=True, find_peaks_kw=None, sim_function_kw=None,
+                 reg_kw=None):
+        self.normalize = normalize
+        self.find_peaks_kw = find_peaks_kw or {}
+        self.sim_function_kw = sim_function_kw or {"epsilon": 1.0, "order": 2}
+        self.reg_kw = reg_kw or {}
+        self.results_ = None
+
+    @staticmethod
+    def _gamma_of(model, tau):
+        if callable(model):
+            return np.asarray(model(tau))
+        if hasattr(model, "predict_distribution"):
+            out = model.predict_distribution(tau)
+            if isinstance(out, tuple):
+                out = out[0]
+            return np.asarray(out)
+        raise ValueError("Model must be callable or have predict_distribution")
+
+    @staticmethod
+    def _peaks_of(model, tau, find_peaks_kw):
+        if hasattr(model, "find_peaks"):
+            return np.asarray(model.find_peaks(tau=tau, **find_peaks_kw))
+        if hasattr(model, "get_peak_tau"):
+            return np.asarray(model.get_peak_tau())
+        raise ValueError("Model must provide find_peaks or get_peak_tau")
+
+    def evaluate_models(self, exact_model, est_model, tau_reg, tau_cls,
+                        exact_peak_tau=None):
+        """Full scoring: regression over tau_reg + peak classification over
+        tau_cls + combined metrics."""
+        y_exact = self._gamma_of(exact_model, tau_reg)
+        y_est = self._gamma_of(est_model, tau_reg)
+        reg = calculate_reg_metrics(tau_reg, y_exact, y_est,
+                                    normalize=self.normalize, **self.reg_kw)
+        if exact_peak_tau is None:
+            exact_peak_tau = self._peaks_of(exact_model, tau_cls, self.find_peaks_kw)
+        est_peak_tau = self._peaks_of(est_model, tau_cls, self.find_peaks_kw)
+        cls = calculate_cls_metrics(est_peak_tau, exact_peak_tau,
+                                    self.sim_function_kw)
+        combo = calculate_combo_metrics(reg, cls)
+        self.results_ = {"regression": reg, "classification": cls, "combined": combo}
+        return self.results_

@@ -1,0 +1,99 @@
+"""Legacy file-loading API (reference hybdrt/fileload.py).
+
+Thin compatibility layer over the typed ``hybdrt_tpu.dataload`` stack: the
+reference's older functions returned DataFrames/tuples; these delegate to the
+modern readers and convert.
+"""
+import numpy as np
+import pandas as pd
+
+from .dataload import reader as _reader
+from .dataload.core import FileSource, detect_file_source, extract_timestamp
+
+
+def get_file_source(file):
+    """Detect the originating software of a data file."""
+    return detect_file_source(file)
+
+
+def get_timestamp(file):
+    return extract_timestamp(file)
+
+
+def read_eis(file, source=None, return_tuple=False, warn=True):
+    """Read an EIS file; returns a standardized DataFrame or a (freq, z) tuple."""
+    zdata = _reader.read_eis(file, source=source)
+    if return_tuple:
+        return zdata.fx
+    return zdata.as_dataframe()
+
+
+def read_chrono(file, source=None, return_tuple=False, warn=True):
+    """Read a chrono file; returns a standardized DataFrame or (t, i, v) tuple."""
+    cdata = _reader.read_chrono(file, source=source)
+    if return_tuple:
+        return cdata.tiv
+    return cdata.as_dataframe()
+
+
+def get_eis_tuple(df, min_freq=None, max_freq=None):
+    """(freq, z) tuple from a standardized EIS DataFrame (reference fileload.py:599)."""
+    freq = df["freq"].values.copy()
+    z = df["z_re"].values + 1j * df["z_im"].values
+    if min_freq is not None:
+        index = freq >= min_freq
+        freq, z = freq[index], z[index]
+    if max_freq is not None:
+        index = freq <= max_freq
+        freq, z = freq[index], z[index]
+    return freq, z
+
+
+def get_chrono_tuple(df, start_time=None, end_time=None):
+    """(times, i, v) tuple from a standardized chrono DataFrame
+    (reference fileload.py:620)."""
+    times = df["time"].values.copy()
+    i_signal = df["i"].values.copy()
+    v_signal = df["v"].values.copy()
+    if start_time is not None:
+        index = times >= start_time
+        times, i_signal, v_signal = times[index], i_signal[index], v_signal[index]
+    if end_time is not None:
+        index = times <= end_time
+        times, i_signal, v_signal = times[index], i_signal[index], v_signal[index]
+    return times, i_signal, v_signal
+
+
+def get_hybrid_tuple(chrono_data, eis_data, **kw):
+    """Assemble the (times, i, v, freq, z) tuple for hybrid fits
+    (reference fileload.py:666)."""
+    if isinstance(chrono_data, pd.DataFrame):
+        chrono_tuple = get_chrono_tuple(chrono_data)
+    else:
+        chrono_tuple = chrono_data
+    if isinstance(eis_data, pd.DataFrame):
+        eis_tuple = get_eis_tuple(eis_data)
+    else:
+        eis_tuple = eis_data
+    return (*chrono_tuple, *eis_tuple)
+
+
+def concatenate_eis(dfs):
+    """Concatenate standardized EIS DataFrames sorted by descending frequency."""
+    df = pd.concat(dfs, ignore_index=True)
+    return df.sort_values("freq", ascending=False).reset_index(drop=True)
+
+
+def concatenate_chrono(dfs, shift_times=True):
+    """Concatenate chrono DataFrames, optionally shifting times to be
+    sequential across files."""
+    out = []
+    t_offset = 0.0
+    for df in dfs:
+        df = df.copy()
+        if shift_times and out:
+            dt = np.median(np.diff(df["time"].values)) if len(df) > 1 else 1.0
+            df["time"] = df["time"] - df["time"].values[0] + t_offset + dt
+        t_offset = df["time"].values[-1]
+        out.append(df)
+    return pd.concat(out, ignore_index=True)
