@@ -933,6 +933,27 @@ class DRT:
         elif scale_data and solve_rp is False:
             pass
 
+        # ---------------- Model-specific QP-system modification hook
+        # (NonlinearDRT stacks two coefficient sets here; base DRT is a no-op)
+        system = {
+            "rzm": rzm, "rzv": rzv, "zm": zm, "rm": rm, "num_chrono": num_chrono,
+            "m_stack": m_stack, "l1_lambda_vector": l1_lambda_vector, "lb": lb,
+            "s_vectors": s_vectors, "rzm_vz": rzm_vz, "vz_strength_vec": vz_strength_vec,
+            "cfg": cfg, "nl_cross": None, "sample_times": sample_times,
+            "sample_i": sample_i, "sample_v": sample_v, "frequencies": frequencies,
+        }
+        system = self._modify_qp_system(system, **self._nonlin_kwargs(kw))
+        rzm = system["rzm"]
+        zm = system["zm"]
+        m_stack = system["m_stack"]
+        l1_lambda_vector = system["l1_lambda_vector"]
+        lb = system["lb"]
+        s_vectors = system["s_vectors"]
+        rzm_vz = system["rzm_vz"]
+        cfg = system["cfg"]
+        nl_cross = system["nl_cross"]
+        nl_cross_j = jnp.asarray(nl_cross) if nl_cross is not None else None
+
         # Variance-estimation matrices
         chrono_vmm = np.asarray(mat1d.construct_chrono_var_matrix(
             sample_times, self.nonconsec_step_times, chrono_vmm_epsilon,
@@ -965,7 +986,7 @@ class DRT:
                 iw_hyp, jnp.asarray(m_stack), jnp.asarray(rho_vector),
                 jnp.asarray(dop_rho_vector), jnp.asarray(s_vectors), jnp.asarray(rv_),
                 jnp.asarray(rm_), jnp.asarray(vmm_), jnp.asarray(lb), cfg,
-                outlier_p=outlier_p)
+                outlier_p=outlier_p, nl_cross=nl_cross_j)
             return np.asarray(est), np.asarray(init), np.asarray(x_over), np.asarray(out_t)
 
         if init_weights_separately and data_type == "hybrid":
@@ -1063,11 +1084,14 @@ class DRT:
                      jnp.asarray(float(eis_weight_factor)),
                      jnp.asarray(np.asarray(weight_factor, dtype=float)))
 
+        nl_cross_arg = nl_cross_j
         if store_history or not jit_loop:
-            state, rzm_final, history = fitcore.qphb_fit_eager(*loop_args, fcfg)
+            state, rzm_final, history = fitcore.qphb_fit_eager(*loop_args, fcfg,
+                                                               nl_cross=nl_cross_arg)
             self.qphb_history = history
         else:
-            state, rzm_final = fitcore.qphb_fit_loop(*loop_args, fcfg)
+            state, rzm_final = fitcore.qphb_fit_loop(*loop_args, fcfg,
+                                                     nl_cross=nl_cross_arg)
             self.qphb_history = None
 
         x = np.asarray(state.x)
@@ -1089,7 +1113,8 @@ class DRT:
         p_matrix, q_vector = qphb_mod.calculate_pq(
             jnp.asarray(rzm), jnp.asarray(rzv), jnp.asarray(m_stack), hyp,
             jnp.asarray(l1_lambda_vector), jnp.asarray(rho_out), jnp.asarray(dop_rho_out),
-            jnp.asarray(s_vectors_out), jnp.asarray(scaled_weights), cfg)
+            jnp.asarray(s_vectors_out), jnp.asarray(scaled_weights), cfg,
+            nl_cross=nl_cross_j)
         p_matrix = np.asarray(p_matrix)
         q_vector = np.asarray(q_vector)
 
@@ -1151,6 +1176,14 @@ class DRT:
         self.fit_parameters["p_matrix"] = p_matrix
         self.fit_parameters["q_vector"] = q_vector
         self.fit_type = f"qphb_{data_type}"
+
+    def _modify_qp_system(self, system, **kw):
+        """Hook for model variants to restructure the QP system before the
+        solver loop (see NonlinearDRT). Base DRT: identity."""
+        return system
+
+    def _nonlin_kwargs(self, kw):
+        return {}
 
     # ------------------------------------------------------------------
     # Public fit API (reference drt1d.py:1197-1268)

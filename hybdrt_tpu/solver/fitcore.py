@@ -41,7 +41,7 @@ class FitCarry(NamedTuple):
 
 def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,
                rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
-               weight_factor, hyp, fcfg: FitConfig):
+               weight_factor, hyp, fcfg: FitConfig, nl_cross=None):
     st, rzm = carry
     nc = fcfg.num_chrono
 
@@ -63,7 +63,7 @@ def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weight
     st_new, _ = qphb.iterate_qphb(st_in, rzv, rzm, vmm, m_stack, m_stack[1], dop_gmat,
                                   l1v, lb, est_weights, hyp, fcfg.cfg,
                                   x_rtol=fcfg.x_rtol, max_hp_iter=fcfg.max_hp_iter,
-                                  qp_max_iter=fcfg.qp_max_iter)
+                                  qp_max_iter=fcfg.qp_max_iter, nl_cross=nl_cross)
 
     # Normalize rho update scale to the iteration-0 ridge solution
     # (reference drt1d.py:946-962)
@@ -104,7 +104,7 @@ def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weight
 def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
                   x0, s0, rho0, dop_rho0, init_weights, est_weights, outlier_t0,
                   rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
-                  weight_factor, fcfg: FitConfig):
+                  weight_factor, fcfg: FitConfig, nl_cross=None):
     """Run the full QPHB outer loop; returns (final_state, final_rzm)."""
     k = fcfg.cfg.k_range
     state0 = QPHBState(
@@ -119,7 +119,7 @@ def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
     def body(carry):
         return _loop_body(carry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,
                           rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
-                          weight_factor, hyp, fcfg)
+                          weight_factor, hyp, fcfg, nl_cross=nl_cross)
 
     final = jax.lax.while_loop(cond, body, FitCarry(state=state0, rzm=rzm))
     return final.state, final.rzm
@@ -128,7 +128,7 @@ def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
 def qphb_fit_eager(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
                    x0, s0, rho0, dop_rho0, init_weights, est_weights, outlier_t0,
                    rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
-                   weight_factor, fcfg: FitConfig):
+                   weight_factor, fcfg: FitConfig, nl_cross=None):
     """Python-driven variant collecting per-iteration history (diagnostics)."""
     k = fcfg.cfg.k_range
     state = QPHBState(
@@ -142,7 +142,7 @@ def qphb_fit_eager(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
     while int(carry.state.it) < fcfg.max_iter and not bool(carry.state.converged):
         carry = _loop_body(carry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,
                            rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
-                           weight_factor, hyp, fcfg)
+                           weight_factor, hyp, fcfg, nl_cross=nl_cross)
         st = carry.state
         history.append({
             "x": st.x, "s_vectors": st.s_vectors, "rho_vector": st.rho_vector,

@@ -30,6 +30,10 @@ class QPHBConfig(NamedTuple):
     eff_hp: bool = True
     has_outlier: bool = False
     penalty_type: str = "integral"
+    # Nonlinear (bias-dependent) fits stack two coefficient sets
+    # (reference nonlin.py:665-745, qphb.py:84-117)
+    nonlin: bool = False
+    half_size: int = 0
 
     @property
     def fit_dop(self):
@@ -53,7 +57,8 @@ class QPHBState(NamedTuple):
 # ------------------------------------------------------------------
 # L2 (SMS) matrix assembly — reference qphb.py:53-130
 # ------------------------------------------------------------------
-def calculate_qp_l2_matrix(hyp, rho_vector, dop_rho_vector, m_stack, s_vectors, cfg: QPHBConfig):
+def calculate_qp_l2_matrix(hyp, rho_vector, dop_rho_vector, m_stack, s_vectors, cfg: QPHBConfig,
+                           nl_cross=None):
     """l2 = sum_k S_k^1/2 M_k' S_k^1/2 with block scaling of M_k by
     l2_lambda_0 * w_k * rho_k (DRT block) / dop equivalents (DOP block).
 
@@ -67,8 +72,13 @@ def calculate_qp_l2_matrix(hyp, rho_vector, dop_rho_vector, m_stack, s_vectors, 
 
     base = jnp.ones(n, dtype=m_stack.dtype)
     drt_mask = base.at[:ns].set(0.0)
+    if cfg.nonlin and cfg.half_size > 0:
+        drt_mask = drt_mask.at[cfg.half_size:cfg.half_size + ns].set(0.0)
     if cfg.fit_dop:
         dop_mask = jnp.zeros(n, dtype=m_stack.dtype).at[cfg.dop_start:cfg.dop_start + cfg.dop_size].set(1.0)
+        if cfg.nonlin and cfg.half_size > 0:
+            dop_mask = dop_mask.at[cfg.half_size + cfg.dop_start:
+                                   cfg.half_size + cfg.dop_start + cfg.dop_size].set(1.0)
     else:
         dop_mask = jnp.zeros(n, dtype=m_stack.dtype)
     special_mask = 1.0 - drt_mask - dop_mask
@@ -84,6 +94,8 @@ def calculate_qp_l2_matrix(hyp, rho_vector, dop_rho_vector, m_stack, s_vectors, 
         d_k = jnp.sqrt(s_vectors[k] * scale_vec)
         active = jnp.where(dw[k] > 0, 1.0, 0.0)
         l2_mat = l2_mat + active * (m_stack[k] * d_k[:, None] * d_k[None, :])
+    if nl_cross is not None:
+        l2_mat = l2_mat + nl_cross
     return l2_mat
 
 
@@ -198,13 +210,14 @@ def estimate_weights(x, y, vmm, rm, est_weights=None, outlier_p=None, var_floor=
 
 
 def initialize_weights(iw_hyp, m_stack, rho_vector, dop_rho_vector, s_vectors, rv, rm, vmm,
-                       lb, cfg: QPHBConfig, outlier_p=None):
+                       lb, cfg: QPHBConfig, outlier_p=None, nl_cross=None):
     """Overfit-ridge solve -> residual variance -> initial weights
     (reference qphb.py:1609-1681). iw_hyp carries the overfit lambda values.
 
     Returns (est_weights, init_weights, x_overfit, outlier_t).
     """
-    l2_matrix = calculate_qp_l2_matrix(iw_hyp, rho_vector, dop_rho_vector, m_stack, s_vectors, cfg)
+    l2_matrix = calculate_qp_l2_matrix(iw_hyp, rho_vector, dop_rho_vector, m_stack, s_vectors, cfg,
+                                       nl_cross=nl_cross)
     l1_0 = iw_hyp["l1_lambda_0"]
 
     if outlier_p is not None:
@@ -261,8 +274,9 @@ def estimate_x_rp(hyp, m_stack, rho_vector, dop_rho_vector, s_vectors, rv, rm, l
 # Posterior quantities — reference qphb.py:1154-1377
 # ------------------------------------------------------------------
 def calculate_pq(rm, rv, m_stack, hyp, l1_lambda_vector, rho_vector, dop_rho_vector,
-                 s_vectors, weights, cfg: QPHBConfig):
-    l2_matrix = calculate_qp_l2_matrix(hyp, rho_vector, dop_rho_vector, m_stack, s_vectors, cfg)
+                 s_vectors, weights, cfg: QPHBConfig, nl_cross=None):
+    l2_matrix = calculate_qp_l2_matrix(hyp, rho_vector, dop_rho_vector, m_stack, s_vectors, cfg,
+                                       nl_cross=nl_cross)
     wrm = rm * weights[:, None]
     wrv = rv * weights
     p_matrix = l2_matrix + wrm.T @ wrm
@@ -362,7 +376,7 @@ def is_converged(x_in, x_out, x_atol, x_rtol):
 # ------------------------------------------------------------------
 def iterate_qphb(state: QPHBState, rv, rm, vmm, m_stack, m1_gmat_source, dop_gmat,
                  l1_lambda_vector, lb, est_weights, hyp, cfg: QPHBConfig,
-                 x_rtol=1e-2, max_hp_iter=1, qp_max_iter=60):
+                 x_rtol=1e-2, max_hp_iter=1, qp_max_iter=60, nl_cross=None):
     """One outer QPHB iteration: weighted QP for x, closed-form s/rho updates
     on the DRT (and DOP) blocks, then data-weight re-estimation.
 
@@ -376,7 +390,7 @@ def iterate_qphb(state: QPHBState, rv, rm, vmm, m_stack, m1_gmat_source, dop_gma
     wrm = rm * state.weights[:, None]
     wrv = rv * state.weights
     l2_matrix = calculate_qp_l2_matrix(hyp, state.rho_vector, state.dop_rho_vector,
-                                       m_stack, state.s_vectors, cfg)
+                                       m_stack, state.s_vectors, cfg, nl_cross=nl_cross)
     p_matrix = wrm.T @ wrm + l2_matrix
     q_vector = -wrm.T @ wrv + l1_lambda_vector
     qp_res = solve_qp_box(p_matrix, q_vector, lb, max_iter=qp_max_iter)
@@ -418,6 +432,12 @@ def iterate_qphb(state: QPHBState, rv, rm, vmm, m_stack, m1_gmat_source, dop_gma
             new_s.append(jnp.where(active, sv_out, sv_drt))
             new_rho.append(jnp.where(active, rho_k, rho_vector[k]))
         s_vectors = s_vectors.at[:, ns:].set(jnp.stack(new_s))
+        if cfg.nonlin and cfg.half_size > 0:
+            # Keep the second half's special-parameter scales at the prior mode
+            # (reference qphb.py:783-785)
+            for k in range(cfg.k_range):
+                s_vectors = s_vectors.at[k, cfg.half_size:cfg.half_size + ns].set(
+                    hyp["s_0"][k])
         rho_vector = jnp.stack(new_rho)
 
     # DOP block hyperparameter updates (reference qphb.py:822-933)
