@@ -112,6 +112,7 @@ class DRT:
         self.fit_matrices = {}
         self.qphb_params = None
         self.qphb_history = None
+        self.background_gp = None
         self.pfrt_result = None
         self.candidate_dict = None
         self.candidate_df = None
@@ -665,6 +666,8 @@ class DRT:
                        offset_steps=True, step_offset_size=None,
                        offset_baseline=True, v_baseline_deg=0, v_baseline_sqrt=False,
                        downsample=False, downsample_kw=None, smooth_inf_response=True,
+                       subtract_background=False, background_type="static",
+                       estimate_background_kw=None,
                        v_baseline_penalty=1e-6, ohmic_penalty=1e-6,
                        inductance_penalty=1e-6, capacitance_penalty=1e-6,
                        inductance_scale=1e-5, capacitance_scale=1e-3,
@@ -767,6 +770,28 @@ class DRT:
             self.eis_outliers = None
             self.chrono_outlier_index = None
             self.chrono_outliers = None
+
+        # Chrono background subtraction (reference drt1d.py:305-357).
+        # The flexible GP background is estimated from a preliminary fit's
+        # residuals and removed from the response before the main fit.
+        if subtract_background and times is not None:
+            if background_type != "static":
+                raise NotImplementedError(
+                    f"background_type {background_type!r} not yet implemented; "
+                    "only 'static' GP background subtraction is supported")
+            ebk = dict(estimate_background_kw or {})
+            ebk.setdefault("nonneg", nonneg)
+            drt_bkg, bkg_gps, y_bkg = self.estimate_chrono_background(
+                times, i_signal, v_signal, copy_self=True, **ebk)
+            self.background_gp = bkg_gps[0]
+            self.raw_response_background = np.asarray(y_bkg)
+            if self.chrono_mode == "galv":
+                v_signal = v_signal - self.raw_response_background
+            else:
+                i_signal = i_signal - self.raw_response_background
+        else:
+            self.background_gp = None
+            self.raw_response_background = None
 
         self.series_neg = series_neg
 
@@ -1118,10 +1143,8 @@ class DRT:
         p_matrix = np.asarray(p_matrix)
         q_vector = np.asarray(q_vector)
 
-        if times is not None:
+        if times is not None and self.raw_response_background is None:
             self.raw_response_background = np.zeros(num_chrono)
-        else:
-            self.raw_response_background = None
 
         self.qphb_params = {
             "est_weights": est_weights.copy(),
@@ -1203,6 +1226,7 @@ class DRT:
                    nonneg=True, neg_allowed_tau_range=None, scale_data=True,
                    update_scale=False, offset_baseline=True, offset_steps=True,
                    step_offset_size=None, downsample=False, downsample_kw=None,
+                   subtract_background=False, estimate_background_kw=None,
                    smooth_inf_response=True, error_structure="uniform", vmm_epsilon=4,
                    **kwargs):
         """Self-tuning Bayesian DRT fit of chronopotentiometry data."""
@@ -1213,6 +1237,8 @@ class DRT:
                             offset_steps=offset_steps, step_offset_size=step_offset_size,
                             offset_baseline=offset_baseline, downsample=downsample,
                             downsample_kw=downsample_kw,
+                            subtract_background=subtract_background,
+                            estimate_background_kw=estimate_background_kw,
                             smooth_inf_response=smooth_inf_response,
                             chrono_error_structure=error_structure,
                             chrono_vmm_epsilon=vmm_epsilon, **kwargs)
@@ -1742,6 +1768,43 @@ class DRT:
             elif name == "background_scale":
                 x[start] = fp["background_scale"]
         return x
+
+    # ------------------------------------------------------------------
+    # Chrono background estimation (reference drt1d.py:6291, background.py:101)
+    # ------------------------------------------------------------------
+    def estimate_chrono_background(self, times, i_signal, v_signal, bkg_iter=1,
+                                   kernel_type="gaussian", copy_self=False,
+                                   gp_kw=None, **fit_kw):
+        """Iteratively fit the DRT and a GP to the residual drift; returns
+        (drt_bkg if copy_self, [gp], y_bkg)."""
+        from .background import GPBackground
+        drt_bkg = deepcopy(self) if copy_self else self
+        drt_bkg.warn = False
+        times = np.asarray(times)
+        y_bkg = np.zeros(len(times))
+        gp = None
+        resp = np.asarray(v_signal if self.chrono_mode == "galv" else i_signal,
+                          dtype=float)
+        other = np.asarray(i_signal if self.chrono_mode == "galv" else v_signal)
+        for _ in range(max(bkg_iter, 1)):
+            resp_corr = resp - y_bkg
+            if self.chrono_mode == "galv":
+                drt_bkg.fit_chrono(times, other, resp_corr, **fit_kw)
+            else:
+                drt_bkg.fit_chrono(times, resp_corr, other, **fit_kw)
+            y_pred = drt_bkg.predict_response(times)
+            resid = resp - y_bkg - y_pred
+            gp = GPBackground(kernel_type=kernel_type, **(gp_kw or {}))
+            gp.fit(times, resid)
+            y_bkg = y_bkg + gp.predict(times)
+        if copy_self:
+            return drt_bkg, [gp], y_bkg
+        return [gp], y_bkg
+
+    def predict_chrono_background(self, times):
+        if self.background_gp is None:
+            return np.zeros(len(np.atleast_1d(times)))
+        return self.background_gp.predict(times)
 
     # ------------------------------------------------------------------
     # Kramers-Kronig test (reference drt1d.py:1370-1496, models/kk.py)

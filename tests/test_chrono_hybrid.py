@@ -130,3 +130,32 @@ def test_remove_outliers_prefit():
     assert drt.eis_outlier_index is not None
     assert drt.eis_outlier_index[20]
     assert abs(drt.predict_r_p() - 1.8) < 0.1
+
+
+def test_fit_chrono_background_subtraction():
+    """Static GP background subtraction runs and captures drift structure."""
+    rng = np.random.default_rng(0)
+    t_pre = np.linspace(-0.01, -0.0005, 15)
+    t_post = np.logspace(-5, 0.5, 120)
+    times = np.concatenate([t_pre, t_post])
+    i_sig = np.where(times >= 0, 0.1, 0.0)
+    v = 0.05 + 0.1 * np.where(times >= 0,
+                              0.3 + 1.5 * (1 - np.exp(-np.maximum(times, 0) / 1e-2)), 0.0)
+    drift = 0.01 * np.sin(2 * np.pi * times / 1.5) + 0.008 * times
+    v = v + drift + rng.normal(size=len(times)) * 2e-4
+
+    drt = DRT(warn=False)
+    drt.fit_chrono(times, i_sig, v, subtract_background=True,
+                   estimate_background_kw={"gp_kw": {"n_grid": 4}})
+    assert drt.raw_response_background is not None
+    assert drt.raw_response_background.shape == times.shape
+    assert np.std(drt.raw_response_background) > 0
+    assert abs(drt.predict_r_p() - 1.5) < 0.3
+    # Background prediction available at new times
+    bkg = drt.predict_chrono_background(times[:10])
+    assert bkg.shape == (10,)
+    # Unsupported background type raises clearly
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        DRT(warn=False).fit_chrono(times, i_sig, v, subtract_background=True,
+                                   background_type="dynamic")
