@@ -1,0 +1,164 @@
+"""Optical-flow alignment of DRT maps (reference hybdrt/mapping/flow.py + the
+vendored iterative-Lucas-Kanade code in _ilk.py).
+
+Tracks peak movement across the psi axis by solving for a per-pixel
+displacement field restricted to chosen axes ("partial flow"), then warps or
+aligns frames. Implemented directly with scipy (gaussian windows + normal
+equations for ILK; map_coordinates for warping) — no scikit-image dependency.
+"""
+import numpy as np
+from scipy import ndimage
+
+
+# ------------------------------------------------------------------
+# Iterative Lucas-Kanade partial flow (reference _ilk.py:57-216)
+# ------------------------------------------------------------------
+def partial_flow_ilk(reference_image, moving_image, flow_axes=(-1,), radius=7,
+                     num_warp=10, gaussian=True, prefilter=True):
+    """Estimate per-pixel displacement along flow_axes only.
+
+    Returns flow with shape (len(flow_axes), *image.shape)."""
+    ref = np.asarray(reference_image, dtype=float)
+    mov = np.asarray(moving_image, dtype=float)
+    ndim = ref.ndim
+    axes = [ax % ndim for ax in np.atleast_1d(flow_axes)]
+
+    if gaussian:
+        sigma = radius / 2.0
+        def window(a):
+            return ndimage.gaussian_filter(a, sigma, mode="mirror")
+    else:
+        size = 2 * radius + 1
+        def window(a):
+            return ndimage.uniform_filter(a, size, mode="mirror")
+
+    if prefilter:
+        mov_f = ndimage.median_filter(mov, 3)
+        ref_f = ndimage.median_filter(ref, 3)
+    else:
+        mov_f, ref_f = mov, ref
+
+    grid = np.meshgrid(*[np.arange(s, dtype=float) for s in ref.shape], indexing="ij")
+    flow = np.zeros((len(axes), *ref.shape))
+
+    for _ in range(num_warp):
+        coords = [g.copy() for g in grid]
+        for k, ax in enumerate(axes):
+            coords[ax] = coords[ax] + flow[k]
+        warped = ndimage.map_coordinates(mov_f, coords, order=1, mode="nearest")
+
+        grads = [np.gradient(warped, axis=ax) for ax in axes]
+        it = ref_f - warped
+
+        # Normal equations G dflow = b, windowed
+        n = len(axes)
+        g_mat = np.empty((n, n, *ref.shape))
+        b_vec = np.empty((n, *ref.shape))
+        for i in range(n):
+            b_vec[i] = window(grads[i] * it)
+            for j in range(i, n):
+                g_mat[i, j] = window(grads[i] * grads[j])
+                g_mat[j, i] = g_mat[i, j]
+        # Regularize and solve per pixel
+        eps = 1e-8 * (np.mean([g_mat[i, i] for i in range(n)]) + 1e-30)
+        for i in range(n):
+            g_mat[i, i] = g_mat[i, i] + eps
+        if n == 1:
+            dflow = b_vec / g_mat[0, 0]
+        else:
+            g_flat = np.moveaxis(g_mat.reshape(n, n, -1), -1, 0)
+            b_flat = np.moveaxis(b_vec.reshape(n, -1), -1, 0)
+            dflow = np.linalg.solve(g_flat, b_flat).T.reshape(n, *ref.shape)
+        flow = flow + dflow
+    return flow
+
+
+# ------------------------------------------------------------------
+# Warping / composition (reference flow.py:17-74)
+# ------------------------------------------------------------------
+def warp_image(image, flow, flow_axes=(-1,), order=1, mode="nearest"):
+    """Warp an image by the given partial flow field."""
+    image = np.asarray(image, dtype=float)
+    ndim = image.ndim
+    axes = [ax % ndim for ax in np.atleast_1d(flow_axes)]
+    coords = list(np.meshgrid(*[np.arange(s, dtype=float) for s in image.shape],
+                              indexing="ij"))
+    for k, ax in enumerate(axes):
+        coords[ax] = coords[ax] + flow[k]
+    return ndimage.map_coordinates(image, coords, order=order, mode=mode)
+
+
+def compose_flows(flow_ab, flow_bc, flow_axes=(-1,)):
+    """Flow a->c from a->b and b->c: f_ac(x) = f_ab(x) + f_bc(x + f_ab(x))."""
+    out = np.empty_like(flow_ab)
+    for k in range(flow_ab.shape[0]):
+        warped_bc = warp_image(flow_bc[k], flow_ab, flow_axes=flow_axes)
+        out[k] = flow_ab[k] + warped_bc
+    return out
+
+
+def reverse_flow(flow, flow_axes=(-1,), num_iter=5):
+    """Approximate inverse flow: f_inv(x) = -f(x + f_inv(x)), fixed-point."""
+    inv = -np.array(flow, copy=True)
+    for _ in range(num_iter):
+        upd = np.empty_like(inv)
+        for k in range(flow.shape[0]):
+            upd[k] = -warp_image(flow[k], inv, flow_axes=flow_axes)
+        inv = upd
+    return inv
+
+
+def bidirectional_flow(image_a, image_b, flow_axes=(-1,), **ilk_kw):
+    """Average of forward and reversed-backward flows (reference flow.py:75-292)."""
+    fwd = partial_flow_ilk(image_a, image_b, flow_axes=flow_axes, **ilk_kw)
+    bwd = partial_flow_ilk(image_b, image_a, flow_axes=flow_axes, **ilk_kw)
+    return 0.5 * (fwd - reverse_flow(bwd, flow_axes=flow_axes))
+
+
+# ------------------------------------------------------------------
+# Sequential flow solve + alignment (reference flow.py:370-582)
+# ------------------------------------------------------------------
+def solve_flow_field(frames, flow_axes=(-1,), bidirectional=False, **ilk_kw):
+    """Flow between each pair of consecutive frames along a velocity axis.
+
+    frames: array with leading axis = sequence. Returns array of shape
+    (n_frames - 1, len(flow_axes), *frame_shape) with frame[i]->frame[i+1]."""
+    frames = np.asarray(frames, dtype=float)
+    flows = []
+    for i in range(frames.shape[0] - 1):
+        if bidirectional:
+            fl = bidirectional_flow(frames[i + 1], frames[i], flow_axes=flow_axes,
+                                    **ilk_kw)
+        else:
+            fl = partial_flow_ilk(frames[i + 1], frames[i], flow_axes=flow_axes,
+                                  **ilk_kw)
+        flows.append(fl)
+    return np.stack(flows)
+
+
+def align_to_reference(frames, ref_index=0, flow_axes=(-1,), flows=None, **ilk_kw):
+    """Warp every frame onto the reference frame by composing pairwise flows
+    (reference flow.py:574)."""
+    frames = np.asarray(frames, dtype=float)
+    if flows is None:
+        flows = solve_flow_field(frames, flow_axes=flow_axes, **ilk_kw)
+    n = frames.shape[0]
+    aligned = np.empty_like(frames)
+    aligned[ref_index] = frames[ref_index]
+
+    # flows[j] satisfies frames[j](x + flows[j](x)) ~= frames[j+1](x):
+    # warping frame j by flows[j] advances it to frame j+1.
+    # Frames after the reference are carried BACK by reversed flows;
+    # frames before it are carried FORWARD by composed flows.
+    for i in range(ref_index + 1, n):
+        total = reverse_flow(flows[i - 1], flow_axes=flow_axes)
+        for j in range(i - 2, ref_index - 1, -1):
+            total = compose_flows(total, reverse_flow(flows[j], flow_axes=flow_axes),
+                                  flow_axes=flow_axes)
+        aligned[i] = warp_image(frames[i], total, flow_axes=flow_axes)
+    for i in range(ref_index - 1, -1, -1):
+        total = flows[i]
+        for j in range(i + 1, ref_index):
+            total = compose_flows(total, flows[j], flow_axes=flow_axes)
+        aligned[i] = warp_image(frames[i], total, flow_axes=flow_axes)
+    return aligned, flows

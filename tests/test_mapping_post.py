@@ -1,0 +1,114 @@
+"""Tests for mapping postprocessing: surfaces, flow, paths, segmentation,
+extrema, sheets."""
+import numpy as np
+import pytest
+
+from hybdrt_tpu.mapping import surface, flow, path, segmentation, extrema, sheet
+
+
+RNG = np.random.default_rng(2)
+
+
+def _moving_peak_image(n_rows=20, n_cols=60, start=15, slope=1.0, width=3.0):
+    img = np.zeros((n_rows, n_cols))
+    cols = np.arange(n_cols)
+    centers = start + slope * np.arange(n_rows)
+    for i, c in enumerate(centers):
+        img[i] = np.exp(-0.5 * ((cols - c) / width) ** 2)
+    return img, centers
+
+
+def test_find_ridges_2d_tracks_moving_peak():
+    img, centers = _moving_peak_image()
+    mask = surface.find_ridges_2d(img, height=0.5)
+    found = np.argmax(mask, axis=1)
+    assert np.max(np.abs(found - centers)) <= 1
+
+
+def test_troughs_between_ridges():
+    img1, c1 = _moving_peak_image(start=10, slope=0.5)
+    img2, c2 = _moving_peak_image(start=40, slope=-0.5)
+    img = img1 + img2
+    mask = surface.find_ridges_2d(img, height=0.3)
+    p_trough = 1 - img
+    troughs = surface.find_troughs_2d(mask, img, p_trough)
+    # One trough per row, between the two ridges
+    for i in range(img.shape[0]):
+        t = np.where(troughs[i])[0]
+        assert len(t) == 1
+        lo, hi = sorted([c1[i], c2[i]])
+        assert lo < t[0] < hi
+
+
+def test_partial_flow_recovers_shift():
+    img, _ = _moving_peak_image(slope=0.0, start=30)
+    shifted = np.roll(img, 3, axis=1)
+    fl = flow.partial_flow_ilk(shifted, img, flow_axes=(-1,), radius=8)
+    # In the peak region, flow should be ~ -3 (img needs +3 shift -> sample at x-3)
+    core = img > 0.3
+    assert abs(np.median(fl[0][core]) + 3) < 1.0
+
+
+def test_warp_roundtrip():
+    img, _ = _moving_peak_image(slope=0.5)
+    fl = np.full((1, *img.shape), 2.0)
+    warped = flow.warp_image(img, fl)
+    # warp by +2 shifts content left by 2 (sampling at x+2)
+    assert np.allclose(warped[:, :-2], img[:, 2:], atol=1e-8)
+
+
+def test_align_to_reference():
+    base, _ = _moving_peak_image(n_rows=1, start=30, slope=0)
+    frames = np.stack([np.roll(base[0], s) for s in (0, 2, 4)])
+    frames = np.tile(frames[:, None, :], (1, 8, 1))  # (3 frames, 8 rows, 60 cols)
+    aligned, flows = flow.align_to_reference(frames, ref_index=0, radius=8)
+    # After alignment, all frames should match frame 0 in the peak region
+    core = frames[0] > 0.3
+    for i in (1, 2):
+        assert np.median(np.abs(aligned[i][core] - frames[0][core])) < 0.12
+
+
+def test_trace_path_follows_valley():
+    img, centers = _moving_peak_image(slope=0.8)
+    energy = -img  # valley along the peak
+    p = path.trace_path_2d(energy, start_col=15, start_row=0, max_step=2)
+    assert np.max(np.abs(p - centers)) <= 2
+    paths = path.find_paths_2d(energy, start_kw={"height": 0.5})
+    assert len(paths) >= 1
+    mask = path.paths_to_mask(paths, img.shape)
+    assert mask.sum() == img.shape[0] * len(paths)
+    rec = path.mask_to_paths(mask)
+    assert len(rec) == len(paths)
+
+
+def test_mc_anneal_separates_clusters():
+    pts1 = RNG.normal(size=(30, 2)) + [0, 0]
+    pts2 = RNG.normal(size=(30, 2)) + [8, 8]
+    points = np.vstack([pts1, pts2])
+    labels, centers = segmentation.mc_anneal(points, 2, n_iter=3000, rng=0)
+    # Points in each true cluster should share a label
+    first = labels[:30]
+    second = labels[30:]
+    purity = max(np.mean(first == first[0]), 1 - np.mean(first == first[0]))
+    purity2 = max(np.mean(second == second[0]), 1 - np.mean(second == second[0]))
+    assert purity > 0.9 and purity2 > 0.9
+    assert first[0] != second[np.argmax(np.bincount(second))] or purity2 > 0.9
+
+
+def test_optimize_extrema_enforces_alternation():
+    ridge = np.zeros((1, 20), dtype=bool)
+    trough = np.zeros((1, 20), dtype=bool)
+    ridge[0, [3, 10]] = True   # two ridges with no trough between
+    trough[0, [16]] = True
+    r2, t2 = extrema.optimize_extrema(ridge, trough)
+    assert extrema.alternation_energy(r2, t2) == 0
+    # A trough was inserted between columns 3 and 10
+    assert t2[0, 4:10].any()
+
+
+def test_sheet_fit_roundtrip():
+    coords = RNG.uniform(0, 1, size=(50, 2))
+    values = np.sin(2 * np.pi * coords[:, 0]) + coords[:, 1]
+    coef, centers = sheet.fit_sheet(coords, values, epsilon=2.0, ridge=1e-10)
+    pred = sheet.evaluate_sheet(coords, coef, centers, epsilon=2.0)
+    assert np.max(np.abs(pred - values)) < 1e-2
