@@ -120,6 +120,8 @@ class DRT:
         self.best_candidate_df = None
         self.discrete_candidate_dict = None
         self.discrete_candidate_df = None
+        self.pfrt_candidate_dict = None
+        self.pfrt_candidate_df = None
 
         # Outlier state
         self.eis_outlier_index = None
@@ -2389,16 +2391,180 @@ class DRT:
                                    generate_kw=generate_kw, discrete_kw=discrete_kw,
                                    **qphb_kw)
 
+    def continuous_to_discrete(self, x, tau_find_peaks=None, peak_indices=None,
+                               model_init_kw=None, **fit_kw):
+        """Convert a candidate DRT solution to a refined discrete model
+        (reference drt1d.py:2863)."""
+        from .elements import DiscreteElementModel
+        if tau_find_peaks is None:
+            tau_find_peaks = self.get_tau_eval(10)
+        peak_tau = np.asarray(tau_find_peaks)[np.asarray(peak_indices, dtype=int)] \
+            if peak_indices is not None else None
+        dem = DiscreteElementModel.from_drt(self, x=x, peak_tau=peak_tau,
+                                            **(model_init_kw or {}))
+        dem.fit_eis(self.get_fit_frequencies(), self.z_fit, **fit_kw)
+        return dem
+
+    def create_discrete_from_pfrt(self, start_thresh=0.99, end_thresh=0.01,
+                                  peak_thresh=1e-6, max_num_peaks=10,
+                                  model_init_kw=None, llh_kw=None, lml_kw=None,
+                                  **fit_kw):
+        """Discrete models from PFRT candidate selection
+        (reference drt1d.py:2889-2961)."""
+        import pandas as pd
+        target_peak_indices, step_indices = self.select_pfrt_candidates(
+            start_thresh, end_thresh, peak_thresh)
+        llh_kw = llh_kw or {}
+        lml_kw = lml_kw or {}
+
+        self.pfrt_candidate_dict = {}
+        rows = []
+        for targets, step_i in zip(target_peak_indices, step_indices):
+            if len(targets) > max_num_peaks:
+                continue
+            cand_x = self.pfrt_result["step_x"][step_i]
+            try:
+                dem = self.continuous_to_discrete(
+                    cand_x, self.pfrt_result["tau_pfrt"], targets, model_init_kw,
+                    **fit_kw)
+            except Exception as err:
+                if self.warn:
+                    warnings.warn(f"PFRT discrete model with {len(targets)} peaks "
+                                  f"failed: {err}")
+                continue
+            llh = dem.evaluate_llh(**llh_kw)
+            lml = dem.evaluate_lml(**lml_kw)
+            bic = dem.evaluate_bic()
+            n_pk = len(targets)
+            self.pfrt_candidate_dict[n_pk] = {
+                "model": dem, "llh": llh, "bic": bic, "lml": lml,
+                "peak_tau": dem.get_peak_tau(),
+                "time_constants": dem.get_time_constants()}
+            rows.append((n_pk, n_pk, llh, bic, lml))
+        if not rows:
+            raise RuntimeError("No PFRT discrete candidates could be fitted")
+        arr = np.array([r[2:] for r in rows])
+        best_llh, best_bic, best_lml = arr[:, 0].max(), arr[:, 1].min(), arr[:, 2].max()
+        for (n_pk, _, llh, bic, lml) in rows:
+            d = self.pfrt_candidate_dict[n_pk]
+            d["rel_llh"] = llh - best_llh
+            d["rel_bic"] = bic - best_bic
+            d["rel_lml"] = lml - best_lml
+        self.pfrt_candidate_df = pd.DataFrame(
+            [(r[0], r[1], r[2], r[3], r[4], r[2] - best_llh, r[3] - best_bic,
+              r[4] - best_lml) for r in rows],
+            columns=["model_id", "num_peaks", "llh", "bic", "lml", "rel_llh",
+                     "rel_bic", "rel_lml"])
+        return dict(self.pfrt_candidate_dict)
+
+    def sort_discrete_by_llh(self, start_from_model=None):
+        """Rank discrete candidates by per-peak LLH improvement
+        (reference drt1d.py:1970)."""
+        df = self.discrete_candidate_df.sort_values("num_peaks").reset_index(drop=True)
+        if start_from_model is not None:
+            start_idx = int(df.index[df["model_id"] == start_from_model][0])
+            df = df.loc[start_idx:].reset_index(drop=True)
+        model_ids = df["model_id"].values
+        llh = df["llh"].values
+        num_peaks = df["num_peaks"].values
+        if len(df) < 2:
+            return num_peaks, [np.arange(int(num_peaks[0]))], \
+                [self.discrete_candidate_dict[model_ids[0]]["time_constants"]], \
+                np.array([np.inf])
+        delta_llh = np.diff(llh) / np.diff(num_peaks)
+        from .. import peaks as peaks_mod
+        ln_taus = [np.log(self.discrete_candidate_dict[mid]["time_constants"])
+                   for mid in model_ids]
+        added_idx = [peaks_mod.find_new_peaks(ln_taus[i], ln_taus[i - 1])
+                     for i in range(1, len(ln_taus))]
+        added_tau = [np.exp(np.atleast_1d(ln_taus[i + 1][idx]).ravel())
+                     for i, idx in enumerate(added_idx)]
+        added_idx = [np.arange(int(num_peaks[0]), dtype=int)] + list(added_idx)
+        added_tau = [np.exp(ln_taus[0])] + added_tau
+        delta_llh = np.insert(delta_llh, 0, np.max(delta_llh) + 1)
+        order = np.argsort(delta_llh)[::-1]
+        return (num_peaks[order], [added_idx[i] for i in order],
+                [added_tau[i] for i in order], delta_llh[order])
+
+    def search_for_better_discrete(self, min_num_peaks=1, max_num_peaks=None,
+                                   start_from_best=True, model_init_kw=None, **fit_kw):
+        """Build recombined discrete models by adding peaks in order of their
+        per-peak LLH value (reference drt1d.py:2006, simplified recombination:
+        peaks are re-fit jointly from aggregated peak positions)."""
+        if max_num_peaks is None:
+            max_num_peaks = int(self.discrete_candidate_df["num_peaks"].max())
+        _, added_idx, added_tau, _ = self.sort_discrete_by_llh(
+            None if not start_from_best else None)
+        # Aggregate peak taus in ranked order
+        ranked_taus = []
+        for taus in added_tau:
+            for t in np.atleast_1d(taus):
+                if not np.isfinite(t) or t <= 0:
+                    continue
+                if not any(abs(np.log(t) - np.log(rt)) < 0.3 for rt in ranked_taus):
+                    ranked_taus.append(float(t))
+        improved = {}
+        for n_pk in range(max(min_num_peaks, 1), max_num_peaks + 1):
+            if n_pk > len(ranked_taus):
+                break
+            peak_tau = np.sort(ranked_taus[:n_pk])
+            try:
+                from .elements import DiscreteElementModel
+                dem = DiscreteElementModel.from_drt(self, peak_tau=peak_tau,
+                                                    **(model_init_kw or {}))
+                dem.fit_eis(self.get_fit_frequencies(), self.z_fit, **fit_kw)
+            except Exception:
+                continue
+            llh = dem.evaluate_llh()
+            existing = self.discrete_candidate_dict.get(n_pk)
+            if existing is None or llh > existing["llh"]:
+                improved[n_pk] = {"model": dem, "llh": llh,
+                                  "bic": dem.evaluate_bic(),
+                                  "lml": dem.evaluate_lml(),
+                                  "peak_tau": dem.get_peak_tau(),
+                                  "time_constants": dem.get_time_constants()}
+        # Merge improvements and refresh relative metrics/df
+        if improved:
+            for k, v in improved.items():
+                v["lml-bic"] = 0.5 * (v["lml"] - 0.5 * v["bic"])
+                self.discrete_candidate_dict[k] = v
+            self._refresh_discrete_df()
+        return improved
+
+    def _refresh_discrete_df(self):
+        import pandas as pd
+        rows = [(k, k, v["llh"], v["bic"], v["lml"],
+                 v.get("lml-bic", 0.5 * (v["lml"] - 0.5 * v["bic"])))
+                for k, v in sorted(self.discrete_candidate_dict.items())]
+        arr = np.array([r[2:] for r in rows])
+        best = {"llh": arr[:, 0].max(), "bic": arr[:, 1].min(), "lml": arr[:, 2].max(),
+                "lml-bic": arr[:, 3].max()}
+        for (k, *_vals) in rows:
+            d = self.discrete_candidate_dict[k]
+            d["rel_llh"] = d["llh"] - best["llh"]
+            d["rel_bic"] = d["bic"] - best["bic"]
+            d["rel_lml"] = d["lml"] - best["lml"]
+            d["rel_lml-bic"] = d.get("lml-bic") - best["lml-bic"]
+        self.discrete_candidate_df = pd.DataFrame(
+            [(r[0], r[1], r[2], r[3], r[4], r[5], r[2] - best["llh"],
+              r[3] - best["bic"], r[4] - best["lml"], r[5] - best["lml-bic"])
+             for r in rows],
+            columns=["model_id", "num_peaks", "llh", "bic", "lml", "lml-bic",
+                     "rel_llh", "rel_bic", "rel_lml", "rel_lml-bic"])
+
     def get_candidate_df(self, candidate_type):
         if candidate_type == "continuous":
             return self.best_candidate_df
         if candidate_type == "discrete":
             return self.discrete_candidate_df
+        if candidate_type == "pfrt":
+            return self.pfrt_candidate_df
         raise ValueError(f"Invalid candidate_type {candidate_type}")
 
     def get_candidate(self, candidate_num_peaks, candidate_type):
         source = {"continuous": self.best_candidate_dict,
-                  "discrete": self.discrete_candidate_dict}.get(candidate_type)
+                  "discrete": self.discrete_candidate_dict,
+                  "pfrt": getattr(self, "pfrt_candidate_dict", None)}.get(candidate_type)
         if source is None:
             raise ValueError(f"Invalid candidate_type {candidate_type}")
         if candidate_num_peaks not in source:

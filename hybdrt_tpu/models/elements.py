@@ -465,6 +465,70 @@ class DiscreteElementModel:
         return resid
 
     # ------------------------------------------------------------------
+    # Multi-spectrum co-fit (reference elements.py:802-1016)
+    # ------------------------------------------------------------------
+    def fit_eis_multi(self, frequencies, z_list, x0=None, similarity_strength=1.0,
+                      weights=None, max_iter=300):
+        """Co-fit a sequence of neighboring spectra with a smoothness prior
+        linking each spectrum's parameters to its neighbors.
+
+        All spectra share the model structure and frequency grid; the joint
+        problem (B x n_params) is solved as ONE Levenberg-Marquardt problem
+        with autodiff Jacobians (the reference loops scipy least_squares with
+        a similarity penalty, elements.py:988-1016).
+
+        Stores parameter_values_multi (B, n_params); parameter_values is set
+        to the mean. Returns self."""
+        frequencies = np.asarray(frequencies)
+        z_arr = np.stack([np.asarray(z) for z in z_list])
+        b = z_arr.shape[0]
+        n_p = self.num_params
+
+        if x0 is None:
+            x0 = self.get_parameter_values()
+        x0 = np.asarray(x0, dtype=float)
+        if x0.ndim == 1:
+            x0 = np.tile(x0, (b, 1))
+
+        if weights is None:
+            mod = np.abs(z_arr)
+            weights = np.concatenate([1 / mod, 1 / mod], axis=1)  # (B, 2F)
+
+        transform, inv_transform = get_constraint_transforms(self.parameter_bounds)
+        lb = np.array([max(bd[0], -1e6) for bd in self.parameter_bounds])
+        ub = np.array([min(bd[1], 1e6) for bd in self.parameter_bounds])
+        margin = 1e-6 * (ub - lb)
+        x0 = np.clip(x0, lb + margin, ub - margin)
+        y0 = np.stack([np.asarray(transform(jnp.asarray(row))) for row in x0])
+
+        freq_j = jnp.asarray(frequencies)
+        zv = jnp.concatenate([jnp.asarray(z_arr.real), jnp.asarray(z_arr.imag)], axis=1)
+        wv = jnp.asarray(weights)
+        z_function = self.z_function
+        sim_w = jnp.sqrt(similarity_strength)
+
+        def resid(y_flat):
+            y = y_flat.reshape(b, n_p)
+            x = jax.vmap(inv_transform)(y)
+            z_hat = jax.vmap(lambda xi: z_function(freq_j, *xi))(x)
+            r_data = (jnp.concatenate([jnp.real(z_hat), jnp.imag(z_hat)], axis=1)
+                      - zv) * wv
+            # Smoothness prior between neighboring spectra (in logit space)
+            r_sim = sim_w * (y[1:] - y[:-1])
+            return jnp.concatenate([r_data.ravel(), r_sim.ravel()])
+
+        result = levenberg_marquardt(resid, jnp.asarray(y0.ravel()), max_iter=max_iter)
+        y_hat = np.asarray(result.x).reshape(b, n_p)
+        self.parameter_values_multi = np.stack(
+            [np.asarray(inv_transform(jnp.asarray(row))) for row in y_hat])
+        self.parameter_values = self.parameter_values_multi.mean(axis=0)
+        self.fit_result = result
+        self.f_fit = frequencies
+        self.z_fit = z_arr
+        self.weights = np.asarray(weights)
+        return self
+
+    # ------------------------------------------------------------------
     # Model comparison metrics (reference elements.py:1227-1341)
     # ------------------------------------------------------------------
     def evaluate_rss(self, x=None):
