@@ -40,21 +40,31 @@ def _max_step(v, dv):
 
 
 @partial(jax.jit, static_argnames=("max_iter", "polish"))
-def solve_qp_box(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, polish=True):
+def solve_qp_box(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, polish=True,
+                 x_init=None, z_init=None):
     """Solve min 1/2 x'Px + q'x s.t. x >= lb. P must be symmetric PD.
 
     The problem is Jacobi-equilibrated (x = D x~ with D = diag(P)^-1/2) before
     solving: an exact reparameterization that removes scaling-induced
     ill-conditioning, which matters for float32 execution on TPU where the
     overfit weight-initialization QP has cond(P) ~ 1e7.
+
+    x_init/z_init warm-start the interior point (e.g. from the previous QPHB
+    outer iteration); the converged optimum is unaffected, only the iteration
+    count.
     """
     d_eq = 1.0 / jnp.sqrt(jnp.clip(jnp.diagonal(P), 1e-300, None))
     P_orig, q_orig, lb_orig = P, q, lb
     P = P * d_eq[:, None] * d_eq[None, :]
     q = q * d_eq
     lb = lb / d_eq
+    if x_init is not None:
+        x_init = x_init / d_eq
+    if z_init is not None:
+        z_init = z_init * d_eq
 
-    res = _solve_qp_box_core(P, q, lb, tol_gap, tol_feas, max_iter, polish)
+    res = _solve_qp_box_core(P, q, lb, tol_gap, tol_feas, max_iter, polish,
+                             x_init=x_init, z_init=z_init)
     x = res.x * d_eq
     z = res.z / d_eq
     s = x - lb_orig
@@ -63,7 +73,8 @@ def solve_qp_box(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, polish=Tr
                     iterations=res.iterations, primal_objective=obj)
 
 
-def _solve_qp_box_core(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, polish=True):
+def _solve_qp_box_core(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, polish=True,
+                       x_init=None, z_init=None):
     n = q.shape[0]
     dtype = q.dtype
     # Precision-aware tolerances: float32 cannot reach 1e-12 relative gap
@@ -72,14 +83,23 @@ def _solve_qp_box_core(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, pol
     tol_feas = jnp.maximum(jnp.asarray(tol_feas, dtype=dtype), 50 * eps)
     P = 0.5 * (P + P.T)
 
-    # --- Initialization: damped unconstrained solution pushed interior
-    eye = jnp.eye(n, dtype=dtype)
-    diag_scale = jnp.mean(jnp.diag(P))
-    chol0 = jsl.cho_factor(P + eye * (1e-10 * diag_scale + 1e-12))
-    x0 = jsl.cho_solve(chol0, -q)
-    s0 = jnp.maximum(x0 - lb, 1.0)
-    x0 = lb + s0
-    z0 = jnp.maximum(jnp.abs(P @ x0 + q), 1.0)
+    if x_init is not None:
+        # Warm start: push the supplied point strictly interior
+        s0 = jnp.maximum(x_init - lb, 1e-4)
+        x0 = lb + s0
+        if z_init is not None:
+            z0 = jnp.maximum(z_init, 1e-4)
+        else:
+            z0 = jnp.maximum(jnp.abs(P @ x0 + q), 1.0)
+    else:
+        # --- Initialization: damped unconstrained solution pushed interior
+        eye = jnp.eye(n, dtype=dtype)
+        diag_scale = jnp.mean(jnp.diag(P))
+        chol0 = jsl.cho_factor(P + eye * (1e-10 * diag_scale + 1e-12))
+        x0 = jsl.cho_solve(chol0, -q)
+        s0 = jnp.maximum(x0 - lb, 1.0)
+        x0 = lb + s0
+        z0 = jnp.maximum(jnp.abs(P @ x0 + q), 1.0)
 
     q_scale = 1.0 + jnp.max(jnp.abs(q))
 

@@ -114,17 +114,13 @@ class BatchedEISFitter:
                         for i in range(k)])
 
         # Weight initialization solves a severely ill-conditioned overfit QP
-        # (cond ~ 1e7, reference qphb.py:1609); run it in float64 regardless of
-        # the loop dtype — it is ~2% of total work but controls the error
-        # structure for the whole fit.
-        to64 = lambda a: a.astype(jnp.float64)
+        # (cond ~ 1e7, reference qphb.py:1609). In float64 runs it solves at
+        # full precision; in float32 runs we rely on the Jacobi equilibration
+        # inside solve_qp_box. (float64 emulation on the axon TPU stack is
+        # unstable — it kernel-faults the worker — so no cross-dtype upcast.)
         est, init_w, _, out_t = qphb_mod.initialize_weights(
-            jax.tree.map(lambda v: to64(v) if hasattr(v, "astype") else v, self.iw_hyp),
-            to64(self.m_stack), to64(rho0), to64(dop_rho0), to64(s0), to64(rzv),
-            to64(self.rzm), to64(self.vmm), to64(self.lb), cfg, outlier_p=None)
-        est = est.astype(dtype)
-        init_w = init_w.astype(dtype)
-        out_t = out_t.astype(dtype)
+            self.iw_hyp, self.m_stack, rho0, dop_rho0, s0, rzv,
+            self.rzm, self.vmm, self.lb, cfg, outlier_p=None)
 
         x0 = jnp.full(n, 1e-6, dtype=dtype)
         state, _ = fitcore.qphb_fit_loop(

@@ -111,7 +111,8 @@ def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
         x=x0, s_vectors=s0, rho_vector=rho0, dop_rho_vector=dop_rho0,
         weights=init_weights, outlier_t=outlier_t0,
         xmx_norms=jnp.ones(k, dtype=rzv.dtype), dop_xmx_norms=jnp.ones(k, dtype=rzv.dtype),
-        it=jnp.array(0, dtype=jnp.int32), converged=jnp.array(False))
+        it=jnp.array(0, dtype=jnp.int32), converged=jnp.array(False),
+        qp_dual=jnp.zeros_like(x0))
 
     def cond(carry):
         return (carry.state.it < fcfg.max_iter) & (~carry.state.converged)
@@ -136,7 +137,8 @@ def qphb_fit_eager(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
         dop_rho_vector=jnp.asarray(dop_rho0), weights=jnp.asarray(init_weights),
         outlier_t=jnp.asarray(outlier_t0),
         xmx_norms=jnp.ones(k, dtype=rzv.dtype), dop_xmx_norms=jnp.ones(k, dtype=rzv.dtype),
-        it=jnp.array(0, dtype=jnp.int32), converged=jnp.array(False))
+        it=jnp.array(0, dtype=jnp.int32), converged=jnp.array(False),
+        qp_dual=jnp.zeros_like(jnp.asarray(x0)))
     carry = FitCarry(state=state, rzm=jnp.asarray(rzm))
     history = []
     while int(carry.state.it) < fcfg.max_iter and not bool(carry.state.converged):

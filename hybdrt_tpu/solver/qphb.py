@@ -52,6 +52,7 @@ class QPHBState(NamedTuple):
     dop_xmx_norms: jnp.ndarray  # (K,)
     it: jnp.ndarray           # iteration counter
     converged: jnp.ndarray    # bool
+    qp_dual: Optional[jnp.ndarray] = None  # (N,) warm-start duals for the QP
 
 
 # ------------------------------------------------------------------
@@ -393,7 +394,18 @@ def iterate_qphb(state: QPHBState, rv, rm, vmm, m_stack, m1_gmat_source, dop_gma
                                        m_stack, state.s_vectors, cfg, nl_cross=nl_cross)
     p_matrix = wrm.T @ wrm + l2_matrix
     q_vector = -wrm.T @ wrv + l1_lambda_vector
-    qp_res = solve_qp_box(p_matrix, q_vector, lb, max_iter=qp_max_iter)
+    # Warm-start the interior point from the previous iteration's primal/dual
+    # point. Branchless (lax.cond under vmap would execute BOTH branches):
+    # iteration 0 falls back to a generic strictly-interior point.
+    if state.qp_dual is not None:
+        warm = state.it > 0
+        x_ws = jnp.where(warm, state.x, lb + 1.0)
+        z_ws = jnp.where(warm, jnp.maximum(state.qp_dual, 1e-6),
+                         jnp.maximum(jnp.abs(q_vector), 1.0))
+        qp_res = solve_qp_box(p_matrix, q_vector, lb, max_iter=qp_max_iter,
+                              x_init=x_ws, z_init=z_ws)
+    else:
+        qp_res = solve_qp_box(p_matrix, q_vector, lb, max_iter=qp_max_iter)
     x = qp_res.x
 
     s_vectors = state.s_vectors
@@ -480,4 +492,5 @@ def iterate_qphb(state: QPHBState, rv, rm, vmm, m_stack, m1_gmat_source, dop_gma
     return QPHBState(x=x, s_vectors=s_vectors, rho_vector=rho_vector,
                      dop_rho_vector=dop_rho_vector, weights=weights, outlier_t=outlier_t,
                      xmx_norms=state.xmx_norms, dop_xmx_norms=state.dop_xmx_norms,
-                     it=state.it + 1, converged=converged), qp_res
+                     it=state.it + 1, converged=converged,
+                     qp_dual=qp_res.z if state.qp_dual is not None else None), qp_res
