@@ -23,6 +23,7 @@ from ..utils.device import on_host
 from ..utils import eis as eis_utils
 from ..utils import validation
 from . import kk as kk_mod
+from . import background as bkg_mod
 
 
 SPECIAL_PARAM_OPTIONS = ["R_inf", "v_baseline", "inductance", "C_inv", "vz_offset",
@@ -669,7 +670,7 @@ class DRT:
                        offset_baseline=True, v_baseline_deg=0, v_baseline_sqrt=False,
                        downsample=False, downsample_kw=None, smooth_inf_response=True,
                        subtract_background=False, background_type="static",
-                       estimate_background_kw=None,
+                       background_corr_power=None, estimate_background_kw=None,
                        v_baseline_penalty=1e-6, ohmic_penalty=1e-6,
                        inductance_penalty=1e-6, capacitance_penalty=1e-6,
                        inductance_scale=1e-5, capacitance_scale=1e-3,
@@ -777,21 +778,41 @@ class DRT:
         # The flexible GP background is estimated from a preliminary fit's
         # residuals and removed from the response before the main fit.
         if subtract_background and times is not None:
-            if background_type != "static":
-                raise NotImplementedError(
-                    f"background_type {background_type!r} not yet implemented; "
-                    "only 'static' GP background subtraction is supported")
+            if background_type not in ("static", "dynamic", "scaled"):
+                raise ValueError(f"Invalid background_type {background_type!r}. "
+                                 "Options: 'static', 'dynamic', 'scaled'")
             ebk = dict(estimate_background_kw or {})
             ebk.setdefault("nonneg", nonneg)
             drt_bkg, bkg_gps, y_bkg = self.estimate_chrono_background(
                 times, i_signal, v_signal, copy_self=True, **ebk)
             self.background_gp = bkg_gps[0]
-            self.raw_response_background = np.asarray(y_bkg)
-            if self.chrono_mode == "galv":
-                v_signal = v_signal - self.raw_response_background
+            y_pred_bkg_full = np.asarray(drt_bkg.predict_response(times))
+            # Auto correlation-penalty power: penalize background estimates
+            # correlated with the model response (reference drt1d.py:326-336)
+            if background_corr_power is None and background_type != "static":
+                std_ratio = np.std(y_bkg) / np.std(y_pred_bkg_full)
+                background_corr_power = np.log(0.02 / std_ratio + 1) + 0.25
+            if background_type == "static":
+                if background_corr_power is not None:
+                    rm_bkg_est = bkg_mod.get_background_matrix(
+                        bkg_gps, np.asarray(times)[:, None], y_drt=y_pred_bkg_full,
+                        corr_power=background_corr_power)
+                    y_resid = np.asarray(v_signal if self.chrono_mode == "galv"
+                                         else i_signal, dtype=float) - y_pred_bkg_full
+                    self.raw_response_background = rm_bkg_est @ y_resid
+                else:
+                    self.raw_response_background = np.asarray(y_bkg)
+                if self.chrono_mode == "galv":
+                    v_signal = v_signal - self.raw_response_background
+                else:
+                    i_signal = i_signal - self.raw_response_background
             else:
-                i_signal = i_signal - self.raw_response_background
+                # dynamic/scaled: the background is handled inside the QP
+                # system (projection / scaled column), not pre-subtracted
+                self.raw_response_background = None
         else:
+            drt_bkg = None
+            bkg_gps = None
             self.background_gp = None
             self.raw_response_background = None
 
@@ -815,6 +836,8 @@ class DRT:
                                        self.v_baseline_deg + 1 + int(self.v_baseline_sqrt))
         if vz_offset and data_type == "hybrid":
             self._add_special_qp_param("vz_offset", False)
+        if subtract_background and times is not None and background_type == "scaled":
+            self._add_special_qp_param("background_scale", True)
         if self.fit_ohmic:
             self._add_special_qp_param("R_inf", True)
         if self.fit_inductance:
@@ -864,6 +887,24 @@ class DRT:
             capacitance_penalty, vz_offset_scale, background_penalty, inductance_scale,
             capacitance_scale)
 
+        # GP background projection for dynamic/scaled modes
+        # (reference drt1d.py:482-492): rm_bkg = K*K^-1 with correlation
+        # penalty vs the preliminary model response at the fit sample times
+        if subtract_background and times is not None and background_type != "static":
+            y_pred_bkg = np.asarray(drt_bkg.predict_response(sample_times))
+            rm_bkg = bkg_mod.get_background_matrix(
+                bkg_gps, np.asarray(sample_times)[:, None], y_drt=y_pred_bkg,
+                corr_power=background_corr_power)
+            if background_type == "dynamic":
+                # Project the background component out of the design matrix
+                rm_orig = rm.copy()
+                rm = rm - rm_bkg @ rm
+            else:
+                rm_orig = None
+        else:
+            rm_bkg = None
+            rm_orig = None
+
         # Stack response and impedance
         if rm is None:
             rzm = zm.copy()
@@ -874,9 +915,15 @@ class DRT:
 
         # vz_offset prep (reference drt1d.py:503-522)
         if data_type == "hybrid" and vz_offset:
-            rzm_vz = rzm.copy()
-            vb_start, vb_end = self.get_special_indices("v_baseline")
-            rzm_vz[:, vb_start:vb_end] = 0
+            if rm_orig is not None:
+                # vz_offset relates z to the raw voltage, not the
+                # background-projected voltage (reference drt1d.py:504-507)
+                rzm_vz = np.vstack((rm_orig, zm))
+            else:
+                rzm_vz = rzm.copy()
+                # Only the delta from baseline is offset-scaled
+                vb_start, vb_end = self.get_special_indices("v_baseline")
+                rzm_vz[:, vb_start:vb_end] = 0
             chrono_vz, eis_vz = self._get_vz_strength_vec(
                 sample_times, frequencies, fit_times=sample_times,
                 fit_frequencies=frequencies, vz_offset_eps=vz_offset_eps)
@@ -889,8 +936,14 @@ class DRT:
         if times is not None:
             self.scaled_response_offset = -response_baseline if offset_baseline else 0.0
             rv = self.scaled_response_signal + self.scaled_response_offset
+            if subtract_background and background_type == "dynamic":
+                rv_orig = rv.copy()
+                rv = rv - rm_bkg @ rv
+            else:
+                rv_orig = None
         else:
             rv = None
+            rv_orig = None
         zv = np.concatenate([z_scaled.real, z_scaled.imag]) if frequencies is not None else None
         if times is None:
             rzv = zv.copy()
@@ -943,7 +996,7 @@ class DRT:
                 cfg))
             rp_est = self.predict_r_p(absolute=True, x=x_rp, raw=True)
             scale_factor = qphb_hypers["rp_scale"] / rp_est
-            for vec in (rv, zv, rzv):
+            for vec in (rv, zv, rzv, rv_orig):
                 if vec is not None:
                     vec *= scale_factor
             self.update_data_scale(scale_factor)
@@ -952,7 +1005,7 @@ class DRT:
                 x_dop_max = np.max(np.abs(x_rp[ds_:de_]))
                 dop_rescale = x_drt_max / x_dop_max
                 self.dop_scale_vector /= dop_rescale
-                for mat in (rm, zm, rzm, rzm_vz):
+                for mat in (rm, zm, rzm, rzm_vz, rm_orig):
                     if mat is not None:
                         mat[:, ds_:de_] /= dop_rescale
                 for k in range(k_range):
@@ -1097,7 +1150,11 @@ class DRT:
             cfg=cfg, data_type=data_type, num_chrono=num_chrono,
             vz_offset=bool(vz_offset and data_type == "hybrid"),
             vz_index=self.special_qp_params.get("vz_offset", {}).get("index", -1),
+            bkg_scaled=bool(subtract_background and times is not None
+                            and background_type == "scaled"),
+            bkg_index=self.special_qp_params.get("background_scale", {}).get("index", -1),
             max_iter=max_iter, x_rtol=xtol, max_hp_iter=1)
+        rm_bkg_arg = jnp.asarray(rm_bkg) if fcfg.bkg_scaled else None
 
         dop_gmat_arg = jnp.stack([jnp.asarray(g) for g in dop_gmat]) if dop_gmat is not None \
             else None
@@ -1114,11 +1171,13 @@ class DRT:
         nl_cross_arg = nl_cross_j
         if store_history or not jit_loop:
             state, rzm_final, history = fitcore.qphb_fit_eager(*loop_args, fcfg,
-                                                               nl_cross=nl_cross_arg)
+                                                               nl_cross=nl_cross_arg,
+                                                               rm_bkg=rm_bkg_arg)
             self.qphb_history = history
         else:
             state, rzm_final = fitcore.qphb_fit_loop(*loop_args, fcfg,
-                                                     nl_cross=nl_cross_arg)
+                                                     nl_cross=nl_cross_arg,
+                                                     rm_bkg=rm_bkg_arg)
             self.qphb_history = None
 
         x = np.asarray(state.x)
@@ -1145,7 +1204,20 @@ class DRT:
         p_matrix = np.asarray(p_matrix)
         q_vector = np.asarray(q_vector)
 
-        if times is not None and self.raw_response_background is None:
+        # Extract the estimated background (reference drt1d.py:1013-1030).
+        # Static mode already stored it (raw units, full time grid) pre-fit.
+        if subtract_background and times is not None and background_type != "static":
+            if background_type == "dynamic":
+                resid = rv_orig - rm_orig @ x
+                self.raw_response_background = (rm_bkg @ resid) * self.response_signal_scale
+            else:  # scaled
+                bkg_idx = self.special_qp_params["background_scale"]["index"]
+                rzm_resid = rzm.copy()
+                rzm_resid[:, bkg_idx] = 0
+                resid = (rzv - rzm_resid @ x)[:num_chrono]
+                self.raw_response_background = (rm_bkg @ resid) \
+                    * self.response_signal_scale * x[bkg_idx]
+        elif times is not None and self.raw_response_background is None:
             self.raw_response_background = np.zeros(num_chrono)
 
         self.qphb_params = {

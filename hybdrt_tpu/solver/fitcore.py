@@ -23,6 +23,11 @@ class FitConfig(NamedTuple):
     num_chrono: int = 0
     vz_offset: bool = False
     vz_index: int = -1
+    # Scaled-background mode (reference drt1d.py:383-384,964-970): a
+    # 'background_scale' special column is rewritten each outer iteration
+    # with the GP-filtered chrono residual
+    bkg_scaled: bool = False
+    bkg_index: int = -1
     max_iter: int = 50
     x_rtol: float = 1e-2
     max_hp_iter: int = 1
@@ -41,7 +46,7 @@ class FitCarry(NamedTuple):
 
 def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,
                rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
-               weight_factor, hyp, fcfg: FitConfig, nl_cross=None):
+               weight_factor, hyp, fcfg: FitConfig, nl_cross=None, rm_bkg=None):
     st, rzm = carry
     nc = fcfg.num_chrono
 
@@ -90,6 +95,14 @@ def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weight
     else:
         st_new = jax.lax.cond(st.it == 0, set_norms, lambda s: s, st_new)
 
+    # Scaled-background column rewrite: re-estimate the background from the
+    # current chrono residuals, filtered through the GP projection matrix
+    # (reference drt1d.py:964-970)
+    if fcfg.bkg_scaled:
+        y_hat = rzm @ st_new.x
+        y_bkg = rm_bkg @ (rzv - y_hat)[:nc]
+        rzm = rzm.at[:nc, fcfg.bkg_index].set(y_bkg)
+
     # vz_offset column rewrite with the updated prediction
     # (reference drt1d.py:972-979)
     if fcfg.data_type == "hybrid" and fcfg.vz_offset:
@@ -104,7 +117,7 @@ def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weight
 def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
                   x0, s0, rho0, dop_rho0, init_weights, est_weights, outlier_t0,
                   rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
-                  weight_factor, fcfg: FitConfig, nl_cross=None):
+                  weight_factor, fcfg: FitConfig, nl_cross=None, rm_bkg=None):
     """Run the full QPHB outer loop; returns (final_state, final_rzm)."""
     k = fcfg.cfg.k_range
     state0 = QPHBState(
@@ -120,7 +133,7 @@ def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
     def body(carry):
         return _loop_body(carry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,
                           rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
-                          weight_factor, hyp, fcfg, nl_cross=nl_cross)
+                          weight_factor, hyp, fcfg, nl_cross=nl_cross, rm_bkg=rm_bkg)
 
     final = jax.lax.while_loop(cond, body, FitCarry(state=state0, rzm=rzm))
     return final.state, final.rzm
@@ -129,7 +142,7 @@ def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
 def qphb_fit_eager(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
                    x0, s0, rho0, dop_rho0, init_weights, est_weights, outlier_t0,
                    rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
-                   weight_factor, fcfg: FitConfig, nl_cross=None):
+                   weight_factor, fcfg: FitConfig, nl_cross=None, rm_bkg=None):
     """Python-driven variant collecting per-iteration history (diagnostics)."""
     k = fcfg.cfg.k_range
     state = QPHBState(
@@ -144,7 +157,7 @@ def qphb_fit_eager(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
     while int(carry.state.it) < fcfg.max_iter and not bool(carry.state.converged):
         carry = _loop_body(carry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,
                            rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
-                           weight_factor, hyp, fcfg, nl_cross=nl_cross)
+                           weight_factor, hyp, fcfg, nl_cross=nl_cross, rm_bkg=rm_bkg)
         st = carry.state
         history.append({
             "x": st.x, "s_vectors": st.s_vectors, "rho_vector": st.rho_vector,

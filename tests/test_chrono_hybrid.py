@@ -154,8 +154,38 @@ def test_fit_chrono_background_subtraction():
     # Background prediction available at new times
     bkg = drt.predict_chrono_background(times[:10])
     assert bkg.shape == (10,)
-    # Unsupported background type raises clearly
+    # Invalid background type raises clearly
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         DRT(warn=False).fit_chrono(times, i_sig, v, subtract_background=True,
-                                   background_type="dynamic")
+                                   background_type="bogus")
+
+
+def test_fit_chrono_background_dynamic_and_scaled():
+    """Dynamic (design-matrix projection) and scaled (special-column) GP
+    background modes (reference drt1d.py:482-492,964-970,1013-1030)."""
+    rng = np.random.default_rng(0)
+    t_pre = np.linspace(-0.01, -0.0005, 15)
+    t_post = np.logspace(-5, 0.5, 120)
+    times = np.concatenate([t_pre, t_post])
+    i_sig = np.where(times >= 0, 0.1, 0.0)
+    v = 0.05 + 0.1 * np.where(times >= 0,
+                              0.3 + 1.5 * (1 - np.exp(-np.maximum(times, 0) / 1e-2)), 0.0)
+    drift = 0.01 * np.sin(2 * np.pi * times / 1.5) + 0.008 * times
+    v = v + drift + rng.normal(size=len(times)) * 2e-4
+
+    rp = {}
+    for btype in ("dynamic", "scaled"):
+        drt = DRT(warn=False)
+        drt.fit_chrono(times, i_sig, v, subtract_background=True,
+                       background_type=btype,
+                       estimate_background_kw={"gp_kw": {"n_grid": 4}})
+        bkg = np.asarray(drt.raw_response_background)
+        assert bkg.shape == times.shape
+        assert np.all(np.isfinite(bkg))
+        rp[btype] = float(drt.predict_r_p())
+        assert abs(rp[btype] - 1.5) < 0.3
+    # scaled mode registers and fits the background_scale amplitude
+    assert drt.fit_parameters.get("background_scale") is not None
+    # Both in-QP background treatments should land near the same solution
+    assert abs(rp["dynamic"] - rp["scaled"]) < 0.05
