@@ -33,6 +33,7 @@ class DRTMD:
                  fit_dop=False, normalize_dop=True, nu_basis_type="gaussian",
                  nu_epsilon=None, chrono_reader: Optional[Callable] = None,
                  eis_reader: Optional[Callable] = None, fit_kw=None, fit_type="drt",
+                 pfrt_factors=None,
                  print_diagnostics=False, print_progress=True, warn=False):
         self.drt1d = DRT(tau_supergrid=tau_supergrid, tau_epsilon=tau_epsilon,
                          tau_basis_type=tau_basis_type, fixed_basis_nu=fixed_basis_nu,
@@ -45,7 +46,12 @@ class DRTMD:
                          print_diagnostics=print_diagnostics)
 
         self.psi_dim_names = psi_dim_names
-        self.store_attr_categories = store_attr_categories or ["config", "fit_core"]
+        if store_attr_categories is None:
+            # pfrt fits need the per-factor results ('detail') to rebuild
+            # covariances later
+            store_attr_categories = ["config", "fit_core"] \
+                + (["detail"] if fit_type == "pfrt" else [])
+        self.store_attr_categories = store_attr_categories
 
         self.tau_supergrid = np.asarray(tau_supergrid)
         self.tau_basis_type = tau_basis_type
@@ -72,7 +78,13 @@ class DRTMD:
                 return fl.read_eis(file, return_tuple=True)
         self.eis_reader = eis_reader
 
+        if fit_type not in ("drt", "pfrt"):
+            raise ValueError(f"Invalid fit_type {fit_type}. Options: ['drt', 'pfrt']")
         self.fit_type = fit_type
+        # Regularization-strength sweep levels for fit_type='pfrt'
+        # (reference drtmd.py:98-100)
+        self.pfrt_factors = np.logspace(-0.7, 0.7, 11) if pfrt_factors is None \
+            else np.asarray(pfrt_factors)
         fit_kw = dict(fit_kw or {})
         fit_kw.setdefault("nonneg", True)
         self.fit_kw = fit_kw
@@ -85,7 +97,7 @@ class DRTMD:
         self.obs_ignore_flag = np.zeros(0, dtype=bool)
 
         # Fit results
-        self.obs_x = np.zeros((0, len(self.tau_supergrid)))
+        self.obs_x = np.zeros((0, *self.drt_param_shape()))
         self.obs_drt_var = np.zeros((0, len(self.tau_supergrid)))
         self.obs_special = None
         self.obs_fit_attr = []
@@ -113,16 +125,17 @@ class DRTMD:
         return len(self.obs_data)
 
     def drt_param_shape(self):
+        if self.fit_type == "pfrt":
+            return (len(self.pfrt_factors), len(self.tau_supergrid))
         return (len(self.tau_supergrid),)
 
     def special_param_shape(self, key):
         sp = self.drt1d.special_qp_params.get(key, {"size": 1})
         size = sp.get("size", 1)
-        return () if size == 1 else (size,)
-
-    @property
-    def _fit_func_name(self):
-        return {"drt": None}.get(self.fit_type)  # placeholder; resolved per-obs
+        base = () if size == 1 else (size,)
+        if self.fit_type == "pfrt":
+            return (len(self.pfrt_factors), *base)
+        return base
 
     def validate_psi(self, psi):
         if self.psi_dim_names is not None and len(psi) != len(self.psi_dim_names):
@@ -148,11 +161,12 @@ class DRTMD:
         self.obs_fit_badness = np.append(self.obs_fit_badness, 0)
         self.obs_fit_attr.append(None)
         self.obs_tau_indices.append(None)
-        zero_row = np.zeros((1, len(self.tau_supergrid)))
+        zero_row = np.zeros((1, *self.drt_param_shape()))
+        zero_flat = np.zeros((1, len(self.tau_supergrid)))
         self.obs_x = np.concatenate([self.obs_x, zero_row])
-        self.obs_drt_var = np.concatenate([self.obs_drt_var, zero_row])
-        self.obs_x_resolved = np.concatenate([self.obs_x_resolved, zero_row])
-        self.obs_x_filt = np.concatenate([self.obs_x_filt, zero_row])
+        self.obs_drt_var = np.concatenate([self.obs_drt_var, zero_flat])
+        self.obs_x_resolved = np.concatenate([self.obs_x_resolved, zero_flat])
+        self.obs_x_filt = np.concatenate([self.obs_x_filt, zero_flat])
         self.obs_llh = np.append(self.obs_llh, 0)
         self.obs_rss = np.append(self.obs_rss, 0)
         self.obs_resolve_status = np.append(self.obs_resolve_status, False)
@@ -201,6 +215,19 @@ class DRTMD:
             self.obs_special_filt[key] = np.zeros(shape)
 
     def format_1d_params(self, drt, left_index, right_index):
+        if self.fit_type == "pfrt":
+            # One solution per regularization factor (reference drtmd.py:1145-1156)
+            fit_params = [drt.extract_qphb_parameters(x_raw)
+                          for x_raw in drt.pfrt_result["step_x"]]
+            x_drt = np.zeros(self.drt_param_shape())
+            x_drt[:, left_index:right_index] = np.array([fp["x"] for fp in fit_params])
+            x_special = {}
+            for key in drt.special_qp_params:
+                vals = np.array([np.atleast_1d(fp[key]) for fp in fit_params])
+                if self.special_param_shape(key) == (len(self.pfrt_factors),):
+                    vals = vals[:, 0]
+                x_special[key] = vals
+            return x_drt, x_special
         x_drt = np.zeros(len(self.tau_supergrid))
         x_drt[left_index:right_index] = drt.fit_parameters["x"]
         x_special = {k: drt.fit_parameters.get(k if k != "x_dop" else "x_dop")
@@ -222,7 +249,15 @@ class DRTMD:
             freq = eis_data[0]
             if times is None and freq is None:
                 raise ValueError("Observation has no data")
-            if times is None:
+            if self.fit_type == "pfrt":
+                fit_kw = dict(self.fit_kw, factors=self.pfrt_factors)
+                if times is None:
+                    self.drt1d.pfrt_fit_eis(*eis_data, **fit_kw)
+                elif freq is None:
+                    self.drt1d.pfrt_fit_chrono(*chrono_data, **fit_kw)
+                else:
+                    self.drt1d.pfrt_fit_hybrid(*chrono_data, *eis_data, **fit_kw)
+            elif times is None:
                 self.drt1d.fit_eis(*eis_data, **self.fit_kw)
             elif freq is None:
                 self.drt1d.fit_chrono(*chrono_data, **self.fit_kw)
@@ -303,6 +338,8 @@ class DRTMD:
 
         if len(fit_index) == 0:
             return
+        if self.fit_type != "drt":
+            raise ValueError("Batched fitting supports fit_type='drt' only")
         # Gather and validate the shared frequency grid
         freqs, zs = [], []
         for i in fit_index:
@@ -410,6 +447,8 @@ class DRTMD:
     def resolve_observations(self, obs_index, psi_sort_dims=None, psi_distance_dims=None,
                              truncate=False, sigma=1, lambda_psi=1, tau_filter_sigma=0,
                              special_filter_sigma=0):
+        if self.fit_type != "drt":
+            raise ValueError("resolve_observations supports fit_type='drt' only")
         obs_index = np.asarray(obs_index)
         include = self.obs_fit_status[obs_index] & ~self.obs_ignore_flag[obs_index]
         obs_index = obs_index[include]
@@ -507,18 +546,25 @@ class DRTMD:
     # ------------------------------------------------------------------
     # Prediction (reference drtmd.py:788-1135)
     # ------------------------------------------------------------------
-    def predict_x(self, psi=None, obs_index=None, resolved=True):
+    def predict_x(self, psi=None, obs_index=None, resolved=True, factor_index=None):
         """DRT coefficients (on the supergrid) at requested psi/indices; nearest
-        neighbor in psi if interpolation is not required."""
-        x_source = self.obs_x_resolved if (resolved and self.obs_resolve_status.any()) \
+        neighbor in psi if interpolation is not required. For fit_type='pfrt',
+        factor_index selects one regularization level (reference
+        drtmd.py:820-821); otherwise all levels are returned."""
+        x_source = self.obs_x_resolved if (resolved and self.fit_type == "drt"
+                                           and self.obs_resolve_status.any()) \
             else self.obs_x
         if obs_index is not None:
-            return x_source[np.asarray(obs_index)]
-        if psi is None:
-            return x_source
-        psi = np.atleast_2d(psi)
-        idx = [int(np.argmin(np.sum((self.obs_psi - p) ** 2, axis=1))) for p in psi]
-        return x_source[idx]
+            x = x_source[np.asarray(obs_index)]
+        elif psi is None:
+            x = x_source
+        else:
+            psi = np.atleast_2d(psi)
+            idx = [int(np.argmin(np.sum((self.obs_psi - p) ** 2, axis=1))) for p in psi]
+            x = x_source[idx]
+        if self.fit_type == "pfrt" and factor_index is not None:
+            x = x[:, factor_index, :]
+        return x
 
     def predict_drt(self, psi=None, obs_index=None, tau=None, order=0, resolved=True):
         """gamma(ln tau) for requested observations."""
@@ -549,10 +595,57 @@ class DRTMD:
         idx = [int(np.argmin(np.sum((self.obs_psi - p) ** 2, axis=1))) for p in psi]
         return vals[idx]
 
+    def predict_param_cov(self, obs_index, factor_index=None):
+        """Laplace parameter covariance per observation (reference
+        drtmd.py:925-955). For pfrt fits, factor_index selects one
+        regularization level; None returns covariances for all levels."""
+        cov_matrices = []
+        for index in np.atleast_1d(obs_index):
+            if self.obs_fit_status[index]:
+                drt = self.get_fit(index)
+                if self.fit_type == "pfrt":
+                    step_p = drt.pfrt_result["step_p_mat"]
+                    if factor_index is not None:
+                        cov = drt.estimate_param_cov(p_matrix=step_p[factor_index])
+                    else:
+                        cov = np.array([drt.estimate_param_cov(p_matrix=pm)
+                                        for pm in step_p])
+                else:
+                    cov = drt.estimate_param_cov()
+            else:
+                cov = None
+            cov_matrices.append(cov)
+        return cov_matrices
+
+    def predict_x_cov(self, obs_index, factor_index=None):
+        """DRT-coefficient covariance on the supergrid (reference
+        drtmd.py:957-975)."""
+        obs_index = np.atleast_1d(obs_index)
+        cov = self.predict_param_cov(obs_index, factor_index)
+        if self.fit_type == "pfrt" and factor_index is None:
+            shape = (len(cov), len(self.pfrt_factors),
+                     len(self.tau_supergrid), len(self.tau_supergrid))
+        else:
+            shape = (len(cov), len(self.tau_supergrid), len(self.tau_supergrid))
+        x_cov = np.zeros(shape)
+        for i, index in enumerate(obs_index):
+            if cov[i] is None:
+                x_cov[i] = np.nan
+                continue
+            li, ri = self.obs_tau_indices[index]
+            drt = self.get_fit(index)
+            ns = drt.get_qp_mat_offset()
+            if self.fit_type == "pfrt" and factor_index is None:
+                x_cov[i, :, li:ri, li:ri] = cov[i][:, ns:, ns:]
+            else:
+                x_cov[i, li:ri, li:ri] = cov[i][ns:, ns:]
+        return x_cov
+
     # ------------------------------------------------------------------
     # Persistence (reference drtmd.py:1382-1477)
     # ------------------------------------------------------------------
     _persist_attrs = [
+        "fit_type", "pfrt_factors",
         "tau_supergrid", "psi_dim_names", "tau_basis_type", "tau_epsilon",
         "fixed_basis_nu", "nu_basis_type", "nu_epsilon", "fit_dop", "fit_kw",
         "obs_psi", "obs_data", "obs_group_id", "obs_data_badness", "obs_ignore_flag",

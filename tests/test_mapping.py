@@ -102,3 +102,43 @@ def test_ignore_errors():
     assert md.obs_fit_status[0]
     assert not md.obs_fit_status[1]
     assert md.obs_ignore_flag[1]
+
+
+def test_drtmd_pfrt_fit_type():
+    """fit_type='pfrt': per-factor solutions stored for each observation
+    (reference drtmd.py:32,98-100,820-821,925-975,1137-1158)."""
+    import pytest
+    from hybdrt_tpu import DRTMD
+
+    def sim_eis(tau0, seed):
+        rng = np.random.default_rng(seed)
+        f = np.logspace(5, -1, 31)
+        w = 2j * np.pi * f
+        z = 0.4 + 1.5 / (1 + (w * tau0) ** 0.9)
+        return f, z + rng.normal(0, 1e-4, 31) + 1j * rng.normal(0, 1e-4, 31)
+
+    factors = np.logspace(-0.5, 0.5, 5)
+    md = DRTMD(tau_supergrid=np.logspace(-7, 2, 91), psi_dim_names=["T"],
+               fit_type="pfrt", pfrt_factors=factors,
+               print_progress=False, warn=False)
+    for i, t0 in enumerate([1e-3, 2e-3]):
+        md.add_observation([700 + 50 * i], None, sim_eis(t0, i))
+    md.fit_all()
+
+    assert md.obs_x.shape == (2, 5, 91)
+    assert md.predict_x(obs_index=[0, 1]).shape == (2, 5, 91)
+    assert md.predict_x(obs_index=[0, 1], factor_index=2).shape == (2, 91)
+    # Specials resolved per factor; R_inf recovered at every level
+    rinf = md.predict_special("R_inf", obs_index=[0])
+    assert rinf.shape == (1, 5)
+    assert np.allclose(rinf, 0.4, atol=0.05)
+    # Covariances per factor level
+    assert md.predict_x_cov([0], factor_index=2).shape == (1, 91, 91)
+    assert md.predict_x_cov([0]).shape == (1, 5, 91, 91)
+    # Batched path and resolve are drt-only
+    with pytest.raises(ValueError):
+        md.fit_all(batched=True, refit=True)
+    with pytest.raises(ValueError):
+        md.resolve_observations([0, 1])
+    with pytest.raises(ValueError):
+        DRTMD(tau_supergrid=np.logspace(-7, 2, 91), fit_type="bogus")
