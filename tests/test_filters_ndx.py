@@ -131,3 +131,31 @@ def test_flag_outliers_and_bad_obs():
     bad = nddata.flag_bad_obs(bad_arr, x_filt, std_size=(3, 5), thresh=3)
     assert bad[7]
     assert bad.sum() <= 3
+
+
+def test_cr_filter_smooths_noise():
+    """Curvature-regularizing filter (filters/curvreg.py): removes noise while
+    preserving a smooth (zero-Gaussian-curvature) ramp."""
+    from hybdrt_tpu.filters import curvreg
+    rng = np.random.default_rng(0)
+    x = np.linspace(0, 1, 24)
+    ramp = x[:, None] + 0.5 * x[None, :]          # planar: GC = MC-free ramp
+    noisy = ramp + rng.normal(0, 0.05, ramp.shape)
+    # The min-|projection| update is conservative: gc reduces noise modestly,
+    # mc (minimal-surface target) substantially
+    bounds = {"gc": 0.95, "mc": 0.7}
+    for ct in ("gc", "mc"):
+        out = curvreg.cr_filter(noisy, n_iter=30, curv_type=ct)
+        assert out.shape == ramp.shape
+        err_in = np.std(noisy - ramp)
+        err_out = np.std(out - ramp)
+        assert err_out < bounds[ct] * err_in
+    # A plane is a fixed point (projection distances ~ 0)
+    flat = curvreg.cr_filter(ramp, n_iter=10, curv_type="gc")
+    assert np.allclose(flat, ramp, atol=1e-8)
+    # Invalid options raise
+    import pytest
+    with pytest.raises(ValueError):
+        curvreg.cr_filter(noisy, curv_type="bogus")
+    with pytest.raises(ValueError):
+        curvreg.cr_filter(noisy, mode="bogus")
