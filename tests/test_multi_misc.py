@@ -49,3 +49,35 @@ def test_md_utils_roundtrip():
     arr, mask = md.pad_vectors(vecs)
     assert arr.shape == (3, 5)
     assert mask.sum() == 10
+
+
+def test_series_neg_fit():
+    """series_neg: stacked nonneg pos/neg coefficient sets recover a series
+    negative feature (reference drt1d.py:152-153,359-360,2963-2991)."""
+    import pytest
+    from hybdrt_tpu import DRT
+    rng = np.random.default_rng(1)
+    f = np.logspace(5, -1, 41)
+    w = 2j * np.pi * f
+    z = 0.3 + 1.5 / (1 + (w * 1e-3) ** 0.9) - 0.5 / (1 + (w * 1e0) ** 0.9)
+    z = z + rng.normal(0, 5e-4, 41) + 1j * rng.normal(0, 5e-4, 41)
+
+    drt = DRT(warn=False)
+    drt.fit_eis(f, z, nonneg=True, series_neg=True)
+    tau = np.logspace(-6, 2, 100)
+    g_pos = drt.predict_distribution(tau, sign=1)
+    g_neg = drt.predict_distribution(tau, sign=-1)
+    g_tot = drt.predict_distribution(tau, sign=0)
+    # Signed components land at the true time constants
+    assert abs(np.log10(tau[np.argmax(g_pos)]) - (-3)) < 0.5
+    assert abs(np.log10(tau[np.argmin(g_neg)]) - 0.0) < 0.5
+    assert np.all(g_pos >= -1e-10) and np.all(g_neg <= 1e-10)
+    assert np.allclose(g_tot, g_pos + g_neg, atol=1e-10)
+    # Net Rp = 1.5 - 0.5; ohmic recovered; data reproduced
+    assert abs(drt.predict_r_p() - 1.0) < 0.1
+    assert abs(drt.fit_parameters["R_inf"] - 0.3) < 0.02
+    zh = drt.predict_z(f)
+    assert np.linalg.norm(zh - z) / np.linalg.norm(z) < 0.01
+    # series_neg requires nonneg (reference drt1d.py:152-153)
+    with pytest.raises(ValueError):
+        DRT(warn=False).fit_eis(f, z, nonneg=False, series_neg=True)
