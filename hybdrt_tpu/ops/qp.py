@@ -112,7 +112,13 @@ def _solve_qp_box_core(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, pol
         return ok_gap & ok_dual
 
     def body(carry):
-        x, s, z, it, _ = carry
+        # Under vmap the loop runs until ALL batch elements converge; a
+        # converged element's state must be FROZEN (jnp.where on done below),
+        # otherwise it keeps stepping at the s/z floors, overflows in float32,
+        # goes NaN, never registers converged, and drags the whole batch to
+        # max_iter on every call.
+        x_old, s_old, z_old, it, done = carry
+        x, s, z = x_old, s_old, z_old
         d = z / s
         r_d = P @ x + q - z
         r_p = s - (x - lb)
@@ -147,7 +153,13 @@ def _solve_qp_box_core(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, pol
         tiny = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-25, dtype=dtype)
         s = jnp.maximum(s + a_p * ds, tiny)
         z = jnp.maximum(z + a_d * dz, tiny)
-        return x, s, z, it + 1, converged(x, s, z)
+        # NaN/inf guard: a failed step (singular H in float32) keeps the
+        # previous iterate and stops, rather than poisoning the batch
+        bad = ~(jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(z)))
+        x = jnp.where(done | bad, x_old, x)
+        s = jnp.where(done | bad, s_old, s)
+        z = jnp.where(done | bad, z_old, z)
+        return x, s, z, it + 1, done | bad | converged(x, s, z)
 
     def cond(carry):
         _, _, _, it, done = carry
@@ -205,7 +217,9 @@ def solve_qp(P, q, G, h, tol_gap=1e-12, tol_feas=1e-10, max_iter=60):
     q_scale = 1.0 + jnp.max(jnp.abs(q))
 
     def body(carry):
-        x, s, z, it, _ = carry
+        # Freeze converged/failed elements under vmap (see solve_qp_box body)
+        x_old, s_old, z_old, it, done = carry
+        x, s, z = x_old, s_old, z_old
         d = z / s
         r_d = P @ x + q + G.T @ z
         r_p = s - h + G @ x
@@ -237,12 +251,17 @@ def solve_qp(P, q, G, h, tol_gap=1e-12, tol_feas=1e-10, max_iter=60):
         s = s + a_p * ds
         z = z + a_d * dz
 
+        bad = ~(jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(z)))
+        x = jnp.where(done | bad, x_old, x)
+        s = jnp.where(done | bad, s_old, s)
+        z = jnp.where(done | bad, z_old, z)
+
         r_d = P @ x + q + G.T @ z
         gap = jnp.dot(s, z) / m
         obj = 0.5 * jnp.dot(x, P @ x) + jnp.dot(q, x)
-        done = (gap <= tol_gap * (1.0 + jnp.abs(obj))) & \
-               (jnp.max(jnp.abs(r_d)) <= tol_feas * q_scale)
-        return x, s, z, it + 1, done
+        ok = (gap <= tol_gap * (1.0 + jnp.abs(obj))) & \
+             (jnp.max(jnp.abs(r_d)) <= tol_feas * q_scale)
+        return x, s, z, it + 1, done | bad | ok
 
     def cond(carry):
         _, _, _, it, done = carry
