@@ -14,31 +14,60 @@ from ..filters import std_filter, flexible_hysteresis_threshold
 # ------------------------------------------------------------------
 # Probability maps
 # ------------------------------------------------------------------
-def peak_prob(f, fx, fxx, std_size=5, std_baseline=0.1):
-    """P(peak) per pixel from negative curvature and positive height
-    normalized by local spread (reference surface.py / curvature usage)."""
-    from scipy.special import ndtr
-    f = np.asarray(f, dtype=float)
-    fxx = np.asarray(fxx, dtype=float)
-    f_std = std_filter(np.nan_to_num(f), std_size) + std_baseline * np.nanstd(f) + 1e-12
-    fxx_std = std_filter(np.nan_to_num(fxx), std_size) \
-        + std_baseline * np.nanstd(fxx) + 1e-12
-    p_curv = ndtr(-fxx / fxx_std)
-    p_height = ndtr(f / f_std)
-    return p_curv * p_height
+def _field_stds(f, fx, fxx, f_var, fx_var, fxx_var, std_size, std_baseline):
+    """Per-field uncertainty: Bayesian variances when given, otherwise a local
+    std filter plus a global baseline (reference surface.py:265-333)."""
+    nan_mask = np.isnan(f)
+    out = []
+    for arr, var in ((f, f_var), (fx, fx_var), (fxx, fxx_var)):
+        if var is None:
+            std = std_filter(np.nan_to_num(arr), std_size,
+                             mask=(~nan_mask).astype(float))
+            std = std + std_baseline * np.std(arr[~nan_mask]) + 1e-12
+        else:
+            std = np.asarray(var, dtype=float) ** 0.5 + 1e-12
+        out.append(std)
+    return out
 
 
-def trough_prob(f, fx, fxx, std_size=5, std_baseline=0.1):
-    """P(trough): positive curvature or low height."""
+def peak_prob(f, fx, fxx, std_size=5, f_var=None, fx_var=None, fxx_var=None,
+              constrain_sign=False, std_baseline=0.1):
+    """P(peak) per pixel: curvature opposing the function sign, slope near
+    zero, and height clear of zero (reference surface.py:265-309). Variance
+    arrays from a Bayesian inversion may be supplied in place of the local
+    std estimate."""
     from scipy.special import ndtr
     f = np.asarray(f, dtype=float)
+    fx = np.asarray(fx, dtype=float)
     fxx = np.asarray(fxx, dtype=float)
-    f_std = std_filter(np.nan_to_num(f), std_size) + std_baseline * np.nanstd(f) + 1e-12
-    fxx_std = std_filter(np.nan_to_num(fxx), std_size) \
-        + std_baseline * np.nanstd(fxx) + 1e-12
-    p_curv = ndtr(fxx / fxx_std)
-    p_low = ndtr(-f / f_std + 1.0)
-    return np.maximum(p_curv * p_low, p_low * 0.5)
+    f_std, fx_std, fxx_std = _field_stds(f, fx, fxx, f_var, fx_var, fxx_var,
+                                         std_size, std_baseline)
+    # P(curvature has sign opposite the function)
+    if constrain_sign:
+        fxx_prob = 1 - 2 * ndtr((0 - (-np.sign(f) * fxx)) / fxx_std)
+        fxx_prob = np.clip(fxx_prob, 0, None)
+    else:
+        fxx_prob = 1 - ndtr((0 - (-np.sign(f) * fxx)) / fxx_std)
+    # P(slope within 5 std of zero)
+    fx_prob = ndtr((5 * fx_std - fx) / fx_std) - ndtr((-5 * fx_std - fx) / fx_std)
+    # P(height more than 1 std from zero)
+    f_prob = 1 - ndtr((f_std - np.abs(f)) / f_std)
+    return f_prob * fx_prob * fxx_prob
+
+
+def trough_prob(f, fx, fxx, f_var=None, fx_var=None, fxx_var=None, std_size=5,
+                std_baseline=0.1):
+    """P(trough): slope near zero with curvature matching the function sign
+    (reference surface.py:312-350)."""
+    from scipy.special import ndtr
+    f = np.asarray(f, dtype=float)
+    fx = np.asarray(fx, dtype=float)
+    fxx = np.asarray(fxx, dtype=float)
+    f_std, fx_std, fxx_std = _field_stds(f, fx, fxx, f_var, fx_var, fxx_var,
+                                         std_size, std_baseline)
+    fx_prob = ndtr((5 * fx_std - fx) / fx_std) - ndtr((-5 * fx_std - fx) / fx_std)
+    fxx_prob = 1 - ndtr((0 - np.sign(f) * fxx) / fxx_std)
+    return fx_prob * fxx_prob
 
 
 # ------------------------------------------------------------------

@@ -1689,6 +1689,18 @@ class DRT:
         gamma = self.predict_distribution(tau, **predict_kw)
         return np.trapezoid(gamma, x=np.log(tau))
 
+    # Reference-compatible alias (reference drt1d.py:3586)
+    integrate_distribution = integrate_drt
+
+    def get_drt_norm(self, normalize, normalize_by=None, x=None, absolute=False):
+        """Normalization constant for distribution queries
+        (reference drt1d.py:3020)."""
+        if normalize_by is not None:
+            return normalize_by
+        if normalize:
+            return self.predict_r_p(x=x, absolute=absolute)
+        return 1.0
+
     # ------------------------------------------------------------------
     # Uncertainty (reference drt1d.py:3063-3258, 4116-4146)
     # ------------------------------------------------------------------
@@ -1763,18 +1775,212 @@ class DRT:
                 dist_cov[right, right] = var[right]
         return dist_cov
 
-    def predict_drt_ci(self, tau=None, ppd=20, order=0, quantiles=(0.025, 0.975)):
+    def predict_drt_ci(self, tau=None, ppd=20, order=0, quantiles=(0.025, 0.975),
+                       x=None, sign=None, normalize=False):
         """Credible interval of the DRT from the Laplace posterior."""
         from scipy.special import ndtri
         if tau is None:
             tau = self.get_tau_eval(ppd)
-        dist_cov = self.estimate_distribution_cov(tau=tau, order=order)
+        dist_cov = self.estimate_distribution_cov(tau=tau, order=order, sign=sign,
+                                                  normalize=normalize)
         if dist_cov is None:
             return None, None
         sigma = np.sqrt(np.maximum(np.diag(dist_cov), 0))
-        mu = self.predict_distribution(tau=tau, order=order)
+        mu = self.predict_distribution(tau=tau, order=order, x=x, sign=sign,
+                                       normalize=normalize)
         out = [mu + ndtri(q) * sigma for q in quantiles]
         return out[0], out[1]
+
+    # Reference-compatible alias (reference drt1d.py:3200)
+    predict_distribution_ci = predict_drt_ci
+
+    @on_host
+    def estimate_dop_cov(self, nu=None, p_matrix=None, normalize=False,
+                         normalize_tau=None, var_floor=0.0, order=0,
+                         delta_density=False):
+        """Covariance of the DOP distribution (reference drt1d.py:3153)."""
+        if not self.fit_dop:
+            raise ValueError("DOP was not fitted")
+        if nu is None:
+            nu = self.basis_nu
+        em = np.asarray(basis.construct_func_eval_matrix(
+            np.asarray(self.basis_nu), np.asarray(nu), self.nu_basis_type,
+            self.nu_epsilon, order))
+        x_cov = self.estimate_param_cov(p_matrix=p_matrix)
+        if x_cov is None:
+            return None
+        ds_, de_ = self.dop_indices
+        x_cov = x_cov[ds_:de_, ds_:de_]
+        if delta_density and self.nu_basis_type == "delta":
+            x_cov = x_cov / self.get_nu_basis_spacing()
+        dist_cov = em @ x_cov @ em.T
+        if normalize:
+            tau_ref = normalize_tau if normalize_tau is not None else self.basis_tau
+            sv = np.asarray(phasance.phasor_scale_vector(np.asarray(nu), tau_ref))
+            dist_cov = dist_cov / (sv[:, None] * sv[None, :])
+        if var_floor > 0:
+            dist_cov[np.diag_indices_from(dist_cov)] = np.maximum(
+                np.diag(dist_cov), var_floor)
+        return dist_cov
+
+    def predict_dop_ci(self, nu=None, x=None, normalize=False, normalize_tau=None,
+                       quantiles=(0.025, 0.975), order=0, delta_density=False):
+        """Credible interval of the DOP (reference drt1d.py:3233)."""
+        from scipy.special import ndtri
+        if nu is None:
+            nu = self.basis_nu
+        dist_cov = self.estimate_dop_cov(nu=nu, order=order, normalize=normalize,
+                                         normalize_tau=normalize_tau,
+                                         delta_density=delta_density)
+        if dist_cov is None:
+            return None, None
+        sigma = np.sqrt(np.maximum(np.diag(dist_cov), 0))
+        mu = self.predict_dop(nu=nu, x=x, order=order, normalize=normalize,
+                              normalize_tau=normalize_tau,
+                              delta_density=delta_density)
+        out = [mu + ndtri(q) * sigma for q in quantiles]
+        return out[0], out[1]
+
+    def get_nu_basis_spacing(self):
+        """Per-point minimum spacing of the nu basis grid (reference
+        drt1d.py:3261-3271), used to convert delta magnitudes to densities."""
+        basis_nu = self.fixed_basis_nu if self.fixed_basis_nu is not None \
+            else self.basis_nu
+        dnu = np.diff(np.sort(np.asarray(basis_nu)))
+        dnu = np.minimum(dnu[1:], dnu[:-1])
+        med = np.median(dnu) if len(dnu) else 1.0
+        return np.concatenate([[med], dnu, [med]])
+
+    def get_dop_params(self, x=None):
+        if x is None:
+            x = self.fit_parameters["x_dop"]
+        return np.asarray(x)
+
+    def default_dist_sign(self):
+        """Sign convention for distribution queries (reference drt1d.py:2990)."""
+        return 0 if self.series_neg else 1
+
+    def get_data_tau_limits(self):
+        """(tau_min, tau_max) covered by the measured data
+        (reference drt1d.py:93-98)."""
+        return pp.get_tau_lim(self.get_fit_frequencies(True), self.get_fit_times(True),
+                              self.nonconsec_step_times)
+
+    def predict_v_baseline(self, times, x_vb=None):
+        """Fitted baseline polynomial evaluated at times (reference
+        drt1d.py:3466)."""
+        times = np.asarray(times)
+        if "v_baseline" in self.fit_parameters:
+            from .background import get_baseline_matrix
+            vb_mat = get_baseline_matrix(times, self.v_baseline_deg, normalize=False,
+                                         sqrt=self.v_baseline_sqrt)
+            if x_vb is None:
+                x_vb = np.atleast_1d(self.fit_parameters["v_baseline"])
+            return vb_mat @ np.atleast_1d(x_vb)
+        return np.zeros_like(times, dtype=float)
+
+    def predict_sigma(self, measurement):
+        """Estimated data-space noise level ('chrono' or 'eis')
+        (reference drt1d.py:3544)."""
+        key = {"chrono": "v_sigma_tot", "eis": "z_sigma_tot"}.get(measurement)
+        if key is None:
+            raise ValueError(f"Invalid measurement {measurement}; "
+                             "options: 'chrono', 'eis'")
+        return self.fit_parameters.get(key, None)
+
+    def split_r_p(self, tau_splits, resolve_peaks=False, **predict_kw):
+        """Split the polarization resistance into contributions between
+        tau_splits boundaries (reference drt1d.py:3596)."""
+        from ..utils.array import nearest_index
+        tau_splits = sorted(tau_splits)
+        if "tau" in predict_kw:
+            tau = np.asarray(predict_kw.pop("tau"))
+        else:
+            tau = self.get_tau_eval(predict_kw.pop("ppd", 20))
+        gamma = self.predict_distribution(tau, **predict_kw)
+        split_index = [nearest_index(tau, ts) for ts in tau_splits]
+        start_index = np.array([0] + split_index)
+        end_index = np.array(split_index + [len(tau)]) + 1
+        if resolve_peaks:
+            fxx = self.predict_distribution(tau, order=2, **predict_kw)
+            peak_index = [int(np.argmin(fxx[i:j])) + i
+                          for i, j in zip(start_index, end_index)]
+            peak_coef = self.estimate_peak_coef(tau, peak_indices=peak_index)
+            return np.array([self.predict_r_p(x=pc) for pc in peak_coef])
+        return np.array([np.trapezoid(gamma[i:j], x=np.log(tau[i:j]))
+                         for i, j in zip(start_index, end_index)])
+
+    def evaluate_chi_sq(self, frequencies=None, z=None, x=None, weights=None,
+                        **predict_kw):
+        """Chi-squared of the impedance fit (reference drt1d.py:3631)."""
+        from .. import evaluation
+        if frequencies is None:
+            frequencies = self.get_fit_frequencies()
+        if z is None:
+            z = self.z_fit
+        if weights is not None:
+            if isinstance(weights, str) and weights == "modulus":
+                weights = 1 / np.abs(z)
+            elif np.shape(weights) != np.shape(z):
+                raise ValueError("Weights must have same shape as z")
+        z_hat = self.predict_z(frequencies, x=x, **predict_kw)
+        return evaluation.chi_sq(z, z_hat, weights=weights)
+
+    def fisher_matrix(self, weighted=True):
+        """Gauss-Newton information matrix of the data fit
+        (reference drt1d.py:4140)."""
+        rm = np.asarray(self.qphb_params["rm"])
+        if weighted:
+            rm = rm * np.asarray(self.qphb_params["weights"])[:, None]
+        return rm.T @ rm
+
+    def predict_peak_trough_probs(self, tau=None, x=None, bayes_cov=True,
+                                  p_matrix=None):
+        """Pointwise P(peak), P(trough) from the distribution and its
+        derivatives with Laplace uncertainties (reference drt1d.py:3655)."""
+        from ..mapping.surface import peak_prob, trough_prob
+        if tau is None:
+            tau = self.get_tau_eval(10)
+        mus, bvar = [], []
+        for order in (0, 1, 2):
+            mus.append(self.predict_distribution(tau, x=x, order=order))
+            if bayes_cov:
+                cov = self.estimate_distribution_cov(tau, p_matrix=p_matrix,
+                                                     order=order, extend_var=True)
+                sigma = np.diag(cov) ** 0.5
+                # Floor on sigma (reference drt1d.py:3676-3680)
+                iqr = np.percentile(sigma, 75) - np.percentile(sigma, 25)
+                sigma = np.maximum(sigma, np.median(sigma) - 1.5 * iqr)
+                bvar.append(sigma ** 2)
+        f_var, fx_var, fxx_var = bvar if bayes_cov else (None, None, None)
+        pp_ = peak_prob(*mus, f_var=f_var, fx_var=fx_var, fxx_var=fxx_var)
+        tp_ = trough_prob(*mus, f_var=f_var, fx_var=fx_var, fxx_var=fxx_var)
+        return pp_, tp_
+
+    def predict_peak_prob(self, tau=None, x=None, bayes_cov=True, p_matrix=None):
+        """Semi-quantitative probability of peak existence over tau
+        (reference drt1d.py:3693)."""
+        pp_, tp_ = self.predict_peak_trough_probs(tau, x, bayes_cov=bayes_cov,
+                                                  p_matrix=p_matrix)
+        return pp_ * (1 - tp_)
+
+    def find_peaks_byprob(self, tau=None, x=None, prob=None, height=None,
+                          prominence=None, bayes_cov=True, p_matrix=None,
+                          return_info=False):
+        """Peak finding on the peak-probability function
+        (reference drt1d.py:3720)."""
+        from scipy import signal as sp_signal
+        if tau is None:
+            tau = self.get_tau_eval(10)
+        tau = np.asarray(tau)
+        if prob is None:
+            prob = self.predict_peak_prob(tau, x, bayes_cov=bayes_cov,
+                                          p_matrix=p_matrix)
+        peak_indices, peak_info = sp_signal.find_peaks(prob, height=height,
+                                                       prominence=prominence)
+        if return_info:
+            return tau[peak_indices], tau, peak_indices, peak_info
+        return tau[peak_indices]
 
     # ------------------------------------------------------------------
     # Goodness of fit (reference drt1d.py:4433-4546)

@@ -81,3 +81,61 @@ def test_series_neg_fit():
     # series_neg requires nonneg (reference drt1d.py:152-153)
     with pytest.raises(ValueError):
         DRT(warn=False).fit_eis(f, z, nonneg=False, series_neg=True)
+
+
+def test_drt_parity_methods():
+    """Thin parity methods: CIs, DOP covariance, split_r_p, chi-sq, Fisher,
+    peak probability (reference drt1d.py:3153-3750,3596,3631,4140)."""
+    import pytest
+    from hybdrt_tpu import DRT
+    rng = np.random.default_rng(0)
+    f = np.logspace(5, -1, 41)
+    w = 2j * np.pi * f
+    z = 0.4 + 1.0 / (1 + (w * 1e-3) ** 0.9) + 0.8 / (1 + (w * 1e-1) ** 0.85)
+    z = z + rng.normal(0, 1e-3, 41) + 1j * rng.normal(0, 1e-3, 41)
+    drt = DRT(warn=False, fit_dop=True)
+    drt.fit_eis(f, z)
+
+    tau = np.logspace(-6, 2, 80)
+    lo, hi = drt.predict_distribution_ci(tau=tau)
+    assert np.all(hi >= lo)
+    # split at 1e-2 separates the two ZARC areas; sum preserves Rp
+    areas = drt.split_r_p([1e-2])
+    assert areas.shape == (2,)
+    assert abs(np.sum(areas) - drt.predict_r_p()) < 0.05
+    assert abs(areas[0] - 1.0) < 0.15 and abs(areas[1] - 0.8) < 0.15
+    # chi-sq small for a good fit; modulus weighting accepted
+    assert drt.evaluate_chi_sq() < 1e-4
+    assert drt.evaluate_chi_sq(weights="modulus") < 1e-4
+    with pytest.raises(ValueError):
+        drt.evaluate_chi_sq(weights=np.ones(3))
+    # Fisher matrix: PSD, full param dimension
+    fim = drt.fisher_matrix()
+    assert fim.shape[0] == fim.shape[1]
+    assert np.all(np.linalg.eigvalsh(fim) > -1e-8)
+    # sigma accessors
+    assert drt.predict_sigma("eis").shape == f.shape
+    with pytest.raises(ValueError):
+        drt.predict_sigma("bogus")
+    # data tau limits bracket the measured frequency window
+    tmin, tmax = drt.get_data_tau_limits()
+    assert tmin < 1e-5 and tmax > 1e-1
+    # DOP covariance + CI
+    cov = drt.estimate_dop_cov()
+    assert np.all(np.diag(cov) >= 0)
+    dlo, dhi = drt.predict_dop_ci()
+    assert np.all(dhi >= dlo)
+    # Peak probability finds a peak with high confidence on a fine grid
+    tau_f = np.logspace(-5, 1, 600)
+    prob = drt.predict_peak_prob(tau_f)
+    assert prob.max() > 0.9
+    pk = drt.find_peaks_byprob(tau_f, height=0.3)
+    assert len(pk) >= 1
+    assert np.any(np.abs(np.log10(pk) - (-1)) < 0.3)
+    # norm/sign/alias helpers
+    assert drt.get_drt_norm(False) == 1.0
+    assert drt.get_drt_norm(True) == pytest.approx(drt.predict_r_p())
+    assert drt.default_dist_sign() == 1
+    assert drt.integrate_distribution(1e-4, 1e0) == pytest.approx(
+        drt.integrate_drt(1e-4, 1e0))
+    assert np.allclose(drt.predict_v_baseline(np.linspace(0, 1, 5)), 0)
