@@ -39,7 +39,7 @@ def _max_step(v, dv):
     return jnp.minimum(1.0, jnp.min(ratio))
 
 
-@partial(jax.jit, static_argnames=("max_iter", "polish"))
+@partial(jax.jit, static_argnames=("polish",))
 def solve_qp_box(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, polish=True,
                  x_init=None, z_init=None):
     """Solve min 1/2 x'Px + q'x s.t. x >= lb. P must be symmetric PD.
@@ -165,6 +165,7 @@ def _solve_qp_box_core(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, pol
         _, _, _, it, done = carry
         return (it < max_iter) & (~done)
 
+    max_iter = jnp.asarray(max_iter, dtype=jnp.int32)
     x, s, z, it, _ = jax.lax.while_loop(
         cond, body, (x0, s0, z0, jnp.array(0, dtype=jnp.int32), jnp.array(False)))
 

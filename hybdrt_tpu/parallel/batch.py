@@ -49,7 +49,7 @@ class BatchedEISFitter:
     def __init__(self, frequencies, basis_tau=None, tau_supergrid=None,
                  fit_ohmic=True, fit_inductance=True, fit_capacitance=False,
                  fit_dop=False, nonneg=True, dtype=jnp.float64,
-                 max_iter=50, xtol=1e-2, qp_max_iter=60,
+                 max_iter=50, xtol=1e-2, qp_max_iter=60, qp_max_iter_warm=None,
                  iw_l1_lambda_0=1e-4, iw_l2_lambda_0=1e-4,
                  mesh=None, **hyper_kw):
         self.frequencies = np.asarray(frequencies, dtype=float)
@@ -97,7 +97,8 @@ class BatchedEISFitter:
 
         self.fcfg = fitcore.FitConfig(cfg=self.cfg, data_type="eis", num_chrono=0,
                                       vz_offset=False, vz_index=-1, max_iter=max_iter,
-                                      x_rtol=xtol, max_hp_iter=1, qp_max_iter=qp_max_iter)
+                                      x_rtol=xtol, max_hp_iter=1, qp_max_iter=qp_max_iter,
+                                      qp_max_iter_warm=qp_max_iter_warm)
 
         self._fit_batch = jax.jit(jax.vmap(self._fit_single))
 

@@ -32,6 +32,9 @@ class FitConfig(NamedTuple):
     x_rtol: float = 1e-2
     max_hp_iter: int = 1
     qp_max_iter: int = 60
+    # Cap Mehrotra steps for warm-started (it>0) QP solves; bounds the
+    # batch-straggler cost under vmap. None = same as qp_max_iter.
+    qp_max_iter_warm: Optional[int] = None
     # Warm-continuation mode (reference drt1d.py:1270 _continue_from_init):
     # keep xmx_norms fixed, apply weight_factor from iteration 0, and require
     # min_iter iterations before convergence can stop the loop
@@ -68,7 +71,9 @@ def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weight
     st_new, _ = qphb.iterate_qphb(st_in, rzv, rzm, vmm, m_stack, m_stack[1], dop_gmat,
                                   l1v, lb, est_weights, hyp, fcfg.cfg,
                                   x_rtol=fcfg.x_rtol, max_hp_iter=fcfg.max_hp_iter,
-                                  qp_max_iter=fcfg.qp_max_iter, nl_cross=nl_cross)
+                                  qp_max_iter=fcfg.qp_max_iter,
+                                  qp_max_iter_warm=fcfg.qp_max_iter_warm,
+                                  nl_cross=nl_cross)
 
     # Normalize rho update scale to the iteration-0 ridge solution
     # (reference drt1d.py:946-962)

@@ -377,7 +377,8 @@ def is_converged(x_in, x_out, x_atol, x_rtol):
 # ------------------------------------------------------------------
 def iterate_qphb(state: QPHBState, rv, rm, vmm, m_stack, m1_gmat_source, dop_gmat,
                  l1_lambda_vector, lb, est_weights, hyp, cfg: QPHBConfig,
-                 x_rtol=1e-2, max_hp_iter=1, qp_max_iter=60, nl_cross=None):
+                 x_rtol=1e-2, max_hp_iter=1, qp_max_iter=60, nl_cross=None,
+                 qp_max_iter_warm=None):
     """One outer QPHB iteration: weighted QP for x, closed-form s/rho updates
     on the DRT (and DOP) blocks, then data-weight re-estimation.
 
@@ -402,7 +403,12 @@ def iterate_qphb(state: QPHBState, rv, rm, vmm, m_stack, m1_gmat_source, dop_gma
         x_ws = jnp.where(warm, state.x, lb + 1.0)
         z_ws = jnp.where(warm, jnp.maximum(state.qp_dual, 1e-6),
                          jnp.maximum(jnp.abs(q_vector), 1.0))
-        qp_res = solve_qp_box(p_matrix, q_vector, lb, max_iter=qp_max_iter,
+        # Warm-started solves need few Mehrotra steps; capping them bounds the
+        # batch-straggler cost under vmap (the while_loop runs to the max over
+        # the batch), and the active-set polish restores exactness
+        qp_iter_cap = qp_max_iter if qp_max_iter_warm is None \
+            else jnp.where(warm, qp_max_iter_warm, qp_max_iter)
+        qp_res = solve_qp_box(p_matrix, q_vector, lb, max_iter=qp_iter_cap,
                               x_init=x_ws, z_init=z_ws)
     else:
         qp_res = solve_qp_box(p_matrix, q_vector, lb, max_iter=qp_max_iter)
