@@ -1983,6 +1983,236 @@ class DRT:
         return tau[peak_indices]
 
     # ------------------------------------------------------------------
+    # Plotting (reference drt1d.py:4547-5420; rendering in ..plotting)
+    # ------------------------------------------------------------------
+    def plot_eis_fit(self, ax=None, plot_type="nyquist", tau=None, **kw):
+        """Measured vs fitted impedance (reference drt1d.plot_eis_fit)."""
+        from .. import plotting as plt_mod
+        freq = self.get_fit_frequencies()
+        z_hat = self.predict_z(freq)
+        if plot_type == "nyquist":
+            ax = plt_mod.plot_nyquist((freq, self.z_fit), ax=ax, label="data", **kw)
+            plt_mod.plot_nyquist((freq, z_hat), ax=ax, plot_func="plot", c="k",
+                                 label="fit")
+            ax.legend()
+            return ax
+        axes = plt_mod.plot_bode((freq, self.z_fit), **kw)
+        plt_mod.plot_bode((freq, z_hat), axes=axes, plot_func="plot", c="k")
+        return axes
+
+    def plot_eis_residuals(self, axes=None, norm=None, show_sigma=True, **kw):
+        """Real/imag impedance fit residuals with +-3 sigma band
+        (reference drt1d.plot_eis_residuals)."""
+        import matplotlib.pyplot as plt
+        freq = self.get_fit_frequencies()
+        z_hat = self.predict_z(freq)
+        resid = z_hat - self.z_fit
+        if norm == "modulus":
+            resid = resid / np.abs(self.z_fit)
+        if axes is None:
+            _, axes = plt.subplots(1, 2, figsize=(7, 2.75))
+        sigma = self.predict_sigma("eis")
+        for ax, part, lab in ((axes[0], resid.real, r"$\hat{Z}^{\prime} - Z^{\prime}$"),
+                              (axes[1], resid.imag, r"$\hat{Z}^{\prime\prime} - Z^{\prime\prime}$")):
+            ax.scatter(freq, part, s=10, **kw)
+            if sigma is not None and show_sigma and norm is None:
+                s = sigma if np.isrealobj(sigma) else np.abs(sigma)
+                ax.fill_between(freq, -3 * s, 3 * s, color="k", alpha=0.15,
+                                label=r"$\pm 3\sigma$")
+            ax.axhline(0, c="k", lw=0.5)
+            ax.set_xscale("log")
+            ax.set_xlabel("$f$ (Hz)")
+            ax.set_ylabel(lab + (r" ($\Omega$)" if norm is None else " (norm.)"))
+        axes[0].get_figure().tight_layout()
+        return axes
+
+    def plot_distribution(self, tau=None, ppd=20, ax=None, x=None, sign=None,
+                          normalize=False, order=0, show_ci=True,
+                          quantiles=(0.025, 0.975), mark_peaks=False,
+                          mark_peaks_kw=None, **kw):
+        """The fitted DRT with optional credible band and peak markers
+        (reference drt1d.plot_distribution)."""
+        from .. import plotting as plt_mod
+        if tau is None:
+            tau = self.get_tau_eval(ppd)
+        gamma = self.predict_distribution(tau, x=x, sign=sign, normalize=normalize,
+                                          order=order)
+        scale_prefix = kw.pop("scale_prefix", None)
+        if scale_prefix is None:
+            scale_prefix = plt_mod.get_scale_prefix(gamma)
+        ax = plt_mod.plot_distribution(tau, gamma, ax=ax, scale_prefix=scale_prefix,
+                                       **kw)
+        scale = plt_mod._scale_factor(scale_prefix)
+        if show_ci and x is None:
+            lo, hi = self.predict_drt_ci(tau=tau, order=order, sign=sign,
+                                         normalize=normalize, quantiles=quantiles)
+            if lo is not None:
+                ax.fill_between(tau, lo / scale, hi / scale, color="k", alpha=0.2)
+        if mark_peaks:
+            self.mark_peaks(ax, x=x, sign=sign, scale_prefix=scale_prefix,
+                            **(mark_peaks_kw or {}))
+        return ax
+
+    plot_drt = plot_distribution
+
+    def mark_peaks(self, ax, x=None, sign=None, peak_tau=None, scale_prefix="",
+                   **kw):
+        """Mark peak locations on a distribution plot
+        (reference drt1d.mark_peaks)."""
+        from .. import plotting as plt_mod
+        if peak_tau is None:
+            peak_tau = self.find_peaks(x=x, sign=sign if sign is not None else 1)
+        gamma = self.predict_distribution(np.asarray(peak_tau), x=x, sign=sign)
+        scale = plt_mod._scale_factor(scale_prefix)
+        kw = dict({"marker": "v", "c": "k", "s": 40}, **kw)
+        ax.scatter(peak_tau, gamma / scale, **kw)
+        return ax
+
+    def plot_chrono_fit(self, ax=None, transform_time=False, **kw):
+        """Measured vs fitted chrono response (reference drt1d.plot_chrono_fit)."""
+        from .. import plotting as plt_mod
+        times = self.get_fit_times()
+        y_hat = self.predict_response()
+        ax = plt_mod.plot_chrono((times, None, self.raw_response_signal), ax=ax,
+                                 step_times=self.step_times,
+                                 transform_time=transform_time, label="data", **kw)
+        x_plot = plt_mod.get_transformed_plot_time(times, self.step_times) \
+            if transform_time else times
+        ax.plot(x_plot, y_hat, c="k", label="fit")
+        ax.legend()
+        return ax
+
+    def plot_chrono_residuals(self, ax=None, transform_time=False, show_sigma=True,
+                              **kw):
+        """Chrono fit residuals (reference drt1d.plot_chrono_residuals)."""
+        import matplotlib.pyplot as plt
+        from .. import plotting as plt_mod
+        times = self.get_fit_times()
+        resid = self.predict_response() - self.raw_response_signal
+        if ax is None:
+            _, ax = plt.subplots(figsize=(4, 3))
+        x_plot = plt_mod.get_transformed_plot_time(times, self.step_times) \
+            if transform_time else times
+        ax.scatter(x_plot, resid, s=10, **kw)
+        sigma = self.predict_sigma("chrono")
+        if sigma is not None and show_sigma:
+            ax.fill_between(x_plot, -3 * sigma, 3 * sigma, color="k", alpha=0.15)
+        ax.axhline(0, c="k", lw=0.5)
+        ax.set_xlabel("$t$ (s)")
+        ax.set_ylabel(r"$\hat{v} - v$ (V)")
+        return ax
+
+    def plot_dop(self, ax=None, nu=None, normalize=True, show_ci=True,
+                 quantiles=(0.025, 0.975), **kw):
+        """The fitted DOP with optional credible band (reference
+        drt1d.plot_dop)."""
+        from .. import plotting as plt_mod
+        ax = plt_mod.plot_dop(self, ax=ax, nu=nu, normalize=normalize, **kw)
+        if show_ci:
+            if nu is None:
+                nu = np.linspace(-1, 1, 201)
+            lo, hi = self.predict_dop_ci(nu=nu, normalize=normalize,
+                                         quantiles=quantiles)
+            if lo is not None:
+                ax.fill_between(nu, lo, hi, color="k", alpha=0.2)
+        return ax
+
+    def plot_results(self, axes=None, tau=None, ppd=20, show_ci=True, **kw):
+        """Overview: impedance fit + residuals + DRT (reference
+        drt1d.plot_results)."""
+        from .. import plotting as plt_mod
+        return plt_mod.plot_drt_result(self, axes=axes, tau=tau, ppd=ppd,
+                                       show_ci=show_ci, **kw)
+
+    def plot_kk_results(self, axes=None, **kw):
+        from .. import plotting as plt_mod
+        return plt_mod.plot_kk_results(self, axes=axes, **kw)
+
+    def plot_pdrt(self, tau=None, ppd=20, ax=None, criterion="bic",
+                  criterion_factor=1, **kw):
+        """Probability-weighted discrete DRT (reference drt1d.plot_pdrt)."""
+        import matplotlib.pyplot as plt
+        if tau is None:
+            tau = self.get_tau_eval(ppd)
+        pdrt = self.predict_pdrt(tau, criterion=criterion,
+                                 criterion_factor=criterion_factor)
+        if ax is None:
+            _, ax = plt.subplots(figsize=(4, 3))
+        ax.plot(tau, pdrt, **kw)
+        ax.set_xscale("log")
+        ax.set_xlabel(r"$\tau$ (s)")
+        ax.set_ylabel(r"$p_{\gamma}$")
+        return ax
+
+    def plot_norm_bayes_factors(self, candidate_type="discrete", criterion="bic",
+                                ax=None, **kw):
+        """Normalized Bayes factors of candidate models (reference
+        drt1d.plot_norm_bayes_factors)."""
+        import matplotlib.pyplot as plt
+        factors = self.evaluate_norm_bayes_factors(
+            candidate_type=candidate_type, criterion=criterion, **kw)
+        df = self.get_candidate_df(candidate_type)
+        num_peaks = df["num_peaks"].values if "num_peaks" in df.columns \
+            else df["model_id"].values
+        if ax is None:
+            _, ax = plt.subplots(figsize=(4, 3))
+        ax.scatter(num_peaks, factors)
+        ax.set_yscale("log")
+        ax.set_xlabel("Number of peaks")
+        ax.set_ylabel("Normalized Bayes factor")
+        return ax
+
+    def plot_candidate_distribution(self, candidate_num_peaks, candidate_type,
+                                    ax=None, **kw):
+        """DRT of one stored candidate (reference
+        drt1d.plot_candidate_distribution)."""
+        info = self.get_candidate(candidate_num_peaks, candidate_type)
+        if "x" in info:
+            # Candidate x vectors are raw (scaled space, incl. special params)
+            x_cand = self.extract_qphb_parameters(np.asarray(info["x"]))["x"]
+            return self.plot_distribution(ax=ax, x=x_cand, show_ci=False, **kw)
+        # Discrete candidates store a DiscreteElementModel
+        import matplotlib.pyplot as plt
+        if ax is None:
+            _, ax = plt.subplots(figsize=(4, 3))
+        tau = kw.pop("tau", self.get_tau_eval(kw.pop("ppd", 20)))
+        gamma = np.asarray(info["model"].predict_distribution(tau))
+        if gamma.ndim == 2:  # per-element curves -> total
+            gamma = gamma.sum(axis=0)
+        ax.plot(tau, gamma, **kw)
+        ax.set_xscale("log")
+        ax.set_xlabel(r"$\tau$ (s)")
+        ax.set_ylabel(r"$\gamma$ ($\Omega$)")
+        return ax
+
+    plot_candidate_drt = plot_candidate_distribution
+
+    def plot_peak_distributions(self, tau=None, ppd=10, ax=None, x_peaks=None,
+                                **peak_kw):
+        """Individual peak distributions (reference
+        drt1d.plot_peak_distributions)."""
+        import matplotlib.pyplot as plt
+        from .. import plotting as plt_mod
+        if tau is None:
+            tau = self.get_tau_eval(ppd)
+        dists = self.estimate_peak_distributions(tau=tau, **peak_kw) \
+            if x_peaks is None \
+            else np.stack([self.predict_distribution(tau, x=xp) for xp in x_peaks])
+        if ax is None:
+            _, ax = plt.subplots(figsize=(4, 3))
+        total = self.predict_distribution(tau)
+        prefix = plt_mod.get_scale_prefix(total)
+        scale = plt_mod._scale_factor(prefix)
+        ax.plot(tau, total / scale, c="k", label="total")
+        for i, d in enumerate(dists):
+            ax.plot(tau, d / scale, ls="--", label=f"peak {i}")
+        ax.set_xscale("log")
+        ax.set_xlabel(r"$\tau$ (s)")
+        ax.set_ylabel(rf"$\gamma$ ({prefix}$\Omega$)")
+        ax.legend()
+        return ax
+
+    # ------------------------------------------------------------------
     # Goodness of fit (reference drt1d.py:4433-4546)
     # ------------------------------------------------------------------
     def evaluate_rss(self, weights=None):

@@ -1,0 +1,77 @@
+"""DRT class plotting methods (reference drt1d.py:4547-5420) — headless
+smoke tests: every method renders without error and returns axes."""
+import matplotlib
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+from hybdrt_tpu import DRT
+
+
+@pytest.fixture(scope="module")
+def fitted_eis():
+    rng = np.random.default_rng(0)
+    f = np.logspace(5, -1, 41)
+    w = 2j * np.pi * f
+    z = 0.4 + 1.0 / (1 + (w * 1e-3) ** 0.9) + 0.8 / (1 + (w * 1e-1) ** 0.85)
+    z = z + rng.normal(0, 1e-3, 41) + 1j * rng.normal(0, 1e-3, 41)
+    drt = DRT(warn=False)
+    drt.fit_eis(f, z)
+    return drt, f, z
+
+
+def test_eis_plots(fitted_eis):
+    drt, f, z = fitted_eis
+    assert drt.plot_eis_fit() is not None
+    assert drt.plot_eis_fit(plot_type="bode") is not None
+    axes = drt.plot_eis_residuals()
+    assert len(axes) == 2
+    assert drt.plot_results() is not None
+
+
+def test_distribution_plots(fitted_eis):
+    drt, f, z = fitted_eis
+    ax = drt.plot_distribution(mark_peaks=True)
+    assert ax is not None
+    assert drt.plot_drt(show_ci=False) is not None
+    ax = drt.plot_peak_distributions()
+    assert ax is not None
+
+
+def test_chrono_plots():
+    rng = np.random.default_rng(0)
+    t_pre = np.linspace(-0.01, -0.0005, 10)
+    times = np.concatenate([t_pre, np.logspace(-5, 0.5, 100)])
+    i_sig = np.where(times >= 0, 0.1, 0.0)
+    v = 0.05 + 0.1 * np.where(times >= 0,
+                              0.3 + 1.5 * (1 - np.exp(-np.maximum(times, 0) / 1e-2)), 0.0)
+    v = v + rng.normal(size=len(times)) * 2e-4
+    drt = DRT(warn=False)
+    drt.fit_chrono(times, i_sig, v)
+    assert drt.plot_chrono_fit() is not None
+    assert drt.plot_chrono_residuals() is not None
+
+
+def test_dual_and_kk_plots(fitted_eis):
+    _, f, z = fitted_eis
+    drt = DRT(warn=False)
+    drt.kk_test(f, z)
+    assert drt.plot_kk_results() is not None
+
+    drt2 = DRT(warn=False)
+    drt2.dual_fit_eis(f, z)
+    assert drt2.plot_candidate_distribution(2, "continuous") is not None
+    assert drt2.plot_candidate_distribution(2, "discrete") is not None
+    assert drt2.plot_pdrt() is not None
+    assert drt2.plot_norm_bayes_factors() is not None
+
+
+def test_dop_plot():
+    rng = np.random.default_rng(0)
+    f = np.logspace(5, -1, 41)
+    w = 2j * np.pi * f
+    z = 0.4 + 1.0 / (1 + (w * 1e-3) ** 0.9) + rng.normal(0, 1e-3, 41) * (1 + 1j)
+    drt = DRT(warn=False, fit_dop=True)
+    drt.fit_eis(f, z)
+    assert drt.plot_dop() is not None
