@@ -1,0 +1,104 @@
+"""Batched small-matrix Cholesky factor/solve tuned for TPU.
+
+XLA's jnp.linalg.cholesky on TPU lowers to a blocked algorithm built on
+triangular_solve, which runs ~30x slower than an equivalently-shaped matmul
+for the small matrices this framework needs (N ~ 100, batch ~ 1000: one QP
+normal matrix per spectrum). These routines instead use an unblocked
+right-looking column loop where every step is a full-width masked
+vector/rank-1 operation over the batch: ~3x the FLOPs of a textbook
+Cholesky, but every op is a dense VPU lane operation with the batch axis
+providing the parallelism, which is the right trade on TPU.
+
+All functions are written for a single (n, n) matrix with mask-based column
+indexing (no dynamic shapes), so vmap turns them into efficient batched
+kernels and they remain exact drop-in replacements on any backend.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def cholesky_unblocked(a):
+    """Lower-triangular Cholesky factor of a symmetric PD (n, n) matrix via a
+    masked right-looking column loop. vmap-compatible."""
+    n = a.shape[-1]
+    dtype = a.dtype
+    idx = jnp.arange(n)
+
+    def col_step(j, carry):
+        a_cur, l_acc = carry
+        e_j = (idx == j).astype(dtype)                  # (n,)
+        col_j = a_cur @ e_j                             # current column j
+        ajj = jnp.maximum(col_j @ e_j, jnp.asarray(0.0, dtype))
+        inv_sqrt = jnp.where(ajj > 0, 1.0 / jnp.sqrt(ajj), 0.0)
+        lower = (idx >= j).astype(dtype)
+        l_col = col_j * inv_sqrt * lower                # L[j:, j]
+        # Trailing rank-1 update (rows, cols > j only)
+        strict = (idx > j).astype(dtype)
+        u = l_col * strict
+        a_new = a_cur - u[:, None] * u[None, :]
+        l_new = l_acc + l_col[:, None] * e_j[None, :]
+        return a_new, l_new
+
+    _, l = jax.lax.fori_loop(0, n, col_step,
+                             (a, jnp.zeros_like(a)))
+    return l
+
+
+def solve_triangular_lower(l, b):
+    """Solve L x = b (L lower triangular) by masked forward substitution.
+    vmap-compatible; b is (n,)."""
+    n = l.shape[-1]
+    dtype = l.dtype
+    idx = jnp.arange(n)
+
+    def step(j, x):
+        e_j = (idx == j).astype(dtype)
+        row_j = e_j @ l                                  # L[j, :]
+        ljj = row_j @ e_j
+        # sum over strictly-lower columns: row entries right of j are not yet
+        # solved, but their x entries are still 0, so a full dot is safe
+        s = jnp.dot(row_j, x)
+        xj = (jnp.dot(b, e_j) - s) / jnp.where(ljj != 0, ljj, 1.0)
+        return x + e_j * xj
+
+    return jax.lax.fori_loop(0, n, step, jnp.zeros_like(b))
+
+
+def solve_triangular_upper(lt, b):
+    """Solve L^T x = b by masked backward substitution (lt = L^T upper).
+    vmap-compatible; b is (n,)."""
+    n = lt.shape[-1]
+    dtype = lt.dtype
+    idx = jnp.arange(n)
+
+    def step(k, x):
+        j = n - 1 - k
+        e_j = (idx == j).astype(dtype)
+        row_j = e_j @ lt                                 # L^T[j, :]
+        ujj = row_j @ e_j
+        s = jnp.dot(row_j, x)
+        xj = (jnp.dot(b, e_j) - s) / jnp.where(ujj != 0, ujj, 1.0)
+        return x + e_j * xj
+
+    return jax.lax.fori_loop(0, n, step, jnp.zeros_like(b))
+
+
+def cho_solve_unblocked(l, b):
+    """Solve (L L^T) x = b from the factor l. vmap-compatible."""
+    y = solve_triangular_lower(l, b)
+    return solve_triangular_upper(l.T, y)
+
+
+def chol_solve_direct(a, b):
+    """Factor + solve in one call: x = a^-1 b for symmetric PD a."""
+    l = cholesky_unblocked(a)
+    return cho_solve_unblocked(l, b)
+
+
+def use_small_chol():
+    """Whether the custom small-matrix routines should replace LAPACK-style
+    primitives: on TPU-class backends they are much faster for this
+    framework's matrix sizes; on CPU, LAPACK wins."""
+    return jax.default_backend() not in ("cpu",)
