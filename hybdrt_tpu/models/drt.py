@@ -1533,6 +1533,9 @@ class DRT:
                                           x=x, sign=sign, **peak_coef_kw)
         return np.stack([self.predict_distribution(tau, x=xp) for xp in x_peaks])
 
+    # Reference-compatible alias (reference drt1d.py:3984)
+    estimate_peak_drts = estimate_peak_distributions
+
     def quantify_peaks(self, tau=None, ppd=10, **kw):
         """Per-peak polarization resistance contributions (reference drt1d.py:4101)."""
         x_peaks = self.estimate_peak_coef(tau=tau, **kw)
@@ -3086,6 +3089,72 @@ class DRT:
             criterion = "lml-bic" if candidate_type == "discrete" else "bic"
         vals = df[criterion].values * directions[criterion]
         return df.loc[df.index[np.argmax(vals)], "model_id"]
+
+    def predict_candidate_drt(self, candidate_id, candidate_type, tau=None, **kw):
+        """DRT of one stored candidate (reference drt1d.py:2359)."""
+        info = self.get_candidate(candidate_id, candidate_type)
+        if candidate_type == "continuous":
+            x_cand = self.extract_qphb_parameters(np.asarray(info["x"]))["x"]
+            return self.predict_distribution(tau=tau, x=x_cand, **kw)
+        dem = info["model"]
+        if tau is None:
+            tau = self.get_tau_eval(20)
+        gamma = np.asarray(dem.predict_distribution(np.asarray(tau), **kw))
+        return gamma.sum(axis=0) if gamma.ndim == 2 else gamma
+
+    # Reference-compatible alias (reference drt1d.py:2355)
+    predict_candidate_distribution = predict_candidate_drt
+
+    def plot_candidate_eis_fit(self, candidate_id, candidate_type, ax=None, **kw):
+        """Impedance fit of one stored candidate (reference drt1d.py:2374)."""
+        from .. import plotting as plt_mod
+        info = self.get_candidate(candidate_id, candidate_type)
+        freq = self.get_fit_frequencies()
+        if candidate_type == "continuous":
+            x_raw = np.asarray(info["x"])
+            fp = self.extract_qphb_parameters(x_raw)
+            z_hat = self.predict_z(freq, x=fp["x"])
+        else:
+            z_hat = np.asarray(info["model"].predict_z(freq))
+        ax = plt_mod.plot_nyquist((freq, self.z_fit), ax=ax, label="data", **kw)
+        plt_mod.plot_nyquist((freq, z_hat), ax=ax, plot_func="plot", c="k", label="fit")
+        ax.legend()
+        return ax
+
+    def evaluate_bayes_factor(self, candidate_id_1, candidate_id_2,
+                              candidate_type="discrete", criterion="bic"):
+        """Pairwise Bayes factor of candidate 2 over candidate 1
+        (reference drt1d.py:2399)."""
+        c1 = self.get_candidate(candidate_id_1, candidate_type)
+        c2 = self.get_candidate(candidate_id_2, candidate_type)
+        if criterion == "bic":
+            from ..utils.stats import bayes_factor
+            return bayes_factor(c1["bic"], c2["bic"])
+        # llh/lml-style criteria: larger is better
+        return float(np.exp(c2[criterion] - c1[criterion]))
+
+    def create_reordered_discrete_models(self, min_num_peaks=None, max_num_peaks=None,
+                                         start_from_best=True, search_kw=None):
+        """Re-fit discrete models over a peak-count range built from the
+        ranked peak pool and keep any that improve on the stored candidates
+        (reference drt1d.py:2221)."""
+        if min_num_peaks is None:
+            min_num_peaks = 1
+        if max_num_peaks is None:
+            best_num = int(self.discrete_candidate_df.loc[
+                self.discrete_candidate_df["lml"].idxmax(), "num_peaks"])
+            max_num_peaks = best_num + 3
+        return self.search_for_better_discrete(
+            min_num_peaks=min_num_peaks, max_num_peaks=max_num_peaks,
+            start_from_best=start_from_best, **(search_kw or {}))
+
+    def get_chrono_transforms(self, include_outliers=True):
+        """Time-transform functions for chrono plotting
+        (reference drt1d.py:4547)."""
+        times = self.get_fit_times()
+        if include_outliers and getattr(self, "chrono_outliers", None) is not None:
+            times = np.unique(np.concatenate([times, self.chrono_outliers[0]]))
+        return chrono_utils.get_time_transforms(times, self.nonconsec_step_times)
 
     def evaluate_norm_bayes_factors(self, candidate_type="discrete", criterion="bic",
                                     candidate_id=None):

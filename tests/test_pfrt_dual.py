@@ -96,3 +96,23 @@ def test_predict_pdrt(dual_fit):
     for true_tau in (1e-3, 1e0):
         idx = np.argmin(np.abs(np.log(tau / true_tau)))
         assert pdrt[idx] > 0.5, true_tau
+
+
+def test_candidate_accessors_and_bayes_factor(dual_fit):
+    """predict_candidate_drt, plot-free accessors, pairwise Bayes factors,
+    reordered model search (reference drt1d.py:2221,2355-2410)."""
+    drt = dual_fit
+    tau = np.logspace(-5, 1, 40)
+    g_cont = drt.predict_candidate_drt(2, "continuous", tau=tau)
+    g_disc = drt.predict_candidate_distribution(2, "discrete", tau=tau)
+    assert g_cont.shape == (40,) and g_disc.shape == (40,)
+    assert np.all(np.isfinite(g_cont)) and np.all(np.isfinite(g_disc))
+    # Pairwise Bayes factor consistent with normalized factors
+    bf_12 = drt.evaluate_bayes_factor(1, 2, "discrete")
+    bf_21 = drt.evaluate_bayes_factor(2, 1, "discrete")
+    # The 2-peak model should beat the 1-peak model on this 2-ZARC data
+    # (overwhelmingly - the factor may overflow to inf)
+    assert bf_12 > 1 and bf_21 < 1
+    # estimate_peak_drts alias
+    assert np.allclose(drt.estimate_peak_drts(tau=tau),
+                       drt.estimate_peak_distributions(tau=tau))
