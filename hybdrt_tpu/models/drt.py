@@ -2179,9 +2179,7 @@ class DRT:
         if ax is None:
             _, ax = plt.subplots(figsize=(4, 3))
         tau = kw.pop("tau", self.get_tau_eval(kw.pop("ppd", 20)))
-        gamma = np.asarray(info["model"].predict_distribution(tau))
-        if gamma.ndim == 2:  # per-element curves -> total
-            gamma = gamma.sum(axis=0)
+        gamma = np.asarray(info["model"].predict_drt(tau))
         ax.plot(tau, gamma, **kw)
         ax.set_xscale("log")
         ax.set_xlabel(r"$\tau$ (s)")
@@ -3099,8 +3097,7 @@ class DRT:
         dem = info["model"]
         if tau is None:
             tau = self.get_tau_eval(20)
-        gamma = np.asarray(dem.predict_distribution(np.asarray(tau), **kw))
-        return gamma.sum(axis=0) if gamma.ndim == 2 else gamma
+        return np.asarray(dem.predict_drt(np.asarray(tau), **kw))
 
     # Reference-compatible alias (reference drt1d.py:2355)
     predict_candidate_distribution = predict_candidate_drt

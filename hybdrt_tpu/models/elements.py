@@ -358,15 +358,44 @@ class DiscreteElementModel:
         x = self.get_parameter_values(x)
         return np.asarray(self.z_function(jnp.asarray(frequencies), *x))
 
-    def predict_distribution(self, tau=None, x=None, ppd=20):
+    def predict_distribution(self, tau=None, x=None, ppd=20, return_tau=None):
+        """Total model DRT gamma(tau). Returns gamma, or (gamma, tau) when the
+        grid was auto-generated (tau=None) or return_tau=True."""
         x = self.get_parameter_values(x)
+        if return_tau is None:
+            return_tau = tau is None
         if tau is None:
             ln_t0 = [np.clip(x[self.parameter_indices[i][0] + 1], -46, 46) for i, t in
                      enumerate(self.element_types) if t in ("HN", "RQ", "RC")]
             lo = (min(ln_t0) if ln_t0 else -5) - 3 * np.log(10)
             hi = (max(ln_t0) if ln_t0 else 0) + 3 * np.log(10)
             tau = np.exp(np.linspace(lo, hi, int((hi - lo) / np.log(10) * ppd) + 1))
-        return np.asarray(self.gamma_function(jnp.asarray(tau), *x)), np.asarray(tau)
+        gamma = np.asarray(self.gamma_function(jnp.asarray(tau), *x))
+        if return_tau:
+            return gamma, np.asarray(tau)
+        return gamma
+
+    # Reference-compatible alias (reference elements.py:1180)
+    def predict_drt(self, tau, x=None):
+        return self.predict_distribution(tau=tau, x=x, return_tau=False)
+
+    def predict_element_drt(self, tau, element, x=None):
+        """DRT of a single element (reference elements.py:1185)."""
+        if isinstance(element, str):
+            element = self.element_names.index(element)
+        x = self.get_parameter_values(x)
+        i0, i1 = self.parameter_indices[element]
+        gf = element_distribution_function(self.element_types[element])
+        return np.asarray(gf(jnp.asarray(tau), *x[i0:i1]))
+
+    def predict_element_z(self, element, frequencies, x=None):
+        """Impedance of a single element (reference elements.py:1126)."""
+        if isinstance(element, str):
+            element = self.element_names.index(element)
+        x = self.get_parameter_values(x)
+        i0, i1 = self.parameter_indices[element]
+        zf = element_impedance_function(self.element_types[element])
+        return np.asarray(zf(jnp.asarray(frequencies), *x[i0:i1]))
 
     def predict_response(self, times, step_times, step_sizes, x=None):
         if self.v_function is None:
@@ -578,13 +607,66 @@ class DiscreteElementModel:
         from scipy import signal as sp_signal
         if find_peaks_kw is None:
             find_peaks_kw = {"height": 0}
-        gamma, tau = self.predict_distribution(ppd=ppd)
+        gamma, tau = self.predict_distribution(ppd=ppd, return_tau=True)
         gamma = np.nan_to_num(gamma, posinf=np.nanmax(gamma[np.isfinite(gamma)])
                               if np.any(np.isfinite(gamma)) else 1.0)
         peak_idx, _ = sp_signal.find_peaks(np.abs(gamma), **find_peaks_kw)
         if len(peak_idx) == 0:
             return self.get_time_constants()
         return tau[peak_idx]
+
+    def predict_r_tot(self, x=None):
+        """R_inf + Rp (reference elements.py:1151)."""
+        return self.predict_r_inf(x) + self.predict_r_p(x)
+
+    def predict_v(self, times, step_times, step_sizes, x=None):
+        """Voltage-response alias (reference elements.py:1135)."""
+        return self.predict_response(times, step_times, step_sizes, x=x)
+
+    def predict_sigma(self, epsilon=0.25, reim_cor=0.25, error_structure=None):
+        """Impedance error estimate from the fitted residuals via the EIS
+        variance matrix (reference elements.py:1212)."""
+        if self.f_fit is None or self.z_fit is None:
+            return None
+        from ..ops import mat1d
+        z_hat = self.predict_z(self.f_fit)
+        resid = np.concatenate([(z_hat - self.z_fit).real, (z_hat - self.z_fit).imag])
+        vmm = np.asarray(mat1d.construct_eis_var_matrix(
+            self.f_fit, epsilon, reim_cor, error_structure))
+        s_bar = vmm @ resid ** 2
+        sigma = np.sqrt(np.maximum(s_bar, 0))
+        n = len(self.f_fit)
+        return sigma[:n] + 1j * sigma[n:]
+
+    @property
+    def num_elements(self):
+        return len(self.element_names)
+
+    @property
+    def num_parameters(self):
+        return len(self.parameter_names)
+
+    def set_parameter_values(self, values):
+        values = np.asarray(values, dtype=float)
+        if len(values) != len(self.parameter_names):
+            raise ValueError(f"Expected {len(self.parameter_names)} values, "
+                             f"got {len(values)}")
+        self.parameter_values = values
+
+    def set_bounds(self, bounds, element_name=None):
+        """Override parameter bounds, for all parameters or one element
+        (reference elements.py:410)."""
+        if element_name is None:
+            if len(bounds) != len(self.parameter_bounds):
+                raise ValueError("bounds must match the full parameter count")
+            self.parameter_bounds = list(bounds)
+        else:
+            i = self.element_names.index(element_name)
+            i0, i1 = self.parameter_indices[i]
+            if len(bounds) != i1 - i0:
+                raise ValueError(f"Expected {i1 - i0} bounds for {element_name}")
+            for k, bd in enumerate(bounds):
+                self.parameter_bounds[i0 + k] = bd
 
     def get_parameter_dict(self, x=None):
         x = self.get_parameter_values(x)

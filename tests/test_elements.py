@@ -104,3 +104,37 @@ def test_predict_response_rc():
     v = m.predict_response(times, [0.0], [0.1])
     expected = 0.1 * np.where(times > 0, 0.3 + 1.0 * (1 - np.exp(-np.maximum(times, 0) / 1e-2)), 0)
     assert np.allclose(v, expected, atol=1e-10)
+
+
+def test_element_level_accessors():
+    """Per-element DRT/impedance, totals, setters (reference
+    elements.py:302-410,1126-1212)."""
+    import pytest
+    from hybdrt_tpu.models.elements import DiscreteElementModel
+    dem = DiscreteElementModel("R0-RQ1-RQ2")
+    dem.set_parameter_values([0.3, 1.0, np.log(1e-3), 0.9, 0.5, np.log(1e-1), 0.85])
+    tau = np.logspace(-5, 1, 60)
+    g_tot = dem.predict_drt(tau)
+    g_1 = dem.predict_element_drt(tau, "RQ1")
+    g_2 = dem.predict_element_drt(tau, 2)
+    assert np.allclose(g_tot, g_1 + g_2, atol=1e-12)
+    f = np.logspace(5, -1, 21)
+    z_r = dem.predict_element_z("R0", f)
+    assert np.allclose(z_r, 0.3)
+    z_tot = dem.predict_z(f)
+    z_sum = sum(dem.predict_element_z(i, f) for i in range(dem.num_elements))
+    assert np.allclose(z_tot, z_sum, atol=1e-12)
+    assert dem.predict_r_tot() == pytest.approx(0.3 + 1.5)
+    assert dem.num_elements == 3 and dem.num_parameters == 7
+    # gamma-only vs (gamma, tau) return conventions
+    g_only = dem.predict_distribution(tau)
+    assert isinstance(g_only, np.ndarray) and g_only.shape == tau.shape
+    g_auto, tau_auto = dem.predict_distribution()
+    assert g_auto.shape == tau_auto.shape
+    # setters validate lengths
+    with pytest.raises(ValueError):
+        dem.set_parameter_values([1.0])
+    with pytest.raises(ValueError):
+        dem.set_bounds([(0, 1)], element_name="RQ1")
+    dem.set_bounds([(0, 10), (-20, 5), (0.5, 1.0)], element_name="RQ1")
+    assert dem.parameter_bounds[2] == (-20, 5)
