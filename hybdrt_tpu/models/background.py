@@ -148,3 +148,12 @@ def get_background_matrix(gps, times, y_drt=None, corr_power=None):
             corr = np.abs(np.dot(bkg_est, y_drt)) / denom
             rm = rm * (1 - corr) ** corr_power
     return rm
+
+
+def estimate_chrono_background(drt, times, i_signal, v_signal, **kw):
+    """Module-level convenience mirroring reference background.py:101:
+    iteratively fit the DRT and a GP to the residual drift.
+
+    Returns (drt_bkg, [gp], y_bkg); see DRT.estimate_chrono_background."""
+    return drt.estimate_chrono_background(times, i_signal, v_signal,
+                                          copy_self=True, **kw)

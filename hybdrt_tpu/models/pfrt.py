@@ -20,6 +20,14 @@ def identify_peaks(pf, min_prob):
     return np.array([s + int(np.argmax(pf[s:e])) for s, e in zip(starts, ends)], dtype=int)
 
 
+def identify_candidate_peaks(candidate_pf, threshold, shift=False, **shift_kw):
+    """Peak indices of a candidate PFRT, optionally shifted onto the total
+    PFRT's peak locations first (reference pfrt.py:66-84)."""
+    if shift:
+        candidate_pf = shift_candidate_pfrt(candidate_pf, **shift_kw)
+    return identify_peaks(candidate_pf, threshold)
+
+
 def integrate_peaks(pf, min_prob):
     """(peak_index, peak_areas) of contiguous above-threshold ranges."""
     pf = np.asarray(pf)
