@@ -642,6 +642,260 @@ class DRTMD:
         return x_cov
 
     # ------------------------------------------------------------------
+    # Convenience accessors (reference drtmd.py:561-1135)
+    # ------------------------------------------------------------------
+    def get_tau_eval(self, ppd=10):
+        """Evaluation grid over the tau supergrid (reference drtmd.py)."""
+        log_min = np.log10(self.tau_supergrid[0])
+        log_max = np.log10(self.tau_supergrid[-1])
+        return np.logspace(log_min, log_max, int((log_max - log_min) * ppd) + 1)
+
+    def get_nu_eval(self, n=201):
+        return np.linspace(-1, 1, n)
+
+    @property
+    def tau_basis_area(self):
+        from ..ops import basis as basis_mod
+        return basis_mod.get_basis_func_area(self.tau_basis_type, self.tau_epsilon)
+
+    def get_psi_index(self, psi):
+        """Indices of the nearest stored observations to the given psi rows."""
+        psi = np.atleast_2d(psi)
+        return np.array([int(np.argmin(np.sum((self.obs_psi - p) ** 2, axis=1)))
+                         for p in psi])
+
+    def unique_group_ids(self):
+        seen = []
+        for g in self.obs_group_id:
+            if g not in seen:
+                seen.append(g)
+        return seen
+
+    def fitted_obs_index(self):
+        return np.where(self.obs_fit_status & ~self.obs_ignore_flag)[0]
+
+    def obs_psi_df(self):
+        import pandas as pd
+        names = self.psi_dim_names or [f"psi{i}" for i in range(self.obs_psi.shape[1])]
+        df = pd.DataFrame(self.obs_psi, columns=names)
+        df["group_id"] = self.obs_group_id
+        df["fitted"] = self.obs_fit_status
+        df["ignore"] = self.obs_ignore_flag
+        return df
+
+    def clear_fits(self):
+        """Reset all fit results, keeping the observations."""
+        self.obs_fit_status[:] = False
+        self.obs_resolve_status[:] = False
+        self.obs_x[:] = 0
+        self.obs_drt_var[:] = 0
+        self.obs_x_resolved[:] = 0
+        self.obs_x_filt[:] = 0
+        self.obs_fit_attr = [None] * self.num_obs
+        self.obs_tau_indices = [None] * self.num_obs
+        for d in (self.obs_special, self.obs_special_resolved, self.obs_special_filt):
+            if d is not None:
+                for k in d:
+                    d[k][:] = 0
+
+    def clear_obs(self):
+        """Remove all observations and results."""
+        self.__init__(tau_supergrid=self.tau_supergrid, psi_dim_names=self.psi_dim_names,
+                      tau_basis_type=self.tau_basis_type, tau_epsilon=self.tau_epsilon,
+                      fit_kw=self.fit_kw, fit_type=self.fit_type,
+                      pfrt_factors=self.pfrt_factors, warn=self.warn,
+                      print_progress=self.print_progress)
+
+    def load_observations(self, psi_array, chrono_files=None, eis_files=None,
+                          group_ids=None, fit=False):
+        """Register observations given per-observation data files
+        (reference drtmd.py load path; reading is lazy via the readers)."""
+        n = len(psi_array)
+        chrono_files = chrono_files or [None] * n
+        eis_files = eis_files or [None] * n
+        group_ids = group_ids if group_ids is not None else [None] * n
+        for psi, cf, ef, gid in zip(psi_array, chrono_files, eis_files, group_ids):
+            self.add_observation(psi, cf, ef, group_id=gid, fit=fit)
+
+    # ------------------------------------------------------------------
+    # Filtered predictions and QC scoring (reference drtmd.py:561-780)
+    # ------------------------------------------------------------------
+    def filter_observations(self, obs_index=None, psi_sort_dims=None, resolved=True,
+                            sigma=(1, 1), store=True, **filter_kw):
+        """ndx-filter the (psi-sorted) DRT map; assumes a 2-D (psi, tau) map
+        (reference drtmd.py:561; for higher dims use ndx.assemble_ndx)."""
+        from ..filters import nonuniform_gaussian_filter1d
+        from scipy import ndimage
+        if obs_index is None:
+            obs_index = np.arange(self.num_obs)
+        obs_index = np.asarray(obs_index)
+        include = self.obs_fit_status[obs_index] & ~self.obs_ignore_flag[obs_index]
+        obs_index = obs_index[include]
+        if psi_sort_dims is not None:
+            sort_vals = [self.obs_psi[obs_index, self.psi_dim_names.index(d)]
+                         for d in psi_sort_dims][::-1]
+            obs_index = obs_index[np.lexsort(sort_vals)]
+        x_src = self.obs_x_resolved if (resolved and self.obs_resolve_status.any())             else self.obs_x
+        x = ndimage.gaussian_filter(np.asarray(x_src[obs_index], dtype=float),
+                                    sigma=sigma, **filter_kw)
+        if store:
+            self.obs_x_filt[obs_index] = x
+        sp_src = self.obs_special_resolved if (resolved and self.obs_resolve_status.any())             else self.obs_special
+        sp_out = {}
+        for key, vals in (sp_src or {}).items():
+            v = np.asarray(vals[obs_index], dtype=float)
+            sig = sigma[0] if np.ndim(sigma) else sigma
+            v_f = ndimage.gaussian_filter1d(v, sigma=sig, axis=0) if v.ndim > 0 else v
+            sp_out[key] = v_f
+            if store:
+                self.obs_special_filt[key][obs_index] = v_f
+        return obs_index, x, sp_out
+
+    def filter_group(self, group_id, **kw):
+        return self.filter_observations(self.get_group_index(group_id), **kw)
+
+    def score_group_fit_badness(self, group_id, psi_sort_dims=None,
+                                median_size=(3, 3), std_size=(5, 3)):
+        """Per-observation fit-badness score: RSS of the fitted map vs its
+        median-filtered version (reference drtmd.py:737)."""
+        from scipy import ndimage
+        from .nddata import flag_bad_obs
+        obs_index = self.get_group_index(group_id)
+        if psi_sort_dims is not None:
+            sort_vals = [self.obs_psi[obs_index, self.psi_dim_names.index(d)]
+                         for d in psi_sort_dims][::-1]
+            obs_index = obs_index[np.lexsort(sort_vals)]
+        x_array = np.asarray(self.obs_x[obs_index], dtype=float).copy()
+        ignore = self.obs_ignore_flag[obs_index] | ~self.obs_fit_status[obs_index]
+        x_array[ignore] = np.nan
+        x_filt = ndimage.median_filter(np.nan_to_num(x_array), size=median_size)
+        _, rss_list = flag_bad_obs(x_array, x_filt, std_size=std_size, return_rss=True)
+        x_rss = np.asarray(rss_list[0]).reshape(-1)
+        self.obs_fit_badness[obs_index] = x_rss
+        return obs_index, x_rss
+
+    def score_group_data_badness(self, group_id, **kk_kw):
+        """Per-observation data-badness: fraction of Kramers-Kronig outlier
+        points in each EIS spectrum (reference drtmd.py:700-735)."""
+        obs_index = self.get_group_index(group_id)
+        scores = np.zeros(len(obs_index))
+        for i, idx in enumerate(obs_index):
+            chrono_data, eis_data = self.get_obs_data(idx)
+            if eis_data[0] is None:
+                continue
+            try:
+                drt = DRT(warn=False)
+                out_idx = drt.kk_test(np.asarray(eis_data[0]),
+                                      np.asarray(eis_data[1]), **kk_kw)
+                scores[i] = np.mean(out_idx) if out_idx is not None else 0.0
+            except Exception:
+                scores[i] = np.nan
+        self.obs_data_badness[obs_index] = scores
+        return obs_index, scores
+
+    # ------------------------------------------------------------------
+    # Uncertainty / probability maps (reference drtmd.py:1012-1135)
+    # ------------------------------------------------------------------
+    def predict_drt_cov(self, obs_index, tau=None, order=0, factor_index=None,
+                        extend_var=True):
+        """Distribution covariance per observation on an eval grid."""
+        if tau is None:
+            tau = self.get_tau_eval(10)
+        covs = []
+        for idx in np.atleast_1d(obs_index):
+            if not self.obs_fit_status[idx]:
+                covs.append(np.full((len(tau), len(tau)), np.nan))
+                continue
+            drt = self.get_fit(idx)
+            if self.fit_type == "pfrt" and factor_index is not None:
+                pm = drt.pfrt_result["step_p_mat"][factor_index]
+                cov = drt.estimate_distribution_cov(tau=tau, order=order,
+                                                    p_matrix=pm, extend_var=extend_var)
+            else:
+                cov = drt.estimate_distribution_cov(tau=tau, order=order,
+                                                    extend_var=extend_var)
+            covs.append(cov if cov is not None
+                        else np.full((len(tau), len(tau)), np.nan))
+        return covs
+
+    def predict_drt_var(self, obs_index, tau=None, order=0, factor_index=None,
+                        extend_var=True):
+        covs = self.predict_drt_cov(obs_index, tau, order, factor_index, extend_var)
+        return np.array([np.diag(c) for c in covs])
+
+    def predict_x_var(self, obs_index, factor_index=None):
+        x_cov = self.predict_x_cov(obs_index, factor_index)
+        return np.array([np.diag(c) if c.ndim == 2 else
+                         np.stack([np.diag(ck) for ck in c]) for c in x_cov])
+
+    def predict_dop(self, psi=None, obs_index=None, nu=None, normalize=True,
+                    resolved=True):
+        """DOP over nu for requested observations (reference drtmd.py:853)."""
+        if not self.fit_dop:
+            raise ValueError("DOP was not fitted")
+        from ..ops import basis as basis_mod
+        from ..ops import phasance
+        if nu is None:
+            nu = self.get_nu_eval()
+        x_dop = self.predict_special("x_dop", psi=psi, obs_index=obs_index,
+                                     resolved=resolved)
+        basis_nu = self.fixed_basis_nu if self.fixed_basis_nu is not None             else np.concatenate([np.linspace(-1, -0.4, 25), np.linspace(0.4, 1, 25)])
+        em = np.asarray(basis_mod.construct_func_eval_matrix(
+            np.asarray(basis_nu), np.asarray(nu), self.nu_basis_type,
+            self.nu_epsilon, 0))
+        dop = x_dop @ em.T
+        if normalize:
+            sv = np.asarray(phasance.phasor_scale_vector(np.asarray(nu),
+                                                         self.tau_supergrid))
+            dop = dop / sv
+        return dop
+
+    def predict_curv_prob(self, psi=None, obs_index=None, tau=None,
+                          factor_index=None, extend_var=True):
+        """P(negative curvature & positive height) map over (obs, tau)
+        (reference drtmd.py:1066)."""
+        from scipy.special import ndtr
+        if tau is None:
+            tau = self.get_tau_eval(10)
+        if obs_index is None:
+            obs_index = self.get_psi_index(psi) if psi is not None                 else self.fitted_obs_index()
+        f = self.predict_drt(obs_index=obs_index, tau=tau, order=0)
+        fxx = self.predict_drt(obs_index=obs_index, tau=tau, order=2)
+        if self.fit_type == "pfrt":
+            fi = factor_index if factor_index is not None else 0
+            f = f[:, fi] if f.ndim == 3 else f
+            fxx = fxx[:, fi] if fxx.ndim == 3 else fxx
+        f_var = self.predict_drt_var(obs_index, tau=tau, order=0,
+                                     factor_index=factor_index, extend_var=extend_var)
+        fxx_var = self.predict_drt_var(obs_index, tau=tau, order=2,
+                                       factor_index=factor_index, extend_var=extend_var)
+        p_curv = 1 - ndtr(fxx / np.sqrt(np.maximum(fxx_var, 1e-30)))
+        p_f = 1 - ndtr(-f / np.sqrt(np.maximum(f_var, 1e-30)))
+        return p_curv * p_f
+
+    def predict_peak_prob(self, psi=None, obs_index=None, tau=None,
+                          factor_index=None, extend_var=True):
+        """Peak-probability map via the surface peak/trough model
+        (reference drtmd.py:1023)."""
+        from .surface import peak_prob, trough_prob
+        if tau is None:
+            tau = self.get_tau_eval(10)
+        if obs_index is None:
+            obs_index = self.get_psi_index(psi) if psi is not None                 else self.fitted_obs_index()
+        f = self.predict_drt(obs_index=obs_index, tau=tau, order=0)
+        fx = self.predict_drt(obs_index=obs_index, tau=tau, order=1)
+        fxx = self.predict_drt(obs_index=obs_index, tau=tau, order=2)
+        f_var = self.predict_drt_var(obs_index, tau=tau, order=0,
+                                     factor_index=factor_index, extend_var=extend_var)
+        fx_var = self.predict_drt_var(obs_index, tau=tau, order=1,
+                                      factor_index=factor_index, extend_var=extend_var)
+        fxx_var = self.predict_drt_var(obs_index, tau=tau, order=2,
+                                       factor_index=factor_index, extend_var=extend_var)
+        pp_ = peak_prob(f, fx, fxx, f_var=f_var, fx_var=fx_var, fxx_var=fxx_var)
+        tp_ = trough_prob(f, fx, fxx, f_var=f_var, fx_var=fx_var, fxx_var=fxx_var)
+        return pp_ * (1 - tp_)
+
+    # ------------------------------------------------------------------
     # Persistence (reference drtmd.py:1382-1477)
     # ------------------------------------------------------------------
     _persist_attrs = [

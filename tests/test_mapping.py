@@ -142,3 +142,47 @@ def test_drtmd_pfrt_fit_type():
         md.resolve_observations([0, 1])
     with pytest.raises(ValueError):
         DRTMD(tau_supergrid=np.logspace(-7, 2, 91), fit_type="bogus")
+
+
+def test_drtmd_convenience_and_qc():
+    """Convenience accessors, filtered maps, QC scoring, probability maps
+    (reference drtmd.py:561-1135)."""
+    from hybdrt_tpu import DRTMD
+
+    def sim_eis(tau0, seed):
+        rng = np.random.default_rng(seed)
+        f = np.logspace(5, -1, 31)
+        w = 2j * np.pi * f
+        z = 0.4 + 1.5 / (1 + (w * tau0) ** 0.9)
+        return f, z + rng.normal(0, 1e-4, 31) + 1j * rng.normal(0, 1e-4, 31)
+
+    md = DRTMD(tau_supergrid=np.logspace(-7, 2, 91), psi_dim_names=["T"],
+               print_progress=False, warn=False)
+    for i, t0 in enumerate([1e-3, 1.5e-3, 2e-3, 3e-3]):
+        md.add_observation([700 + 25 * i], None, sim_eis(t0, i), group_id="g")
+    md.fit_all()
+
+    assert md.fitted_obs_index().tolist() == [0, 1, 2, 3]
+    assert md.unique_group_ids() == ["g"]
+    assert md.get_psi_index([[710]]).tolist() == [0]
+    assert md.tau_basis_area > 0
+    df = md.obs_psi_df()
+    assert list(df["T"]) == [700, 725, 750, 775]
+
+    tau = md.get_tau_eval(5)
+    var = md.predict_drt_var([0, 1], tau=tau)
+    assert var.shape == (2, len(tau)) and np.all(var >= -1e-12)
+    # peak probability concentrates near the true tau of each spectrum
+    pp = md.predict_peak_prob(obs_index=[0, 1, 2, 3], tau=tau)
+    assert pp.shape == (4, len(tau))
+    assert np.nanmax(pp) > 0.5
+
+    oi, x_f, sp_f = md.filter_observations(psi_sort_dims=["T"])
+    assert x_f.shape == (4, 91)
+    assert np.any(md.obs_x_filt != 0)
+    _, rss = md.score_group_fit_badness("g", psi_sort_dims=["T"])
+    assert rss.shape == (4,) and np.all(np.isfinite(rss))
+
+    md.clear_fits()
+    assert not md.obs_fit_status.any()
+    assert np.all(md.obs_x == 0)
