@@ -286,3 +286,8 @@ class DrtScorer:
         combo = calculate_combo_metrics(reg, cls)
         self.results_ = {"regression": reg, "classification": cls, "combined": combo}
         return self.results_
+
+
+# Reference-compatible aliases (reference evaluation.py)
+calculate_regression_metrics = calculate_reg_metrics
+calculate_classification_metrics = calculate_cls_metrics

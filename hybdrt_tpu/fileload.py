@@ -97,3 +97,35 @@ def concatenate_chrono(dfs, shift_times=True):
         t_offset = df["time"].values[-1]
         out.append(df)
     return pd.concat(out, ignore_index=True)
+
+
+# Reference-compatible aliases and conveniences (reference fileload.py)
+concatenate_eis_data = concatenate_eis
+concatenate_chrono_data = concatenate_chrono
+
+
+def get_extension(file):
+    """File extension without the dot (reference fileload.py)."""
+    from pathlib import Path
+    return Path(file).suffix.lstrip(".")
+
+
+def read_txt(file):
+    """Raw text of a data file (reference fileload.py read_txt)."""
+    with open(file, "r", errors="replace") as f:
+        return f.read()
+
+
+def iv_from_eis(data):
+    """DC current/voltage operating point from an EIS file or frame
+    (reference fileload.py:703)."""
+    import pandas as pd
+    if not isinstance(data, pd.DataFrame):
+        data = read_eis(data)
+    tcol = "elapsed" if "elapsed" in data.columns else "Time"
+    cols = {c.lower(): c for c in data.columns}
+    i_col = cols.get("idc")
+    v_col = cols.get("vdc")
+    if i_col is None or v_col is None:
+        raise ValueError("EIS data has no Idc/Vdc columns")
+    return data[tcol].values, data[i_col].values, data[v_col].values

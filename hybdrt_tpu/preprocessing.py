@@ -354,3 +354,56 @@ def discard_first_n_chrono(times, i_signal, v_signal, n, op_mode="galv"):
         keep[si:si + n] = False
     idx = np.where(keep)[0]
     return idx, (times[idx], np.asarray(i_signal)[idx], np.asarray(v_signal)[idx])
+
+
+# ------------------------------------------------------------------
+# Outlier probability and sampling-density helpers
+# (reference preprocessing.py:594-600, 860-905)
+# ------------------------------------------------------------------
+def outlier_prob(x, mu_in, sigma_in, sigma_out, p_prior):
+    """Bernoulli-prior outlier probability; deviations within sigma_in are
+    never flagged (reference preprocessing.py:860-878)."""
+    from .utils import stats
+    sigma_out = np.maximum(np.asarray(sigma_out, dtype=float), 1e-300)
+    pdf_in = np.asarray(stats.pdf_normal(x, mu_in, sigma_in))
+    pdf_out = np.asarray(stats.pdf_normal(x, mu_in, sigma_out))
+    p_out = np.array(p_prior * pdf_out / ((1 - p_prior) * pdf_in + p_prior * pdf_out))
+    p_out[np.abs(np.asarray(x) - mu_in) <= sigma_in] = 0
+    return p_out
+
+
+def flag_chrono_outliers(y_raw, y_filt, thresh=0.75, p_prior=0.01):
+    """Flag chrono points whose deviation from the filtered signal has high
+    outlier probability (reference preprocessing.py:594-600)."""
+    from .utils import stats
+    dev = np.asarray(y_filt) - np.asarray(y_raw)
+    std = stats.robust_std(dev)
+    sigma_out = np.maximum(np.abs(dev), 0.01 * std)
+    return outlier_prob(dev, 0, std, sigma_out, p_prior) > thresh
+
+
+def get_ppd(x):
+    """Points per decade of a positive array (reference preprocessing.py:882)."""
+    num_decades = np.log10(np.max(x)) - np.log10(np.min(x))
+    return (len(x) - 1) / num_decades
+
+
+def get_time_ppd(times, step_times, aggregate=True):
+    """Points per decade of time-since-step (reference preprocessing.py:890)."""
+    times = np.asarray(times)
+    t_sample = np.min(np.diff(times)) if len(times) > 1 else times[0]
+    step_times = np.atleast_1d(step_times)
+    tds = []
+    for i, start in enumerate(step_times):
+        end = step_times[i + 1] if i < len(step_times) - 1 else np.inf
+        idx = np.where((times >= start) & (times < end))
+        td = times[idx] - start + t_sample
+        if len(td) > 1:
+            tds.append(td)
+    if aggregate:
+        return get_ppd(np.concatenate(tds))
+    return [get_ppd(td) for td in tds]
+
+
+# Reference-compatible alias (reference preprocessing.py:238)
+generate_loguniform_times = generate_log_times

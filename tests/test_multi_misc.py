@@ -139,3 +139,27 @@ def test_drt_parity_methods():
     assert drt.integrate_distribution(1e-4, 1e0) == pytest.approx(
         drt.integrate_drt(1e-4, 1e0))
     assert np.allclose(drt.predict_v_baseline(np.linspace(0, 1, 5)), 0)
+
+
+def test_preprocessing_outlier_and_density_helpers():
+    """flag_chrono_outliers / outlier_prob / get_time_ppd / get_ppd
+    (reference preprocessing.py:594-600, 860-905)."""
+    from scipy import ndimage
+    from hybdrt_tpu import preprocessing as pp
+    rng = np.random.default_rng(0)
+    y = np.sin(np.linspace(0, 5, 200)) + rng.normal(0, 0.01, 200)
+    y[50] += 0.5
+    y[120] -= 0.4
+    y_filt = ndimage.gaussian_filter1d(y, 3)
+    flags = pp.flag_chrono_outliers(y, y_filt)
+    hits = set(np.flatnonzero(flags).tolist())
+    assert 50 in hits and 120 in hits
+    # Gaussian smoothing spreads each spike over neighbors; still localized
+    assert len(hits) <= 15
+
+    t = np.concatenate([np.linspace(-1e-3, -1e-4, 5), np.logspace(-5, 0, 101)])
+    ppd = pp.get_time_ppd(t, [0.0])
+    assert abs(ppd - 20) < 1.0
+    assert pp.get_ppd(np.logspace(0, 2, 21)) == pytest.approx(10.0)
+    # alias
+    assert pp.generate_loguniform_times is pp.generate_log_times
