@@ -127,3 +127,19 @@ def test_smallchol_matches_lapack():
     xr = np.linalg.solve(np.asarray(ab, dtype=np.float64),
                          np.asarray(bb, dtype=np.float64)[..., None])[..., 0]
     assert np.max(np.abs(np.asarray(xv) - xr) / (1 + np.abs(xr))) < 1e-5
+
+
+def test_pallas_chol_blocked_interpret():
+    """Blocked pallas Cholesky kernel (ops/pallas_chol_blocked.py) against
+    float64 LAPACK, interpret mode."""
+    from hybdrt_tpu.ops.pallas_chol_blocked import chol_solve_blocked
+    rng = np.random.default_rng(0)
+    B, n = 12, 93
+    a_ = rng.normal(size=(B, n, n)).astype(np.float32)
+    a = jnp.asarray(a_ @ np.transpose(a_, (0, 2, 1)) + 10 * np.eye(n, dtype=np.float32))
+    b = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
+    for nb in (16, 32):
+        x = chol_solve_blocked(a, b, block_batch=8, nb=nb, interpret=True)
+        xr = np.linalg.solve(np.asarray(a, dtype=np.float64),
+                             np.asarray(b, dtype=np.float64)[..., None])[..., 0]
+        assert np.max(np.abs(np.asarray(x) - xr) / (1 + np.abs(xr))) < 1e-5
