@@ -33,6 +33,79 @@ class QPResult(NamedTuple):
     primal_objective: jnp.ndarray
 
 
+# ---------------------------------------------------------------------------
+# SPD factor/solve primitives with a TPU batched fast path.
+#
+# The solver below is written per-problem and vmapped by callers (one QP per
+# spectrum). XLA's batched Cholesky at this size (n ~ 100, batch ~ 1000) is
+# ~6x off what the hardware can do; custom_vmap dispatches the BATCHED case
+# to the pallas batch-as-lane kernels (ops/pallas_chol_lane.py) on TPU-class
+# backends in float32, while the unbatched case (single CPU float64 fits, the
+# golden-parity path) keeps LAPACK semantics exactly.
+# ---------------------------------------------------------------------------
+from jax import custom_batching
+
+
+def _use_lane_kernel(dtype):
+    return jax.default_backend() not in ("cpu",) and dtype == jnp.float32
+
+
+@custom_batching.custom_vmap
+def spd_factor(a):
+    """Lower Cholesky factor of one SPD matrix."""
+    return jnp.linalg.cholesky(a)
+
+
+@spd_factor.def_vmap
+def _spd_factor_vmap(axis_size, in_batched, a):
+    if not in_batched[0]:
+        a = jnp.broadcast_to(a, (axis_size, *a.shape))
+    return jnp.linalg.cholesky(a), True
+
+
+@custom_batching.custom_vmap
+def spd_solve_factored(l, b):
+    """Solve (L L^T) x = b given the factor from spd_factor."""
+    return jsl.cho_solve((l, True), b)
+
+
+@spd_solve_factored.def_vmap
+def _spd_solve_factored_vmap(axis_size, in_batched, l, b):
+    if not in_batched[0]:
+        l = jnp.broadcast_to(l, (axis_size, *l.shape))
+    if not in_batched[1]:
+        b = jnp.broadcast_to(b, (axis_size, *b.shape))
+    y = jsl.solve_triangular(l, b[..., None], lower=True)
+    x = jsl.solve_triangular(jnp.transpose(l, (0, 2, 1)), y, lower=False)
+    return x[..., 0], True
+
+
+@custom_batching.custom_vmap
+def spd_solve(a, b):
+    """x = a^-1 b for one SPD matrix. Batched on a TPU-class backend in
+    float32, this dispatches to the fused batch-as-lane pallas kernel
+    (factor + both substitutions without leaving VMEM): ~6x faster than
+    XLA's batched Cholesky at this framework's sizes. (The factor/solve
+    split kernels hit the 16M scoped-VMEM ceiling at n ~ 93; the fused
+    kernel fits, so re-factoring per solve is still the fastest option.)"""
+    return jsl.cho_solve((jnp.linalg.cholesky(a), True), b)
+
+
+@spd_solve.def_vmap
+def _spd_solve_vmap(axis_size, in_batched, a, b):
+    if not in_batched[0]:
+        a = jnp.broadcast_to(a, (axis_size, *a.shape))
+    if not in_batched[1]:
+        b = jnp.broadcast_to(b, (axis_size, *b.shape))
+    if _use_lane_kernel(a.dtype):
+        from .pallas_chol_lane import chol_solve_lane
+        return chol_solve_lane(a, b), True
+    l = jnp.linalg.cholesky(a)
+    y = jsl.solve_triangular(l, b[..., None], lower=True)
+    x = jsl.solve_triangular(jnp.transpose(l, (0, 2, 1)), y, lower=False)
+    return x[..., 0], True
+
+
 def _max_step(v, dv):
     """Largest alpha in (0, 1] with v + alpha dv >= 0."""
     ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
@@ -95,8 +168,7 @@ def _solve_qp_box_core(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, pol
         # --- Initialization: damped unconstrained solution pushed interior
         eye = jnp.eye(n, dtype=dtype)
         diag_scale = jnp.mean(jnp.diag(P))
-        chol0 = jsl.cho_factor(P + eye * (1e-10 * diag_scale + 1e-12))
-        x0 = jsl.cho_solve(chol0, -q)
+        x0 = spd_solve(P + eye * (1e-10 * diag_scale + 1e-12), -q)
         s0 = jnp.maximum(x0 - lb, 1.0)
         x0 = lb + s0
         z0 = jnp.maximum(jnp.abs(P @ x0 + q), 1.0)
@@ -125,11 +197,10 @@ def _solve_qp_box_core(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, pol
         mu = jnp.dot(s, z) / n
 
         H = P + jnp.diag(d)
-        chol = jsl.cho_factor(H)
 
         # Predictor (affine scaling) step
         rhs_aff = -r_d - z + d * r_p
-        dx_aff = jsl.cho_solve(chol, rhs_aff)
+        dx_aff = spd_solve(H, rhs_aff)
         ds_aff = dx_aff - r_p
         dz_aff = -z - d * ds_aff
         a_p = _max_step(s, ds_aff)
@@ -141,7 +212,7 @@ def _solve_qp_box_core(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, pol
         # Corrector step
         r_c = s * z + ds_aff * dz_aff - sigma * mu
         rhs = -r_d - r_c / s + d * r_p
-        dx = jsl.cho_solve(chol, rhs)
+        dx = spd_solve(H, rhs)
         ds = dx - r_p
         dz = -r_c / s - d * ds
 
@@ -181,8 +252,7 @@ def _solve_qp_box_core(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, pol
         # H = [[P_ff, 0], [0, I_aa]] in scattered form
         H = P * fm[:, None] * fm[None, :] + jnp.diag(1.0 - fm)
         rhs = jnp.where(free_mask, -q - P @ jnp.where(active, lb, 0.0), lb)
-        chol_p = jsl.cho_factor(H)
-        x_pol = jsl.cho_solve(chol_p, rhs)
+        x_pol = spd_solve(H, rhs)
         x_pol = jnp.where(active, lb, x_pol)
         grad = P @ x_pol + q
         z_pol = jnp.where(active, grad, 0.0)
