@@ -25,6 +25,10 @@ def invert_mat(m, inplace=False):
 class DCT(DRT):
     """DRT subclass for capacitive (blocking) systems."""
 
+    # Predictions must match the inverted fit matrices
+    # (reference dct.py:49-66 inverts the prediction matrices)
+    _dist_matrix_sign = -1.0
+
     def _prep_for_fit(self, *args, **kwargs):
         data, mat = super()._prep_for_fit(*args, **kwargs)
         (rm_drt, induc_rv, inf_rv, cap_rv, rm_dop, zm_drt, induc_zv, cap_zv, zm_dop,

@@ -36,6 +36,11 @@ class DRT:
     Constructor arguments mirror the reference (drtbase.py:21-27).
     """
 
+    # Sign applied to DRT/DOP matrix products in predictions; the DCT
+    # subclass (capacitive systems) flips it to match its inverted fit
+    # matrices (reference dct.py:49-66)
+    _dist_matrix_sign = 1.0
+
     def __init__(self, fixed_basis_tau=None, tau_supergrid=None, tau_basis_type="gaussian",
                  tau_epsilon=None, basis_tau_ppd=10, extend_basis_decades=1,
                  step_model="ideal", chrono_mode="galv", interpolate_integrals=True,
@@ -1593,7 +1598,7 @@ class DRT:
             else fit_parameters["x"]
         z = np.zeros(len(frequencies), dtype=complex)
         if include_drt:
-            z = z + zm @ x_drt
+            z = z + self._dist_matrix_sign * (zm @ x_drt)
         if include_ohmic:
             z = z + fit_parameters.get("R_inf", 0)
         if include_inductance:
@@ -1604,7 +1609,7 @@ class DRT:
         if self.fit_dop and include_dop and fit_parameters.get("x_dop") is not None:
             zm_dop = np.asarray(phasance.construct_phasor_z_matrix(
                 frequencies, self.basis_nu, self.nu_basis_type, self.nu_epsilon))
-            z = z + zm_dop @ fit_parameters["x_dop"]
+            z = z + self._dist_matrix_sign * (zm_dop @ fit_parameters["x_dop"])
         if include_vz_offset and "vz_offset" in self.special_qp_params:
             _, vz_strength = self._get_vz_strength_vec(
                 None, frequencies, vz_offset_eps=self.fit_parameters.get("vz_offset_eps"))
@@ -1634,7 +1639,7 @@ class DRT:
         x_drt = self.get_drt_params(fit_parameters["x"], sign=0) if self.series_neg \
             else fit_parameters["x"]
 
-        response = rm @ x_drt
+        response = self._dist_matrix_sign * (rm @ x_drt)
         # Special contributions
         inf_rv = np.asarray(mat1d.construct_ohmic_response_vector(
             times, self.step_model, step_times, step_sizes, tau_rise,
@@ -1650,7 +1655,8 @@ class DRT:
             rm_dop, _ = phasance.construct_phasor_v_matrix(
                 times, self.basis_nu, self.nu_basis_type, self.nu_epsilon, self.step_model,
                 step_times, step_sizes, self.chrono_mode)
-            response = response + np.asarray(rm_dop) @ fit_parameters["x_dop"]
+            response = response + self._dist_matrix_sign \
+                * (np.asarray(rm_dop) @ fit_parameters["x_dop"])
 
         if v_baseline is None:
             v_baseline = fit_parameters.get("v_baseline", None)

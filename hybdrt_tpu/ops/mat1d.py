@@ -236,7 +236,10 @@ def construct_ohmic_response_vector(times, step_model, step_times, step_sizes, t
                                                 np.asarray(step_sizes), tau_rise, step_model)
     else:
         prestep = input_signal[times < np.asarray(step_times)[0]]
-        input_signal = input_signal - np.mean(prestep)
+        # Prediction grids may start after the first step (e.g. sequential
+        # fitting); an empty pre-step window means no baseline offset
+        offset = np.mean(prestep) if len(prestep) else 0.0
+        input_signal = input_signal - offset
     if op_mode != "galv":
         raise ValueError("Ohmic response vector not implemented for potentiostatic mode")
     return jnp.asarray(input_signal)
