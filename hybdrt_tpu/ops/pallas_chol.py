@@ -33,6 +33,11 @@ round-trips to HBM between substitutions. Column selection uses rows of
 precomputed float mask matrices (identity / >= / >) fetched by dynamic slice:
 mosaic's lowering of bool->float converts recurses infinitely, so no boolean
 mask may be materialized inside the kernel.
+
+
+SUPERSEDED by ops/pallas_chol_lane.py (batch-as-lane layout), which beats
+XLA 6x and is the kernel wired into the QP solver. This file is kept as a
+record of the failed layouts and their measured costs.
 """
 from functools import partial
 

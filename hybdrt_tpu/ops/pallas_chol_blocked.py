@@ -25,6 +25,11 @@ runs f32 dot_generals at bf16 precision unless precision=HIGHEST, giving
 ~2.5e-3 relative error (interpret mode shows 1e-7). NOT wired into the QP
 solver. The promising future layout is batch-as-lane ((n, n, B) with static
 column indices), which removes both the masks and the small-matmul problem.
+
+
+SUPERSEDED by ops/pallas_chol_lane.py (batch-as-lane layout), which beats
+XLA 6x and is the kernel wired into the QP solver. This file is kept as a
+record of the failed layouts and their measured costs.
 """
 from functools import partial
 

@@ -232,3 +232,57 @@ def plot_kk_results(drt, axes=None, norm="modulus", outlier_index=None, f_lim=No
     fig = np.ravel(axes)[0].get_figure()
     fig.tight_layout()
     return axes
+
+
+# ------------------------------------------------------------------
+# Axis helpers (reference plotting.py:162-320, 570-650)
+# ------------------------------------------------------------------
+def add_linear_time_axis(ax, times, step_times, trans_functions):
+    """Secondary top axis showing linear time on a transformed-time plot
+    (reference plotting.py:162)."""
+    axt = ax.secondary_xaxis("top", functions=trans_functions)
+    t_ticks = np.append(np.atleast_1d(step_times), times[-1])
+    max_nticks = max(len(ax.get_xticks()), 1)
+    factor = int(np.ceil(len(t_ticks) / max_nticks))
+    axt.set_xticks(t_ticks[::max(factor, 1)])
+    axt.set_xlabel("$t$ (s)")
+    return axt
+
+
+def add_freq_axis(ax):
+    """Secondary frequency axis on a tau-axis DRT plot
+    (reference plotting.py:293)."""
+    def ft_trans(x):
+        with np.errstate(divide="ignore"):
+            return 1 / (2 * np.pi * x)
+    freq_ax = ax.secondary_xaxis("top", functions=(ft_trans, ft_trans))
+    freq_ax.set_xlabel("$f$ (Hz)")
+    return freq_ax
+
+
+def normalize_and_scale(f, area=None, scale_prefix=None, normalize_by=None):
+    """Apply basis-area and Rp normalization, then unit-prefix scaling
+    (reference plotting.py:303-320)."""
+    f = np.asarray(f)
+    if area is not None:
+        f = f * area
+    if normalize_by is not None:
+        f = f / normalize_by
+    if scale_prefix is None:
+        scale_prefix = get_scale_prefix(f)
+    return f, scale_prefix, _scale_factor(scale_prefix)
+
+
+def set_nyquist_aspect(ax, data=None, set_to_axis=None, tight_layout=True):
+    """Equal-impedance-scale aspect for Nyquist plots
+    (reference plotting.py:570)."""
+    if data is not None:
+        z = np.asarray(data)
+        xspan = np.max(z.real) - np.min(z.real)
+        yspan = np.max(-z.imag) - np.min(-z.imag)
+        if set_to_axis is None:
+            set_to_axis = "x" if xspan >= yspan else "y"
+    ax.set_aspect("equal")
+    if tight_layout:
+        ax.get_figure().tight_layout()
+    return ax
