@@ -88,6 +88,8 @@ def chol_solve_lane(a, b, lanes=128, interpret=False):
     with jax.enable_x64(False):
         x_t = pl.pallas_call(
             _make_kernel(n),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             out_shape=jax.ShapeDtypeStruct((n, bsz_p), dtype),
             grid=grid,
             in_specs=[pl.BlockSpec((n, n, lanes), lambda i: (0, 0, i)),
@@ -160,6 +162,8 @@ def chol_factor_lane(a, lanes=128, interpret=False):
     with jax.enable_x64(False):
         l_t = pl.pallas_call(
             _make_factor_kernel(n),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             out_shape=jax.ShapeDtypeStruct((n, n, bsz_p), dtype),
             grid=(bsz_p // lanes,),
             in_specs=[pl.BlockSpec((n, n, lanes), lambda i: (0, 0, i))],
@@ -190,6 +194,8 @@ def chol_solve_factored_lane(l, b, lanes=128, interpret=False):
     with jax.enable_x64(False):
         x_t = pl.pallas_call(
             _make_solve_kernel(n),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             out_shape=jax.ShapeDtypeStruct((n, bsz_p), dtype),
             grid=(bsz_p // lanes,),
             in_specs=[pl.BlockSpec((n, n, lanes), lambda i: (0, 0, i)),
@@ -199,3 +205,72 @@ def chol_solve_factored_lane(l, b, lanes=128, interpret=False):
             interpret=interpret,
         )(l_t, b_t)
     return jnp.transpose(x_t, (1, 0))[:bsz]
+
+
+def _make_factor_solve_kernel(n):
+    def kernel(a_ref, b_ref, x_ref, l_ref, y_s):
+        """Factor a into l_ref (aliased with the input block) and solve one
+        rhs. Returning L lets the caller run further solves without
+        re-factoring (the Mehrotra corrector reuses the predictor's factor).
+        """
+        l_ref[...] = a_ref[...]
+        for j in range(n):
+            ajj = l_ref[j, j:j + 1, :]
+            inv = jnp.where(ajj > 0, jax.lax.rsqrt(jnp.maximum(ajj, 1e-30)), 0.0)
+            col = l_ref[j:, j, :] * inv
+            l_ref[j:, j, :] = col
+            if j + 1 < n:
+                u = col[1:]
+                blk = l_ref[j + 1:, j + 1:, :]
+                l_ref[j + 1:, j + 1:, :] = blk - u[:, None, :] * u[None, :, :]
+        # forward then backward substitution (x_ref doubles as the residual)
+        x_ref[...] = b_ref[...]
+        for j in range(n):
+            yj = x_ref[j:j + 1, :] / l_ref[j, j:j + 1, :]
+            y_s[j:j + 1, :] = yj
+            if j + 1 < n:
+                x_ref[j + 1:, :] = x_ref[j + 1:, :] - yj * l_ref[j + 1:, j, :]
+        for j in range(n - 1, -1, -1):
+            if j + 1 < n:
+                sj = jnp.sum(l_ref[j + 1:, j, :] * x_ref[j + 1:, :], axis=0,
+                             keepdims=True)
+            else:
+                sj = jnp.zeros((1, b_ref.shape[1]), b_ref.dtype)
+            x_ref[j:j + 1, :] = (y_s[j:j + 1, :] - sj) / l_ref[j, j:j + 1, :]
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("lanes", "interpret"))
+def chol_factor_solve_lane(a, b, lanes=128, interpret=False):
+    """(x, l) = (a^-1 b, chol(a)) in one kernel; the input is donated to the
+    factor output so the kernel stays inside the scoped-VMEM budget.
+    a: (B, n, n); b: (B, n). l's upper triangle holds leftover input."""
+    bsz, n, _ = a.shape
+    dtype = a.dtype
+    pad = (-bsz) % lanes
+    if pad:
+        eye_pad = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (pad, n, n))
+        a = jnp.concatenate([a, eye_pad])
+        b = jnp.concatenate([b, jnp.zeros((pad, n), dtype=b.dtype)])
+    a_t = jnp.transpose(a, (1, 2, 0))
+    b_t = jnp.transpose(b, (1, 0))
+    bsz_p = a_t.shape[-1]
+    with jax.enable_x64(False):
+        x_t, l_t = pl.pallas_call(
+            _make_factor_solve_kernel(n),
+            # the 16M default scoped-VMEM limit is conservative; in+out
+            # double buffers for two (n, n, lanes) blocks need ~18M at n~93
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            out_shape=[jax.ShapeDtypeStruct((n, bsz_p), dtype),
+                       jax.ShapeDtypeStruct((n, n, bsz_p), dtype)],
+            grid=(bsz_p // lanes,),
+            in_specs=[pl.BlockSpec((n, n, lanes), lambda i: (0, 0, i)),
+                      pl.BlockSpec((n, lanes), lambda i: (0, i))],
+            out_specs=[pl.BlockSpec((n, lanes), lambda i: (0, i)),
+                       pl.BlockSpec((n, n, lanes), lambda i: (0, 0, i))],
+            scratch_shapes=[pltpu.VMEM((n, lanes), dtype)],
+            input_output_aliases={0: 1},
+            interpret=interpret,
+        )(a_t, b_t)
+    return jnp.transpose(x_t, (1, 0))[:bsz], jnp.transpose(l_t, (2, 0, 1))[:bsz]

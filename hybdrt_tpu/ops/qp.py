@@ -75,9 +75,37 @@ def _spd_solve_factored_vmap(axis_size, in_batched, l, b):
         l = jnp.broadcast_to(l, (axis_size, *l.shape))
     if not in_batched[1]:
         b = jnp.broadcast_to(b, (axis_size, *b.shape))
+    if _use_lane_kernel(l.dtype):
+        from .pallas_chol_lane import chol_solve_factored_lane
+        return chol_solve_factored_lane(l, b), True
     y = jsl.solve_triangular(l, b[..., None], lower=True)
     x = jsl.solve_triangular(jnp.transpose(l, (0, 2, 1)), y, lower=False)
     return x[..., 0], True
+
+
+@custom_batching.custom_vmap
+def spd_factor_solve(a, b):
+    """(x, l) = (a^-1 b, chol(a)): factor once, return the factor for reuse
+    (the Mehrotra corrector solves against the predictor's factorization).
+    Batched float32 on TPU dispatches to the fused pallas kernel."""
+    l = jnp.linalg.cholesky(a)
+    return jsl.cho_solve((l, True), b), l
+
+
+@spd_factor_solve.def_vmap
+def _spd_factor_solve_vmap(axis_size, in_batched, a, b):
+    if not in_batched[0]:
+        a = jnp.broadcast_to(a, (axis_size, *a.shape))
+    if not in_batched[1]:
+        b = jnp.broadcast_to(b, (axis_size, *b.shape))
+    if _use_lane_kernel(a.dtype):
+        from .pallas_chol_lane import chol_factor_solve_lane
+        x, l = chol_factor_solve_lane(a, b)
+        return (x, l), (True, True)
+    l = jnp.linalg.cholesky(a)
+    y = jsl.solve_triangular(l, b[..., None], lower=True)
+    x = jsl.solve_triangular(jnp.transpose(l, (0, 2, 1)), y, lower=False)[..., 0]
+    return (x, l), (True, True)
 
 
 @custom_batching.custom_vmap
@@ -198,9 +226,9 @@ def _solve_qp_box_core(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, pol
 
         H = P + jnp.diag(d)
 
-        # Predictor (affine scaling) step
+        # Predictor (affine scaling) step (factor once, reuse for corrector)
         rhs_aff = -r_d - z + d * r_p
-        dx_aff = spd_solve(H, rhs_aff)
+        dx_aff, l_f = spd_factor_solve(H, rhs_aff)
         ds_aff = dx_aff - r_p
         dz_aff = -z - d * ds_aff
         a_p = _max_step(s, ds_aff)
@@ -212,7 +240,7 @@ def _solve_qp_box_core(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, pol
         # Corrector step
         r_c = s * z + ds_aff * dz_aff - sigma * mu
         rhs = -r_d - r_c / s + d * r_p
-        dx = spd_solve(H, rhs)
+        dx = spd_solve_factored(l_f, rhs)
         ds = dx - r_p
         dz = -r_c / s - d * ds
 
