@@ -224,3 +224,167 @@ class BatchedEISFitter:
                 frequencies, t.basis_nu, t.nu_basis_type, t.nu_epsilon))
             z = z + result.x_dop @ zm_dop.T
         return z
+
+
+class BatchedHybridFitter:
+    """Self-tuning QPHB fits of many hybrid (chrono + EIS) observations that
+    share a measurement protocol: one time grid, one step sequence, one
+    frequency grid — the DRT mapping acquisition pattern. The design,
+    penalty, variance, and vz-offset structures are built once from a
+    template fit and the per-spectrum loop (weight init + full outer loop,
+    including the per-iteration vz-offset column rewrite) is vmapped over the
+    batch and sharded over devices. The reference fits these serially
+    (reference drtmd.py:303-319); it has no batched hybrid path at all.
+
+    Usage:
+        fitter = BatchedHybridFitter(times, i_signal, freq, step_times=...)
+        result = fitter.fit(v_batch, z_batch)
+    """
+
+    def __init__(self, times, i_signal, frequencies, step_times=None,
+                 step_sizes=None, basis_tau=None, tau_supergrid=None,
+                 fit_ohmic=True, fit_inductance=True, nonneg=True,
+                 vz_offset=True, dtype=jnp.float64, max_iter=50, xtol=1e-2,
+                 qp_max_iter=60, qp_max_iter_warm=None, mesh=None, **hyper_kw):
+        self.times = np.asarray(times, dtype=float)
+        self.i_signal = np.asarray(i_signal, dtype=float)
+        self.frequencies = np.asarray(frequencies, dtype=float)
+        self.dtype = dtype
+        self.mesh = mesh
+        self.rp_scale = hyper_kw.get("rp_scale", 14.0)
+
+        with host_cpu():
+            template = DRT(fixed_basis_tau=basis_tau, tau_supergrid=tau_supergrid,
+                           fit_ohmic=fit_ohmic, fit_inductance=fit_inductance,
+                           warn=False)
+            # Placeholder response consistent with the input protocol
+            z_ph = 1.0 + 1.0 / (1 + 2j * np.pi * self.frequencies
+                                / (2 * np.pi * np.median(self.frequencies)))
+            from .. import preprocessing as pp_mod
+            if step_times is None or step_sizes is None:
+                step_times, step_sizes = pp_mod.get_step_info(self.times, self.i_signal)
+            v_ph = 0.0
+            for st, sa in zip(np.atleast_1d(step_times), np.atleast_1d(step_sizes)):
+                v_ph = v_ph + sa * 2.0 * (1 - np.exp(-np.maximum(self.times - st, 0)
+                                                     / 1e-3)) * (self.times >= st)
+            template.fit_hybrid(self.times, self.i_signal, v_ph, self.frequencies,
+                                z_ph, step_times=np.atleast_1d(step_times),
+                                step_sizes=np.atleast_1d(step_sizes),
+                                nonneg=nonneg, vz_offset=vz_offset, max_iter=2,
+                                **hyper_kw)
+        self.template = template
+        self.step_times = np.atleast_1d(step_times)
+        self.step_sizes = np.atleast_1d(step_sizes)
+        qp = template.qphb_params
+
+        self.basis_tau = template.basis_tau
+        self.cfg: QPHBConfig = qp["cfg"]
+        self.num_special = self.cfg.num_special
+        self.num_chrono = qp["num_chrono"]
+        self.hypers = qp["hypers"]
+        self.input_signal_scale = template.input_signal_scale
+
+        cast = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
+        rzm = np.array(qp["rm"], dtype=float)
+        # The stored rzm carries the template's final vz-offset column;
+        # a fresh system starts with it zeroed (the loop rewrites it from
+        # the current prediction each iteration)
+        if "vz_offset" in template.special_qp_params:
+            self.vz_index = template.special_qp_params["vz_offset"]["index"]
+            rzm[:, self.vz_index] = 0.0
+            rzm_vz = rzm.copy()
+            vb0, vb1 = template.get_special_indices("v_baseline")
+            rzm_vz[:, vb0:vb1] = 0.0
+            self.vz_offset = True
+        else:
+            self.vz_index = -1
+            rzm_vz = np.zeros_like(rzm)
+            self.vz_offset = False
+        self.rzm = cast(rzm)
+        self.rzm_vz = cast(rzm_vz)
+        self.vz_strength_vec = cast(qp["vz_strength_vec"]
+                                    if np.ndim(qp["vz_strength_vec"])
+                                    else np.ones(rzm.shape[0]))
+        self.vmm = cast(qp["vmm"])
+        self.m_stack = cast(np.stack([qp["penalty_matrices"][f"m{k}"] for k in range(3)]))
+        self.l1v = cast(qp["l1_lambda_vector"])
+        self.lb = cast(qp["lb"])
+        self.hyp = jax.tree.map(
+            lambda v: v.astype(dtype) if hasattr(v, "astype") else v,
+            _hypers_to_pytree(self.hypers))
+        iw_hypers = dict(self.hypers)
+        iw_hypers["l1_lambda_0"] = 1e-4
+        iw_hypers["l2_lambda_0"] = 1e-4
+        self.iw_hyp = jax.tree.map(
+            lambda v: v.astype(dtype) if hasattr(v, "astype") else v,
+            _hypers_to_pytree(iw_hypers))
+
+        self.fcfg = fitcore.FitConfig(
+            cfg=self.cfg, data_type="hybrid", num_chrono=self.num_chrono,
+            vz_offset=self.vz_offset, vz_index=self.vz_index,
+            max_iter=max_iter, x_rtol=xtol, max_hp_iter=1,
+            qp_max_iter=qp_max_iter, qp_max_iter_warm=qp_max_iter_warm)
+
+        self._fit_batch = jax.jit(jax.vmap(self._fit_single))
+
+    # ------------------------------------------------------------------
+    def _fit_single(self, rzv):
+        cfg = self.cfg
+        n = self.rzm.shape[1]
+        dtype = rzv.dtype
+        rho0 = jnp.asarray(self.hypers["rho_0"], dtype=dtype)
+        dop_rho0 = jnp.ones(3, dtype=dtype)
+        s0 = jnp.stack([jnp.full(n, float(self.hypers["s_0"][i]), dtype=dtype)
+                        for i in range(3)])
+        est, init_w, _, out_t = qphb_mod.initialize_weights(
+            self.iw_hyp, self.m_stack, rho0, dop_rho0, s0, rzv,
+            self.rzm, self.vmm, self.lb, cfg, outlier_p=None)
+        x0 = jnp.full(n, 1e-6, dtype=dtype)
+        state, _ = fitcore.qphb_fit_loop(
+            self.rzm, rzv, self.vmm, self.m_stack, None, self.l1v, self.lb, self.hyp,
+            x0, s0, rho0, dop_rho0, init_w, est, out_t,
+            self.rzm_vz, self.vz_strength_vec,
+            jnp.asarray(1.0, dtype=dtype), jnp.asarray(1.0, dtype=dtype),
+            jnp.asarray(1.0, dtype=dtype), self.fcfg)
+        return state
+
+    # ------------------------------------------------------------------
+    def scale_batch(self, v_batch, z_batch):
+        """Per-observation Rp scaling and baseline offsets; returns the scaled
+        stacked data vectors plus the coefficient scales."""
+        from .. import preprocessing as pp_mod
+        v_batch = np.asarray(v_batch, dtype=float)
+        z_batch = np.asarray(z_batch)
+        b = v_batch.shape[0]
+        rzv = np.zeros((b, self.num_chrono + 2 * z_batch.shape[1]))
+        scale = np.zeros(b)
+        pre = self.times < self.step_times[0]
+        for i in range(b):
+            rp_est = pp_mod.estimate_rp(self.times, self.step_times,
+                                        self.step_sizes, v_batch[i],
+                                        self.template.step_model, z_batch[i])
+            scale[i] = rp_est / self.rp_scale
+            resp_scale = self.input_signal_scale * scale[i]
+            v_s = v_batch[i] / resp_scale
+            v_s = v_s - np.median(v_s[pre])
+            z_s = z_batch[i] / scale[i]
+            rzv[i] = np.concatenate([v_s, z_s.real, z_s.imag])
+        return rzv, scale
+
+    def fit(self, v_batch, z_batch, return_states=False):
+        """Fit (B, n_times) responses + (B, n_freq) spectra; returns
+        BatchFitResult (x in physical units)."""
+        rzv, scale = self.scale_batch(v_batch, z_batch)
+        b_orig = rzv.shape[0]
+        if self.mesh is not None:
+            rzv, _ = sh.pad_batch(rzv, self.mesh)
+            rzv_dev = sh.shard_batch(jnp.asarray(rzv, dtype=self.dtype), self.mesh)
+        else:
+            rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
+        states = self._fit_batch(rzv_dev)
+        return BatchedEISFitter.collect(self, states, scale, b_orig,
+                                        return_states=return_states)
+
+    # Reuse the EIS fitter's physical-units extraction and Rp helper
+    collect = BatchedEISFitter.collect
+    predict_r_p = BatchedEISFitter.predict_r_p

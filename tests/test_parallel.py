@@ -82,3 +82,36 @@ def test_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(4)
+
+
+def test_batched_hybrid_fitter():
+    """BatchedHybridFitter: shared-protocol chrono+EIS observations fitted as
+    one vmapped computation, matching single fits (no reference equivalent —
+    the reference maps hybrid data serially, drtmd.py:303)."""
+    rng = np.random.default_rng(0)
+    times = np.concatenate([np.linspace(-0.005, -0.0005, 8), np.logspace(-5, 0, 80)])
+    i_sig = np.where(times >= 0, 0.1, 0.0)
+    freq2 = np.logspace(5, -1, 31)
+    w = 2j * np.pi * freq2
+
+    def sim(seed):
+        r = np.random.default_rng(seed)
+        tau0 = 10 ** r.uniform(-3, -2)
+        r0 = r.uniform(1.0, 2.0)
+        v = 0.3 * i_sig + 0.1 * r0 * (1 - np.exp(-np.maximum(times, 0) / tau0)) \
+            * (times >= 0) + r.normal(0, 2e-4, len(times))
+        z_ = 0.3 + r0 / (1 + (w * tau0) ** 1.0) \
+            + r.normal(0, 1e-3, 31) + 1j * r.normal(0, 1e-3, 31)
+        return v, z_, r0
+
+    vs, zs, r0s = zip(*[sim(i) for i in range(6)])
+    from hybdrt_tpu.parallel.batch import BatchedHybridFitter
+    fitter = BatchedHybridFitter(times, i_sig, freq2)
+    res = fitter.fit(np.stack(vs), np.stack(zs))
+    rp = fitter.predict_r_p(res)
+    assert np.max(np.abs(rp - np.array(r0s))) < 0.05
+    assert np.max(np.abs(res.r_inf - 0.3)) < 0.02
+    # Batched agrees with a single hybrid fit
+    drt = DRT(warn=False)
+    drt.fit_hybrid(times, i_sig, vs[2], freq2, zs[2])
+    assert abs(drt.predict_r_p() - rp[2]) < 0.01
