@@ -332,34 +332,58 @@ class DRTMD:
             self.fit_observations(fit_index, print_interval, ignore_errors)
 
     def _fit_batched(self, fit_index, mesh=None, dtype=None):
-        """TPU fast path: one sharded vmapped fit over all EIS observations."""
+        """TPU fast path: one sharded vmapped fit over all observations —
+        EIS-only (BatchedEISFitter) or hybrid chrono+EIS on one shared
+        measurement protocol (BatchedHybridFitter)."""
         import jax.numpy as jnp
-        from ..parallel.batch import BatchedEISFitter
+        from ..parallel.batch import BatchedEISFitter, BatchedHybridFitter
 
         if len(fit_index) == 0:
             return
         if self.fit_type != "drt":
             raise ValueError("Batched fitting supports fit_type='drt' only")
-        # Gather and validate the shared frequency grid
-        freqs, zs = [], []
+        # Gather and classify the observations
+        freqs, zs, chronos = [], [], []
         for i in fit_index:
             chrono_data, eis_data = self.get_obs_data(i)
-            if chrono_data[0] is not None or eis_data[0] is None:
-                raise ValueError("Batched fitting requires EIS-only observations")
+            if eis_data[0] is None:
+                raise ValueError("Batched fitting requires EIS data in every "
+                                 "observation (EIS-only or hybrid)")
             freqs.append(np.asarray(eis_data[0]))
             zs.append(np.asarray(eis_data[1]))
+            chronos.append(chrono_data)
         f0 = freqs[0]
         for f in freqs[1:]:
             if len(f) != len(f0) or not np.allclose(f, f0):
                 raise ValueError("Batched fitting requires a shared frequency grid")
         z_batch = np.stack(zs)
 
-        fitter = BatchedEISFitter(
-            f0, tau_supergrid=self.tau_supergrid, fit_ohmic=self.fit_ohmic,
-            fit_inductance=self.fit_inductance, fit_capacitance=self.fit_capacitance,
-            fit_dop=self.fit_dop, nonneg=self.fit_kw.get("nonneg", True),
-            dtype=dtype if dtype is not None else jnp.float64, mesh=mesh)
-        result = fitter.fit(z_batch)
+        is_hybrid = chronos[0][0] is not None
+        if any((c[0] is not None) != is_hybrid for c in chronos):
+            raise ValueError("Batched fitting requires all observations to be "
+                             "the same type (all EIS-only or all hybrid)")
+
+        if is_hybrid:
+            t0 = np.asarray(chronos[0][0])
+            i0 = np.asarray(chronos[0][1])
+            for c in chronos[1:]:
+                if len(np.asarray(c[0])) != len(t0) or not np.allclose(c[0], t0)                         or not np.allclose(c[1], i0):
+                    raise ValueError("Batched hybrid fitting requires one shared "
+                                     "time grid and input protocol")
+            v_batch = np.stack([np.asarray(c[2]) for c in chronos])
+            fitter = BatchedHybridFitter(
+                t0, i0, f0, tau_supergrid=self.tau_supergrid,
+                fit_ohmic=self.fit_ohmic, fit_inductance=self.fit_inductance,
+                nonneg=self.fit_kw.get("nonneg", True),
+                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh)
+            result = fitter.fit(v_batch, z_batch)
+        else:
+            fitter = BatchedEISFitter(
+                f0, tau_supergrid=self.tau_supergrid, fit_ohmic=self.fit_ohmic,
+                fit_inductance=self.fit_inductance, fit_capacitance=self.fit_capacitance,
+                fit_dop=self.fit_dop, nonneg=self.fit_kw.get("nonneg", True),
+                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh)
+            result = fitter.fit(z_batch)
         self._batch_fitter = fitter
 
         # Locate the shared basis window on the supergrid
@@ -392,9 +416,10 @@ class DRTMD:
                 "z": z_batch[bi],
             }
             self.obs_fit_status[i] = True
-        z_hat = fitter.predict_z(result)
-        resid = np.abs(z_hat - z_batch)
-        self.obs_rss[fit_index] = np.sum(resid ** 2, axis=1)
+        if not is_hybrid:
+            z_hat = fitter.predict_z(result)
+            resid = np.abs(z_hat - z_batch)
+            self.obs_rss[fit_index] = np.sum(resid ** 2, axis=1)
 
     def get_fit(self, obs_index):
         """Reconstruct a DRT instance holding the fit of one observation."""

@@ -186,3 +186,36 @@ def test_drtmd_convenience_and_qc():
     md.clear_fits()
     assert not md.obs_fit_status.any()
     assert np.all(md.obs_x == 0)
+
+
+def test_drtmd_batched_hybrid():
+    """fit_all(batched=True) dispatches hybrid observations on a shared
+    protocol to the vmapped hybrid fitter."""
+    from hybdrt_tpu import DRTMD
+    rng = np.random.default_rng(0)
+    times = np.concatenate([np.linspace(-0.005, -0.0005, 8), np.logspace(-5, 0, 60)])
+    i_sig = np.where(times >= 0, 0.1, 0.0)
+    f = np.logspace(5, -1, 25)
+    w = 2j * np.pi * f
+
+    def sim(seed):
+        r = np.random.default_rng(seed)
+        tau0, r0 = 10 ** r.uniform(-3, -2), r.uniform(1.0, 2.0)
+        v = 0.3 * i_sig + 0.1 * r0 * (1 - np.exp(-np.maximum(times, 0) / tau0)) \
+            * (times >= 0) + r.normal(0, 2e-4, len(times))
+        z_ = 0.3 + r0 / (1 + (w * tau0)) + r.normal(0, 1e-3, 25) * (1 + 1j)
+        return (times, i_sig, v), (f, z_), r0
+
+    md = DRTMD(tau_supergrid=np.logspace(-7, 2, 91), psi_dim_names=["T"],
+               print_progress=False, warn=False)
+    truths = []
+    for i in range(4):
+        cd, ed, r0 = sim(i)
+        md.add_observation([700 + i], cd, ed, group_id="h")
+        truths.append(r0)
+    md.fit_all(batched=True)
+    assert md.obs_fit_status.all()
+    rp = md.predict_r_p(obs_index=np.arange(4), resolved=False)
+    assert np.max(np.abs(rp - np.array(truths))) < 0.08
+    rinf = md.predict_special("R_inf", obs_index=np.arange(4), resolved=False)
+    assert np.allclose(rinf, 0.3, atol=0.03)
