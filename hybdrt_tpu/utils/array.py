@@ -94,3 +94,37 @@ def find_contiguous_ranges(index):
     range_starts = np.concatenate([[index[0]], index[breaks + 1]])
     range_ends = np.concatenate([index[breaks], [index[-1]]]) + 1
     return range_starts, range_ends
+
+
+def is_monotonic_ascending(x):
+    return bool(np.all(np.diff(np.asarray(x)) > 0))
+
+
+def is_monotonic(x):
+    d = np.diff(np.asarray(x))
+    return bool(np.all(d > 0) or np.all(d < 0))
+
+
+def apply_unit_step(x, x0, y_left=0.0, y_right=1.0):
+    """Heaviside-style step at x0."""
+    return np.where(np.asarray(x) >= x0, y_right, y_left)
+
+
+def check_equality(a, b):
+    """Robust equality for arrays/None pairs (reference utils/array.py)."""
+    if a is None or b is None:
+        return a is None and b is None
+    a, b = np.asarray(a), np.asarray(b)
+    return a.shape == b.shape and bool(np.array_equal(a, b))
+
+
+def find_contiguous_centers(index):
+    """Center position of each contiguous run of indices."""
+    starts, ends = find_contiguous_ranges(np.asarray(index))
+    return np.array([(s + e - 1) / 2 for s, e in zip(starts, ends)])
+
+
+def get_intersection_index(a, b):
+    """Indices in a of values also present in b (order of a preserved)."""
+    mask = np.isin(np.asarray(a), np.asarray(b))
+    return np.where(mask)[0]

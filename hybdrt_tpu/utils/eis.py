@@ -27,3 +27,13 @@ def complex_from_polar(zmod, zphz_deg):
     zmod = np.asarray(zmod)
     phz = np.asarray(zphz_deg) * np.pi / 180
     return zmod * np.cos(phz) + 1j * zmod * np.sin(phz)
+
+
+def construct_eis_df(frequencies, z):
+    """Standard-column EIS DataFrame (reference utils/eis.py)."""
+    import pandas as pd
+    z = np.asarray(z)
+    return pd.DataFrame({
+        "Freq": np.asarray(frequencies), "Zreal": z.real, "Zimag": z.imag,
+        "Zmod": np.abs(z), "Zphz": np.angle(z, deg=True),
+    })

@@ -71,3 +71,31 @@ def bic(llh, num_params, num_data):
 def bayes_factor(bic_1, bic_2):
     """Approximate Bayes factor of model 2 vs model 1 from BICs."""
     return np.exp((bic_1 - bic_2) / 2)
+
+
+def pdf_lognormal(x, mu, sigma):
+    x = np.asarray(x, dtype=float)
+    return np.exp(-0.5 * ((np.log(x) - mu) / sigma) ** 2) \
+        / (x * sigma * np.sqrt(2 * np.pi))
+
+
+def std_normal_quantile(quantiles):
+    """Standard-normal values at the given quantiles
+    (reference utils/stats.py:108)."""
+    from scipy.special import ndtri
+    return ndtri(np.asarray(quantiles, dtype=float))
+
+
+def iqr(x):
+    return np.percentile(x, 75) - np.percentile(x, 25)
+
+
+def norm_bayes_factors(crit_values, criterion="bic"):
+    """Bayes factors of each model relative to the best
+    (reference utils/stats.py:157)."""
+    crit_values = np.asarray(crit_values, dtype=float)
+    if criterion == "bic":
+        return np.exp(-0.5 * (crit_values - np.min(crit_values)))
+    if criterion in ("llh", "lml", "lml-bic"):
+        return np.exp(crit_values - np.max(crit_values))
+    raise ValueError(f"Invalid criterion {criterion}")

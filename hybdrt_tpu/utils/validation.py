@@ -58,3 +58,21 @@ def check_equality(a, b):
     a = np.asarray(a)
     b = np.asarray(b)
     return a.shape == b.shape and bool(np.all(a == b))
+
+
+def check_md_data(psi_array, chrono_data_list, eis_data_list):
+    """Validate multi-dimensional mapping inputs (reference utils/md checks)."""
+    n = len(psi_array)
+    for name, lst in (("chrono", chrono_data_list), ("eis", eis_data_list)):
+        if lst is not None and len(lst) != n:
+            raise ValueError(f"{name}_data_list length {len(lst)} != {n} psi rows")
+    if chrono_data_list is None and eis_data_list is None:
+        raise ValueError("At least one of chrono_data_list/eis_data_list required")
+
+
+def check_md_x_spec(x, tau_supergrid):
+    """Validate a mapping coefficient array against the supergrid."""
+    x = np.asarray(x)
+    if x.shape[-1] != len(tau_supergrid):
+        raise ValueError(f"x last dim {x.shape[-1]} != supergrid size "
+                         f"{len(tau_supergrid)}")
