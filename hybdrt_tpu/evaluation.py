@@ -5,7 +5,6 @@ peaks (precision/recall/F1), and combined scores."""
 import numpy as np
 from scipy.stats import hmean
 
-from . import peaks as peaks_mod
 
 
 # ------------------------------------------------------------------

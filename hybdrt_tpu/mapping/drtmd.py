@@ -749,7 +749,6 @@ class DRTMD:
                             sigma=(1, 1), store=True, **filter_kw):
         """ndx-filter the (psi-sorted) DRT map; assumes a 2-D (psi, tau) map
         (reference drtmd.py:561; for higher dims use ndx.assemble_ndx)."""
-        from ..filters import nonuniform_gaussian_filter1d
         from scipy import ndimage
         if obs_index is None:
             obs_index = np.arange(self.num_obs)

@@ -1494,7 +1494,6 @@ class DRT:
             if normalize:
                 fxx_sigma = fxx_sigma / self.predict_r_p(absolute=True)
             # P(|peak| > 0) from the normal posterior of the curvature
-            peak_prob = 1 - 2 * (1 - ndtr(min_prom / fxx_sigma[peak_indices]))
             peak_prob = 2 * ndtr(min_prom / fxx_sigma[peak_indices]) - 1
             if num_peaks is not None:
                 prob_sort = np.sort(peak_prob)[::-1]
@@ -2454,7 +2453,6 @@ class DRT:
     def _pfrt_fit_core(self, times, i_signal, v_signal, frequencies, z, factors=None,
                        max_iter_per_step=10, max_init_iter=20, xtol=1e-2, nonneg=True,
                        series_neg=False, **kw):
-        from ..solver import qphb as qphb_mod_
         hypers_default = hyp_mod.get_default_hypers(True, self.fit_dop, self.nu_basis_type)
         if factors is None:
             factors = np.logspace(-1, 1, 11)

@@ -9,7 +9,6 @@ elements.py:2301-2336); LLH/BIC/LML use autodiff Hessians for the Laplace
 approximation (reference uses numeric differencing, elements.py:1227-1341).
 """
 import re
-from typing import Optional
 
 import numpy as np
 import jax
@@ -18,7 +17,6 @@ from jax.scipy.special import gammaln
 
 from ..ops.lm import levenberg_marquardt
 from ..ops import mittag_leffler as ml
-from ..utils.device import on_host
 
 
 # ------------------------------------------------------------------

@@ -7,7 +7,6 @@ positive-bias set where w(t) -> 1; EIS data (small perturbation) weights both
 halves equally.
 """
 import numpy as np
-import jax.numpy as jnp
 
 from .drt import DRT
 

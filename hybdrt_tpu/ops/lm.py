@@ -6,7 +6,6 @@ Jacobians come from forward-mode autodiff (the reference hand-codes analytic
 Jacobians); the whole optimization is one jittable lax.while_loop, so a batch
 of circuit fits vmaps across spectra/candidate models.
 """
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -20,7 +20,6 @@ VPU at full lane occupancy.
 """
 from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -13,8 +13,6 @@ All functions are written for a single (n, n) matrix with mask-based column
 indexing (no dynamic shapes), so vmap turns them into efficient batched
 kernels and they remain exact drop-in replacements on any backend.
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -7,7 +7,6 @@ is appropriate here.
 import numpy as np
 from scipy import signal
 
-from .ops import basis
 from .utils.array import nearest_index
 
 

@@ -6,7 +6,6 @@ This is data preparation, not device compute; it runs once per fit in numpy
 this module as well (log-uniform sampling around steps).
 """
 import numpy as np
-from scipy import signal as sp_signal
 
 from .utils.array import unit_step, nearest_index
 from .utils.validation import check_step_model

@@ -14,7 +14,6 @@ with num_special = total size of special params; DOP occupies
 """
 from typing import NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
