@@ -47,7 +47,13 @@ from jax import custom_batching
 
 
 def _use_lane_kernel(dtype):
-    return jax.default_backend() not in ("cpu",) and dtype == jnp.float32
+    if dtype != jnp.float32 or jax.default_backend() == "cpu":
+        return False
+    # A CPU default device (e.g. the test harness pinning work to a virtual
+    # CPU mesh while a TPU backend exists in the process) must not dispatch
+    # the TPU kernel
+    dd = jax.config.jax_default_device
+    return dd is None or getattr(dd, "platform", None) != "cpu"
 
 
 @custom_batching.custom_vmap

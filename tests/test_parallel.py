@@ -115,3 +115,31 @@ def test_batched_hybrid_fitter():
     drt = DRT(warn=False)
     drt.fit_hybrid(times, i_sig, vs[2], freq2, zs[2])
     assert abs(drt.predict_r_p() - rp[2]) < 0.01
+
+
+def test_batched_f32_accuracy_tail():
+    """Accuracy guard for the float32 TPU performance path: Rp error tail
+    stays tight across a varied batch (the same solver configuration the
+    benchmark uses, run on the CPU backend)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    freq32 = np.logspace(5, -1, 31)
+    w = 2j * np.pi * freq32
+
+    def sim(seed):
+        r = np.random.default_rng(seed)
+        tau0 = 10 ** r.uniform(-4, -1)
+        beta = r.uniform(0.8, 1.0)
+        z_ = 0.4 + 1.5 / (1 + (w * tau0) ** beta)
+        return z_ + r.normal(0, 1e-3, 31) + 1j * r.normal(0, 1e-3, 31)
+
+    zb = np.stack([sim(i) for i in range(64)])
+    fitter = BatchedEISFitter(freq32, dtype=jnp.float32, max_iter=50,
+                              qp_max_iter_warm=8)
+    res = fitter.fit(zb)
+    rp_err = np.abs(fitter.predict_r_p(res) - 1.5)
+    assert np.all(np.isfinite(res.x))
+    assert np.median(rp_err) < 0.01
+    assert np.percentile(rp_err, 95) < 0.02
+    assert np.max(rp_err) < 0.05
+    assert np.max(np.abs(res.r_inf - 0.4)) < 0.02
