@@ -2110,6 +2110,34 @@ class DRT:
         ax.set_ylabel(r"$\hat{v} - v$ (V)")
         return ax
 
+    def plot_chrono_correction(self, ax=None, transform_time=False,
+                               show_background=True, **kw):
+        """Raw vs background-corrected chrono response, with the estimated
+        background (reference drt1d.plot_chrono_correction)."""
+        import matplotlib.pyplot as plt
+        from .. import plotting as plt_mod
+        times = self.get_fit_times()
+        y_meas = np.asarray(self.raw_response_signal)
+        y_bkg = np.asarray(self.raw_response_background) \
+            if self.raw_response_background is not None else np.zeros_like(y_meas)
+        if len(y_bkg) != len(y_meas):
+            # static mode stores the background on the full input time grid;
+            # re-evaluate the fitted GP at the fit times instead
+            y_bkg = np.asarray(self.predict_chrono_background(times))
+        if ax is None:
+            _, ax = plt.subplots(figsize=(4, 2.75))
+        x_plot = plt_mod.get_transformed_plot_time(times, self.step_times) \
+            if transform_time else times
+        ax.plot(x_plot, y_meas, ".", ms=3, label="raw", **kw)
+        ax.plot(x_plot, y_meas - y_bkg, ".", ms=3, label="corrected")
+        if show_background:
+            y_vb = self.predict_v_baseline(times)
+            ax.plot(x_plot, y_bkg + y_vb, c="k", lw=1, label="background")
+        ax.set_xlabel("$t$ (s)")
+        ax.set_ylabel("$v$ (V)")
+        ax.legend()
+        return ax
+
     def plot_dop(self, ax=None, nu=None, normalize=True, show_ci=True,
                  quantiles=(0.025, 0.975), **kw):
         """The fitted DOP with optional credible band (reference

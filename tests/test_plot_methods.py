@@ -75,3 +75,17 @@ def test_dop_plot():
     drt = DRT(warn=False, fit_dop=True)
     drt.fit_eis(f, z)
     assert drt.plot_dop() is not None
+
+
+def test_plot_chrono_correction():
+    rng = np.random.default_rng(0)
+    times = np.concatenate([np.linspace(-0.01, -0.0005, 15),
+                            np.logspace(-5, 0.5, 120)])
+    i_sig = np.where(times >= 0, 0.1, 0.0)
+    v = 0.05 + 0.1 * np.where(times >= 0,
+                              0.3 + 1.5 * (1 - np.exp(-np.maximum(times, 0) / 1e-2)), 0.0)
+    v = v + 0.01 * np.sin(2 * np.pi * times / 1.5) + rng.normal(size=len(times)) * 2e-4
+    drt = DRT(warn=False)
+    drt.fit_chrono(times, i_sig, v, subtract_background=True,
+                   estimate_background_kw={"gp_kw": {"n_grid": 4}})
+    assert drt.plot_chrono_correction() is not None
