@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
 from ..ops.lm import levenberg_marquardt
+from ..utils.device import on_host
 from ..ops import mittag_leffler as ml
 
 
@@ -352,10 +353,12 @@ class DiscreteElementModel:
             raise ValueError("Model has no parameter values; fit or initialize first")
         return x
 
+    @on_host
     def predict_z(self, frequencies, x=None):
         x = self.get_parameter_values(x)
         return np.asarray(self.z_function(jnp.asarray(frequencies), *x))
 
+    @on_host
     def predict_distribution(self, tau=None, x=None, ppd=20, return_tau=None):
         """Total model DRT gamma(tau). Returns gamma, or (gamma, tau) when the
         grid was auto-generated (tau=None) or return_tau=True."""
@@ -395,6 +398,7 @@ class DiscreteElementModel:
         zf = element_impedance_function(self.element_types[element])
         return np.asarray(zf(jnp.asarray(frequencies), *x[i0:i1]))
 
+    @on_host
     def predict_response(self, times, step_times, step_sizes, x=None):
         if self.v_function is None:
             raise ValueError(f"Voltage response unavailable for model {self.model_string}")
@@ -438,6 +442,7 @@ class DiscreteElementModel:
             return r * wv
         return resid, transform, inv_transform
 
+    @on_host
     def fit_eis(self, frequencies, z, x0=None, weights=None, from_drt=None,
                 max_iter=300):
         """Weighted nonlinear least-squares fit (LM with autodiff Jacobian)."""
@@ -494,6 +499,7 @@ class DiscreteElementModel:
     # ------------------------------------------------------------------
     # Multi-spectrum co-fit (reference elements.py:802-1016)
     # ------------------------------------------------------------------
+    @on_host
     def fit_eis_multi(self, frequencies, z_list, x0=None, similarity_strength=1.0,
                       weights=None, max_iter=300):
         """Co-fit a sequence of neighboring spectra with a smoothness prior
@@ -558,11 +564,13 @@ class DiscreteElementModel:
     # ------------------------------------------------------------------
     # Model comparison metrics (reference elements.py:1227-1341)
     # ------------------------------------------------------------------
+    @on_host
     def evaluate_rss(self, x=None):
         resid = self._make_phys_resid(self.f_fit, self.z_fit, self.weights)
         r = np.asarray(resid(jnp.asarray(self.get_parameter_values(x))))
         return float(r @ r)
 
+    @on_host
     def evaluate_llh(self, x=None, include_constants=False):
         rss = self.evaluate_rss(x)
         llh = -0.5 * rss + np.sum(np.log(self.weights))
@@ -575,6 +583,7 @@ class DiscreteElementModel:
         n = 2 * len(self.f_fit)
         return self.num_params * np.log(n) - 2 * llh
 
+    @on_host
     def evaluate_lml(self, x=None, prior_scale=10.0):
         """Laplace approximation of the marginal likelihood using the autodiff
         Gauss-Newton Hessian and a broad gaussian prior."""
@@ -589,6 +598,7 @@ class DiscreteElementModel:
             - 0.5 * np.sum(x ** 2) / prior_scale ** 2
         return llh + lp_prior - 0.5 * logdet
 
+    @on_host
     def estimate_param_cov(self):
         """Covariance from the Gauss-Newton Hessian."""
         return np.linalg.inv(self.hess_ + 1e-12 * np.eye(self.num_params))
