@@ -163,3 +163,28 @@ def test_preprocessing_outlier_and_density_helpers():
     assert pp.get_ppd(np.logspace(0, 2, 21)) == pytest.approx(10.0)
     # alias
     assert pp.generate_loguniform_times is pp.generate_log_times
+
+
+def test_drt_save_load_roundtrip(tmp_path):
+    """Fit -> save_attributes -> load into a fresh instance -> identical
+    predictions (reference drt1d.py:6325-6391)."""
+    from hybdrt_tpu import DRT
+    rng = np.random.default_rng(0)
+    f = np.logspace(5, -1, 31)
+    w = 2j * np.pi * f
+    z = 0.4 + 1.5 / (1 + (w * 1e-3) ** 0.9)
+    z = z + rng.normal(0, 1e-3, 31) + 1j * rng.normal(0, 1e-3, 31)
+    drt = DRT(warn=False)
+    drt.fit_eis(f, z)
+    dest = tmp_path / "fit.pkl"
+    drt.save_attributes(["config", "fit_core"], dest)
+
+    drt2 = DRT(warn=False, interpolate_integrals=False)
+    drt2.load_attributes(str(dest))
+    drt2.interpolate_lookups = drt.interpolate_lookups
+    drt2.integrate_method = drt.integrate_method
+    assert np.allclose(drt2.fit_parameters["x"], drt.fit_parameters["x"])
+    tau = np.logspace(-5, 1, 40)
+    assert np.allclose(drt2.predict_distribution(tau), drt.predict_distribution(tau))
+    assert np.allclose(drt2.predict_z(f), drt.predict_z(f))
+    assert drt2.predict_r_p() == pytest.approx(drt.predict_r_p())
