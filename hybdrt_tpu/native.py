@@ -60,6 +60,25 @@ def get_library():
     return lib
 
 
+def solve_qp_box_batch(p_batch, q_batch, lb, max_iter=0, tol=1e-10):
+    """Solve a batch of box QPs with the native solver, threaded over host
+    cores (OpenMP). p_batch: (B, n, n); q_batch: (B, n); shared lb: (n,)."""
+    lib = get_library()
+    p = np.ascontiguousarray(p_batch, dtype=np.float64)
+    q = np.ascontiguousarray(q_batch, dtype=np.float64)
+    lb = np.ascontiguousarray(lb, dtype=np.float64)
+    b, n = q.shape
+    x = np.zeros((b, n), dtype=np.float64)
+    lib.solve_qp_box_batch.restype = ctypes.c_int
+    lib.solve_qp_box_batch.argtypes = [
+        ctypes.c_int, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.float64), np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64), np.ctypeslib.ndpointer(np.float64),
+        ctypes.c_int, ctypes.c_double]
+    worst = lib.solve_qp_box_batch(b, n, p, q, lb, x, int(max_iter), float(tol))
+    return x, worst
+
+
 def solve_qp_box(p_matrix, q_vector, lb, max_iter=0, tol=1e-10):
     """Solve min 1/2 x'Px + q'x s.t. x >= lb with the native active-set solver.
 

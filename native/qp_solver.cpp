@@ -170,3 +170,27 @@ int solve_qp_box(int n, const double* p, const double* q, const double* lb,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched entry point: solve B independent box-constrained QPs, parallelized
+// over host threads with OpenMP when available. This is the native runtime
+// analog of the vmapped device path (hybdrt_tpu/parallel/batch.py): same
+// problem layout, CPU execution for environments without an accelerator.
+// ---------------------------------------------------------------------------
+extern "C" {
+
+int solve_qp_box_batch(int batch, int n, const double* p, const double* q,
+                       const double* lb, double* x, int max_iter, double tol) {
+    int worst = 0;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic) reduction(max : worst)
+#endif
+    for (int b = 0; b < batch; ++b) {
+        const int iters = solve_qp_box(n, p + (size_t)b * n * n, q + (size_t)b * n,
+                                       lb, x + (size_t)b * n, max_iter, tol);
+        if (iters > worst) worst = iters;
+    }
+    return worst;
+}
+
+}  // extern "C"

@@ -1,6 +1,7 @@
 """Cross-validate the JAX interior-point QP against the native C++ active-set
 solver — two independent algorithms must agree on the unique SPD optimum."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -64,3 +65,28 @@ def test_native_on_drt_problem():
     x_jax = np.asarray(jax_solve(jnp.asarray(p), jnp.asarray(q), jnp.asarray(lb)).x)
     scale = np.max(np.abs(x_jax))
     assert np.max(np.abs(x_native - x_jax)) < 1e-6 * scale
+
+
+def test_native_batched_solver_matches_jax():
+    """OpenMP-batched native solves agree with the vmapped JAX solver."""
+    from hybdrt_tpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    B, n = 16, 25
+    a_ = rng.normal(size=(B, n, n))
+    p = a_ @ np.transpose(a_, (0, 2, 1)) + n * np.eye(n)
+    q = rng.normal(size=(B, n))
+    lb = np.zeros(n)
+    x_nat, worst = native.solve_qp_box_batch(p, q, lb)
+    assert worst >= 0
+    from hybdrt_tpu.ops.qp import solve_qp_box
+    x_jax = jax.vmap(lambda pi, qi: solve_qp_box(pi, qi, jnp.asarray(lb)).x)(
+        jnp.asarray(p), jnp.asarray(q))
+    assert np.max(np.abs(x_nat - np.asarray(x_jax))) < 1e-6
+    # KKT: gradient nonneg where clamped, ~0 where free
+    for b in range(B):
+        g = p[b] @ x_nat[b] + q[b]
+        free = x_nat[b] > 1e-12
+        assert np.max(np.abs(g[free])) < 1e-6
+        assert np.min(g[~free]) > -1e-8
