@@ -1700,6 +1700,26 @@ class DRT:
     # Reference-compatible alias (reference drt1d.py:3586)
     integrate_distribution = integrate_drt
 
+    def get_dop_norm(self, nu, normalize=False, normalize_tau=None,
+                     normalize_quantiles=(0.25, 0.75)):
+        """Normalization vector for DOP queries (reference drt1d.py:3349)."""
+        if not normalize:
+            return 1.0
+        if normalize_tau is None:
+            normalize_tau = pp.get_tau_lim(self.get_fit_frequencies(True),
+                                           self.get_fit_times(True),
+                                           self.nonconsec_step_times)
+        sv = np.asarray(phasance.phasor_scale_vector(np.asarray(nu),
+                                                     np.asarray(normalize_tau),
+                                                     normalize_quantiles))
+        return sv / basis.get_basis_func_area(self.nu_basis_type, self.nu_epsilon)
+
+    def get_offset_pq(self):
+        """(P, q) with data-dependent special params marginalized out
+        (delegates to mapping.resolve.get_offset_pq)."""
+        from ..mapping.resolve import get_offset_pq
+        return get_offset_pq(self)
+
     def get_drt_norm(self, normalize, normalize_by=None, x=None, absolute=False):
         """Normalization constant for distribution queries
         (reference drt1d.py:3020)."""
