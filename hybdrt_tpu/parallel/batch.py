@@ -388,3 +388,100 @@ class BatchedHybridFitter:
     # Reuse the EIS fitter's physical-units extraction and Rp helper
     collect = BatchedEISFitter.collect
     predict_r_p = BatchedEISFitter.predict_r_p
+
+
+def _pfrt_sweep_single(fitter, rzv, factors, max_init_iter, max_iter_per_step,
+                       dtype):
+    """Init fit at factors[0] + lax.scan continuation over the remaining
+    regularization factors for ONE spectrum (vmapped by the caller).
+    Returns (step_x, step_llh) with leading factor axis."""
+    cfg = fitter.cfg
+    n = fitter.rzm.shape[1]
+    base_hyp = fitter.hyp
+
+    def hyp_at(s0_k, l2_k):
+        h = dict(base_hyp)
+        h["s_0"] = s0_k
+        h["l2_lambda_0"] = l2_k
+        return h
+
+    s0_base = jnp.asarray(base_hyp["s_0"], dtype=dtype)
+    l2_base = jnp.asarray(base_hyp["l2_lambda_0"], dtype=dtype)
+    f = jnp.asarray(factors, dtype=dtype)
+    s0_steps = s0_base[None, :] * f[:, None]
+    l2_steps = l2_base / f
+
+    rho0 = jnp.asarray(fitter.hypers["rho_0"], dtype=dtype)
+    dop_rho0 = jnp.ones(3, dtype=dtype)
+    s_vec0 = jnp.stack([jnp.full(n, 1.0, dtype=dtype) * s0_steps[0, i]
+                        for i in range(3)])
+    est, init_w, _, out_t = qphb_mod.initialize_weights(
+        fitter.iw_hyp, fitter.m_stack, rho0, dop_rho0, s_vec0, rzv,
+        fitter.rzm, fitter.vmm, fitter.lb, cfg, outlier_p=None)
+
+    fcfg_init = fitter.fcfg._replace(max_iter=max_init_iter)
+    x0 = jnp.full(n, 1e-6, dtype=dtype)
+    ones_row = jnp.ones(fitter.rzm.shape[0], dtype=dtype)
+    one = jnp.asarray(1.0, dtype=dtype)
+    state, _ = fitcore.qphb_fit_loop(
+        fitter.rzm, rzv, fitter.vmm, fitter.m_stack, None, fitter.l1v,
+        fitter.lb, hyp_at(s0_steps[0], l2_steps[0]),
+        x0, s_vec0, rho0, dop_rho0, init_w, est, out_t,
+        jnp.zeros_like(fitter.rzm), ones_row, one, one, one, fcfg_init)
+
+    def llh_of(x):
+        w, _, _ = qphb_mod.estimate_weights(x, rzv, fitter.vmm, fitter.rzm)
+        return qphb_mod.evaluate_llh(x, fitter.rzm, rzv, w,
+                                     marginalize_weights=True)
+
+    fcfg_cont = fitter.fcfg._replace(max_iter=max_iter_per_step,
+                                     continue_mode=True, min_iter=2)
+
+    def step(state, inputs):
+        s0_k, l2_k = inputs
+        hyp_k = hyp_at(s0_k, l2_k)
+        st = state._replace(it=jnp.array(0, dtype=jnp.int32),
+                            converged=jnp.array(False))
+        carry = fitcore.FitCarry(state=st, rzm=fitter.rzm)
+
+        def cond(c):
+            return (c.state.it < fcfg_cont.max_iter) & (~c.state.converged)
+
+        def body(c):
+            return fitcore._loop_body(
+                c, rzv, fitter.vmm, fitter.m_stack, None, fitter.l1v,
+                fitter.lb, est, jnp.zeros_like(fitter.rzm), ones_row,
+                one, one, one, hyp_k, fcfg_cont)
+
+        final = jax.lax.while_loop(cond, body, carry)
+        return final.state, (final.state.x, llh_of(final.state.x))
+
+    _, (xs, llhs) = jax.lax.scan(step, state, (s0_steps[1:], l2_steps[1:]))
+    step_x = jnp.concatenate([state.x[None], xs])
+    step_llh = jnp.concatenate([llh_of(state.x)[None], llhs])
+    return step_x, step_llh
+
+
+def _pfrt_fit(self, z_batch, factors=None, max_init_iter=20,
+              max_iter_per_step=10):
+    """PFRT regularization sweep over the whole batch: the init fit and the
+    warm-continued factor sweep run inside ONE vmapped XLA computation (the
+    reference sweeps factors per spectrum in python,
+    reference drt1d.py:2558-2714).
+
+    Returns (step_x_raw, step_llh, scale): step_x_raw is (B, n_factors, N)
+    raw (scaled-space) solutions; multiply the DRT block by scale to get
+    physical coefficients."""
+    if factors is None:
+        factors = np.logspace(-0.7, 0.7, 11)
+    factors = np.asarray(factors, dtype=float)
+    rzv, scale = self.scale_batch(z_batch)
+    rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
+
+    sweep = jax.jit(jax.vmap(lambda rv: _pfrt_sweep_single(
+        self, rv, factors, max_init_iter, max_iter_per_step, self.dtype)))
+    step_x, step_llh = sweep(rzv_dev)
+    return np.asarray(step_x), np.asarray(step_llh), np.asarray(scale)
+
+
+BatchedEISFitter.pfrt_fit = _pfrt_fit

@@ -143,3 +143,39 @@ def test_batched_f32_accuracy_tail():
     assert np.percentile(rp_err, 95) < 0.02
     assert np.max(rp_err) < 0.05
     assert np.max(np.abs(res.r_inf - 0.4)) < 0.02
+
+
+def test_batched_pfrt_sweep_matches_single():
+    """Batched PFRT factor sweep (one vmapped computation) tracks the
+    per-spectrum pfrt_fit_eis path."""
+    rng = np.random.default_rng(0)
+    freq32 = np.logspace(5, -1, 31)
+    w = 2j * np.pi * freq32
+
+    def sim(seed):
+        r = np.random.default_rng(seed)
+        z_ = 0.4 + 1.5 / (1 + (w * 10 ** r.uniform(-3.5, -2.5)) ** 0.9)
+        return z_ + r.normal(0, 1e-3, 31) + 1j * r.normal(0, 1e-3, 31)
+
+    zb = np.stack([sim(i) for i in range(3)])
+    factors = np.logspace(-0.5, 0.5, 5)
+    fitter = BatchedEISFitter(freq32)
+    step_x, step_llh, scale = fitter.pfrt_fit(zb, factors=factors)
+    assert step_x.shape == (3, 5, fitter.rzm.shape[1])
+    assert np.all(np.isfinite(step_llh))
+
+    # Physical Rp per factor stays near truth for every spectrum/factor
+    ns = fitter.num_special
+    from hybdrt_tpu.ops import basis as basis_mod
+    area = basis_mod.get_basis_func_area(fitter.template.tau_basis_type,
+                                         fitter.template.tau_epsilon)
+    rp = np.abs(step_x[:, :, ns:]).sum(axis=2) * scale[:, None] * area
+    assert np.max(np.abs(rp - 1.5)) < 0.05
+
+    # Single-spectrum pfrt produces a comparable llh PROFILE (the model-
+    # selection signal): correlate per-factor llh against the batched sweep
+    drt = DRT(warn=False)
+    drt.pfrt_fit_eis(freq32, zb[0], factors=factors)
+    llh_single = np.asarray(drt.pfrt_result["step_llh"])
+    llh_batch = step_llh[0]
+    assert np.argmax(llh_single) == np.argmax(llh_batch)
