@@ -340,8 +340,6 @@ class DRTMD:
 
         if len(fit_index) == 0:
             return
-        if self.fit_type != "drt":
-            raise ValueError("Batched fitting supports fit_type='drt' only")
         # Gather and classify the observations
         freqs, zs, chronos = [], [], []
         for i in fit_index:
@@ -362,6 +360,12 @@ class DRTMD:
         if any((c[0] is not None) != is_hybrid for c in chronos):
             raise ValueError("Batched fitting requires all observations to be "
                              "the same type (all EIS-only or all hybrid)")
+        if self.fit_type == "pfrt":
+            if is_hybrid:
+                raise ValueError("Batched pfrt fitting supports EIS-only "
+                                 "observations")
+            return self._fit_batched_pfrt(fit_index, f0, z_batch, mesh=mesh,
+                                          dtype=dtype)
 
         if is_hybrid:
             t0 = np.asarray(chronos[0][0])
@@ -420,6 +424,45 @@ class DRTMD:
             z_hat = fitter.predict_z(result)
             resid = np.abs(z_hat - z_batch)
             self.obs_rss[fit_index] = np.sum(resid ** 2, axis=1)
+
+    def _fit_batched_pfrt(self, fit_index, f0, z_batch, mesh=None, dtype=None):
+        """Batched PFRT sweep over all EIS observations: one vmapped
+        computation per batch (BatchedEISFitter.pfrt_fit)."""
+        import jax.numpy as jnp
+        from ..parallel.batch import BatchedEISFitter
+
+        fitter = BatchedEISFitter(
+            f0, tau_supergrid=self.tau_supergrid, fit_ohmic=self.fit_ohmic,
+            fit_inductance=self.fit_inductance, nonneg=self.fit_kw.get("nonneg", True),
+            dtype=dtype if dtype is not None else jnp.float64, mesh=mesh)
+        step_x, step_llh, scale = fitter.pfrt_fit(z_batch,
+                                                  factors=self.pfrt_factors)
+        self._batch_fitter = fitter
+
+        left_index = nearest_index(self.tau_supergrid, fitter.basis_tau[0])
+        right_index = nearest_index(self.tau_supergrid, fitter.basis_tau[-1]) + 1
+        template = fitter.template
+        self.drt1d.set_attributes(template.get_attributes(["config", "fit_core"]))
+        if self.obs_special is None:
+            self.drt1d.special_qp_params = template.special_qp_params
+            self.initialize_obs_special()
+
+        ns = fitter.num_special
+        sp = template.special_qp_params
+        for bi, i in enumerate(fit_index):
+            self.obs_x[i, :, left_index:right_index] = step_x[bi, :, ns:] * scale[bi]
+            self.obs_tau_indices[i] = (left_index, right_index)
+            for key, info in sp.items():
+                if key in self.obs_special:
+                    col_scale = {"inductance": template.inductance_scale or 1.0,
+                                 "C_inv": template.capacitance_scale or 1.0}.get(key, 1.0)
+                    self.obs_special[key][i] = step_x[bi, :, info["index"]]                         * scale[bi] * col_scale
+            self.obs_llh[i] = float(np.max(step_llh[bi]))
+            self.obs_fit_attr[i] = {"batched": True, "pfrt": True,
+                                    "step_x_raw": step_x[bi],
+                                    "step_llh": step_llh[bi],
+                                    "scale": scale[bi], "z": z_batch[bi]}
+            self.obs_fit_status[i] = True
 
     def get_fit(self, obs_index):
         """Reconstruct a DRT instance holding the fit of one observation."""

@@ -135,9 +135,7 @@ def test_drtmd_pfrt_fit_type():
     # Covariances per factor level
     assert md.predict_x_cov([0], factor_index=2).shape == (1, 91, 91)
     assert md.predict_x_cov([0]).shape == (1, 5, 91, 91)
-    # Batched path and resolve are drt-only
-    with pytest.raises(ValueError):
-        md.fit_all(batched=True, refit=True)
+    # Resolve is drt-only (batched pfrt is supported separately)
     with pytest.raises(ValueError):
         md.resolve_observations([0, 1])
     with pytest.raises(ValueError):
@@ -219,3 +217,30 @@ def test_drtmd_batched_hybrid():
     assert np.max(np.abs(rp - np.array(truths))) < 0.08
     rinf = md.predict_special("R_inf", obs_index=np.arange(4), resolved=False)
     assert np.allclose(rinf, 0.3, atol=0.03)
+
+
+def test_drtmd_batched_pfrt():
+    """fit_type='pfrt' + batched=True: one vmapped PFRT sweep over all
+    observations."""
+    from hybdrt_tpu import DRTMD
+
+    def sim_eis(tau0, seed):
+        rng = np.random.default_rng(seed)
+        f = np.logspace(5, -1, 31)
+        w = 2j * np.pi * f
+        z = 0.4 + 1.5 / (1 + (w * tau0) ** 0.9)
+        return f, z + rng.normal(0, 1e-4, 31) + 1j * rng.normal(0, 1e-4, 31)
+
+    md = DRTMD(tau_supergrid=np.logspace(-7, 2, 91), psi_dim_names=["T"],
+               fit_type="pfrt", pfrt_factors=np.logspace(-0.5, 0.5, 5),
+               print_progress=False, warn=False)
+    for i, t0 in enumerate([1e-3, 2e-3, 3e-3]):
+        md.add_observation([700 + 25 * i], None, sim_eis(t0, i))
+    md.fit_all(batched=True)
+    assert md.obs_fit_status.all()
+    assert md.obs_x.shape == (3, 5, 91)
+    assert md.predict_x(obs_index=[0, 1, 2], factor_index=2).shape == (3, 91)
+    rinf = md.predict_special("R_inf", obs_index=[0, 1, 2])
+    assert np.allclose(rinf, 0.4, atol=0.02)
+    # llh recorded per observation
+    assert np.all(np.isfinite(md.obs_llh[:3]))
