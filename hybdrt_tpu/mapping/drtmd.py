@@ -479,6 +479,14 @@ class DRTMD:
 
     def _rebuild_batched_fit(self, obs_index, attr):
         """Build a lightweight DRT carrying (P, q) from stored batched state."""
+        if attr.get("pfrt"):
+            # Batched pfrt stores the sweep arrays directly; covariance
+            # reconstruction needs the per-step P matrices, which the
+            # all-device sweep does not materialize
+            raise NotImplementedError(
+                "get_fit/predict_param_cov are not available for batched pfrt "
+                "observations; use predict_x(factor_index=...) on the stored "
+                "sweep, or fit serially for per-step covariances")
         import jax.numpy as jnp
         from ..solver import qphb as qphb_mod
         from ..models.drt import _hypers_to_pytree
