@@ -25,6 +25,10 @@ performance paths accept ``dtype`` arguments to run in float32 on TPU.
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+# On TPU, float32 matmuls default to bf16 MXU passes (~1e-3 relative error),
+# which corrupts the ill-conditioned QP normal matrices this framework
+# builds; force true float32 matmul accumulation everywhere
+_jax.config.update("jax_default_matmul_precision", "float32")
 
 from . import utils  # noqa: E402
 from . import ops  # noqa: E402

@@ -26,6 +26,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _refined_rsqrt(x):
+    """NaN-guarded rsqrt with one Newton refinement step.
+
+    The TPU VPU rsqrt is a low-precision hardware approximation; the Newton
+    step x -> r(1.5 - 0.5 x r^2) restores ~full float32 accuracy, which the
+    Cholesky pivots of ill-conditioned QP systems require. Non-positive
+    pivots return NaN (LAPACK-potrf-failure semantics) so the interior
+    point's bad-step guard can catch them."""
+    r = jax.lax.rsqrt(jnp.maximum(x, 1e-30))
+    r = r * (1.5 - 0.5 * jnp.maximum(x, 1e-30) * r * r)
+    return jnp.where(x > 0, r, jnp.nan)
+
+
 def _make_kernel(n):
     def kernel(a_ref, b_ref, x_ref, a_s, r_s, y_s):
         # a_ref/a_s: (n, n, lanes); b_ref/x_ref/r_s/y_s: (n, lanes).
@@ -36,7 +49,7 @@ def _make_kernel(n):
         # ---- in-place Cholesky, static column loop -------------------------
         for j in range(n):
             ajj = a_s[j, j:j + 1, :]                    # (1, lanes)
-            inv = jnp.where(ajj > 0, jax.lax.rsqrt(jnp.maximum(ajj, 1e-30)), 0.0)
+            inv = _refined_rsqrt(ajj)
             col = a_s[j:, j, :] * inv                   # (n-j, lanes) = L[j:, j]
             a_s[j:, j, :] = col
             if j + 1 < n:
@@ -114,7 +127,7 @@ def _make_factor_kernel(n):
         chunk = 16
         for j in range(n):
             ajj = l_ref[j, j:j + 1, :]
-            inv = jnp.where(ajj > 0, jax.lax.rsqrt(jnp.maximum(ajj, 1e-30)), 0.0)
+            inv = _refined_rsqrt(ajj)
             col = l_ref[j:, j, :] * inv
             l_ref[j:, j, :] = col
             # the stale upper triangle is never read by the solve kernel
@@ -215,7 +228,7 @@ def _make_factor_solve_kernel(n):
         l_ref[...] = a_ref[...]
         for j in range(n):
             ajj = l_ref[j, j:j + 1, :]
-            inv = jnp.where(ajj > 0, jax.lax.rsqrt(jnp.maximum(ajj, 1e-30)), 0.0)
+            inv = _refined_rsqrt(ajj)
             col = l_ref[j:, j, :] * inv
             l_ref[j:, j, :] = col
             if j + 1 < n:
