@@ -90,21 +90,6 @@ def test_qp_ill_conditioned_still_solves():
     _check_kkt(p, q, lb, res.x, tol=1e-5)
 
 
-def test_pallas_chol_solve_interpret():
-    """Fused pallas Cholesky factor+solve kernel (ops/pallas_chol.py) against
-    float64 LAPACK, in interpret mode (runs on any backend)."""
-    from hybdrt_tpu.ops.pallas_chol import chol_solve_batched
-    rng = np.random.default_rng(0)
-    B, n = 12, 93
-    a_ = rng.normal(size=(B, n, n)).astype(np.float32)
-    a = jnp.asarray(a_ @ np.transpose(a_, (0, 2, 1)) + 10 * np.eye(n, dtype=np.float32))
-    b = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
-    x = chol_solve_batched(a, b, block_batch=8, interpret=True)
-    xr = np.linalg.solve(np.asarray(a, dtype=np.float64),
-                         np.asarray(b, dtype=np.float64)[..., None])[..., 0]
-    assert np.max(np.abs(np.asarray(x) - xr) / (1 + np.abs(xr))) < 1e-5
-
-
 def test_smallchol_matches_lapack():
     """Masked column-loop Cholesky (ops/smallchol.py) against LAPACK."""
     from hybdrt_tpu.ops import smallchol as sc
@@ -129,17 +114,3 @@ def test_smallchol_matches_lapack():
     assert np.max(np.abs(np.asarray(xv) - xr) / (1 + np.abs(xr))) < 1e-5
 
 
-def test_pallas_chol_blocked_interpret():
-    """Blocked pallas Cholesky kernel (ops/pallas_chol_blocked.py) against
-    float64 LAPACK, interpret mode."""
-    from hybdrt_tpu.ops.pallas_chol_blocked import chol_solve_blocked
-    rng = np.random.default_rng(0)
-    B, n = 12, 93
-    a_ = rng.normal(size=(B, n, n)).astype(np.float32)
-    a = jnp.asarray(a_ @ np.transpose(a_, (0, 2, 1)) + 10 * np.eye(n, dtype=np.float32))
-    b = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
-    for nb in (16, 32):
-        x = chol_solve_blocked(a, b, block_batch=8, nb=nb, interpret=True)
-        xr = np.linalg.solve(np.asarray(a, dtype=np.float64),
-                             np.asarray(b, dtype=np.float64)[..., None])[..., 0]
-        assert np.max(np.abs(np.asarray(x) - xr) / (1 + np.abs(xr))) < 1e-5
