@@ -287,6 +287,98 @@ class DrtScorer:
         return self.results_
 
 
+# ------------------------------------------------------------------
+# Threshold-swept precision-recall curve (reference evaluation.py:519-756)
+# ------------------------------------------------------------------
+def find_model_peaks(model, tau_cls, normalize=True, find_peaks_kw=None,
+                     return_prominence=False):
+    """Locate peaks of a model's distribution on ``tau_cls`` from the
+    curvature of gamma(ln tau), optionally returning the curvature
+    prominence of each peak (reference evaluation.py:519-564).
+
+    The model may be a DRT-like object (``predict_distribution`` accepting an
+    ``order`` argument), any object with ``predict_distribution(tau)``, or a
+    plain callable gamma(tau); curvature falls back to finite differences when
+    analytic derivatives are unavailable.
+    """
+    from scipy.signal import find_peaks as _sp_find_peaks
+
+    tau_cls = np.asarray(tau_cls, dtype=float)
+    gamma = DrtScorer._gamma_of(model, tau_cls)
+    scale = 1.0
+    if normalize:
+        scale = np.trapezoid(np.abs(gamma), x=np.log(tau_cls))
+        scale = scale if scale > 0 else 1.0
+
+    # Curvature d^2 gamma / d(ln tau)^2: analytic when the model supports it
+    fxx = None
+    if hasattr(model, "predict_distribution"):
+        try:
+            fxx = np.asarray(model.predict_distribution(tau_cls, order=2))
+        except TypeError:
+            fxx = None
+    if fxx is None:
+        ln_tau = np.log(tau_cls)
+        fx = np.gradient(gamma, ln_tau)
+        fxx = np.gradient(fx, ln_tau)
+    fxx = fxx / scale
+
+    if find_peaks_kw is None:
+        finite = fxx[np.isfinite(fxx)]
+        prom_thresh = 0.05 * np.std(finite) + 5e-3
+        find_peaks_kw = {"height": 0, "prominence": prom_thresh}
+    peak_index, props = _sp_find_peaks(-fxx, **find_peaks_kw)
+    peak_tau = tau_cls[peak_index]
+
+    if return_prominence:
+        prominences = props.get("prominences")
+        if prominences is None:
+            prominences = _sp_find_peaks(-fxx, prominence=0)[1]["prominences"]
+        return peak_tau, np.asarray(prominences, dtype=float)
+    return peak_tau
+
+
+def peakthresh_pr_curve(exact_model, est_model, tau_cls, normalize=True,
+                        find_exact_peaks_kw=None, sim_function_kw=None,
+                        exact_peak_tau=None, return_thresholds=False):
+    """Precision-recall curve of peak detection as the curvature-prominence
+    threshold is swept from 0 to above the largest estimated-peak prominence
+    (reference evaluation.py:724-756).
+
+    Returns ``(ppv, tpr)`` arrays of length ``n_thresholds + 1``; the final
+    entry is the zero-detection limit (TPR=0, PPV=1). Pass
+    ``return_thresholds=True`` to also receive the threshold values used
+    (the last being +inf)."""
+    if exact_peak_tau is None:
+        exact_peak_tau = find_model_peaks(
+            exact_model, tau_cls, normalize, find_exact_peaks_kw)
+    exact_peak_tau = np.asarray(exact_peak_tau, dtype=float)
+
+    # All candidate peaks: zero prominence floor so the sweep covers the
+    # entire operating range of the detector
+    est_peak_tau, est_prom = find_model_peaks(
+        est_model, tau_cls, normalize,
+        find_peaks_kw={"height": 0, "prominence": 0}, return_prominence=True)
+
+    thresholds = np.unique(est_prom)
+    ppv = np.ones(len(thresholds) + 1)
+    tpr = np.zeros(len(thresholds) + 1)
+    for i, thresh in enumerate(thresholds):
+        kept = est_peak_tau[est_prom >= thresh]
+        summary = calculate_cls_metrics(kept, exact_peak_tau, sim_function_kw)
+        ppv[i] = summary["precision"]
+        tpr[i] = summary["recall"]
+    if return_thresholds:
+        return ppv, tpr, np.append(thresholds, np.inf)
+    return ppv, tpr
+
+
+def pr_auc(ppv, tpr):
+    """Area under a (recall, precision) curve by trapezoid over recall."""
+    order = np.argsort(tpr)
+    return float(np.trapezoid(np.asarray(ppv)[order], x=np.asarray(tpr)[order]))
+
+
 # Reference-compatible aliases (reference evaluation.py)
 calculate_regression_metrics = calculate_reg_metrics
 calculate_classification_metrics = calculate_cls_metrics

@@ -66,6 +66,42 @@ def test_drt_scorer_end_to_end():
     assert res["classification"]["f1"] > 0.5
 
 
+def test_peakthresh_pr_curve():
+    """PR curve over peak-prominence threshold: a two-peak estimate of a
+    two-peak model should reach (recall=1, precision=1) at some threshold, and
+    the endpoints must be the all-detections / zero-detections limits
+    (reference evaluation.py:724)."""
+    exact = lambda t: _zarc_gamma(t, 1e-3, 0.9) + _zarc_gamma(t, 1e0, 0.9)
+    # Estimate: slightly shifted peaks plus a tiny spurious bump
+    est = lambda t: (_zarc_gamma(t, 1.2e-3, 0.88) + _zarc_gamma(t, 0.9e0, 0.9)
+                     + 0.02 * _zarc_gamma(t, 3e-2, 0.97))
+    tau_cls = np.logspace(-6, 2, 400)
+
+    ppv, tpr, thresh = evaluation.peakthresh_pr_curve(
+        exact, est, tau_cls, return_thresholds=True)
+    assert len(ppv) == len(tpr) == len(thresh)
+    # Zero-detection limit appended at the end
+    assert tpr[-1] == 0.0 and ppv[-1] == 1.0 and np.isinf(thresh[-1])
+    # Some threshold keeps exactly the two real peaks: near-perfect point
+    best_f1 = np.max(2 * ppv * tpr / np.maximum(ppv + tpr, 1e-12))
+    assert best_f1 > 0.9
+    # Curve area is meaningful
+    auc = evaluation.pr_auc(ppv, tpr)
+    assert 0.5 < auc <= 1.0 + 1e-12
+
+
+def test_find_model_peaks_prominences():
+    exact = lambda t: _zarc_gamma(t, 1e-3, 0.9) + 0.3 * _zarc_gamma(t, 1e0, 0.9)
+    tau_cls = np.logspace(-6, 2, 400)
+    peak_tau, prom = evaluation.find_model_peaks(
+        exact, tau_cls, find_peaks_kw={"height": 0, "prominence": 0},
+        return_prominence=True)
+    assert len(peak_tau) == len(prom) >= 2
+    # The dominant peak has the larger curvature prominence
+    i_main = np.argmin(np.abs(np.log(peak_tau) - np.log(1e-3)))
+    assert prom[i_main] == np.max(prom)
+
+
 def test_fft_impedance_recovers_rc():
     """FFT impedance of an R-RC chrono response matches the analytic Z."""
     r_inf, r1, tau1 = 0.5, 1.0, 1e-2
