@@ -156,8 +156,17 @@ def element_voltage_function(element_type, step_model="ideal"):
             ts = jnp.where(times > 0, times, 1.0)
             return active(times, p * ts ** (-nu) * jnp.exp(-gammaln(1 - nu)))
     elif element_type == "HN":
+        # Z(s) = R/(1+(s tau)^beta)^alpha; the unit-step response follows from
+        # the Prabhakar Laplace pair L[t^{B-1} E^g_{b,B}(-l t^b)] =
+        # s^{bg-B}/(s^b+l)^g with g=alpha, B=alpha*beta+1, l=tau^-beta:
+        # V(t) = R (t/tau)^{alpha beta} E^alpha_{beta, alpha beta + 1}(-(t/tau)^beta).
+        # (The reference leaves this unimplemented: elements.py:2102-2107.)
         def v_func(times, r, ln_tau, alpha, beta):
-            raise NotImplementedError("Voltage response not implemented for HN elements")
+            times = jnp.asarray(times)
+            tr = jnp.where(times > 0, times, 1.0) / jnp.exp(ln_tau)
+            trb = tr ** beta
+            return active(times, r * trb ** alpha
+                          * ml.prabhakar_ml_neg(trb, beta, alpha * beta + 1, alpha))
     else:
         raise ValueError(f"Invalid element {element_type}")
     return v_func

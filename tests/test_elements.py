@@ -138,3 +138,60 @@ def test_element_level_accessors():
         dem.set_bounds([(0, 1)], element_name="RQ1")
     dem.set_bounds([(0, 10), (-20, 5), (0.5, 1.0)], element_name="RQ1")
     assert dem.parameter_bounds[2] == (-20, 5)
+
+
+def test_hn_voltage_response():
+    """HN unit-step voltage response V(t) = R x^a E^a_{b,ab+1}(-x), x=(t/tau)^b
+    (via the Prabhakar Mittag-Leffler function; the reference leaves HN voltage
+    unimplemented, elements.py:2102-2107). Checked three ways: RQ reduction at
+    alpha=1, RC reduction at alpha=beta=1, and the DRT-convolution oracle
+    V(t) = int gamma_HN(tau) (1 - exp(-t/tau)) dln tau."""
+    from hybdrt_tpu.models.elements import (element_voltage_function,
+                                            element_distribution_function)
+    v_hn = element_voltage_function("HN")
+    v_rq = element_voltage_function("RQ")
+    v_rc = element_voltage_function("RC")
+    times = np.concatenate([[-1e-3, 0.0], np.geomspace(1e-6, 1e2, 60)])
+    r, ln_tau = 2.0, np.log(1e-2)
+
+    # alpha = 1: HN reduces to RQ
+    out_hn = np.asarray(v_hn(times, r, ln_tau, 1.0, 0.8))
+    out_rq = np.asarray(v_rq(times, r, ln_tau, 0.8))
+    assert np.allclose(out_hn, out_rq, rtol=1e-6, atol=1e-8)
+
+    # alpha = beta = 1: HN reduces to RC
+    out_hn1 = np.asarray(v_hn(times, r, ln_tau, 1.0, 1.0))
+    out_rc = np.asarray(v_rc(times, r, ln_tau))
+    assert np.allclose(out_hn1, out_rc, rtol=1e-5, atol=1e-7)
+
+    # t <= 0 is identically zero; late times saturate at R
+    assert np.all(out_hn[:2] == 0)
+    assert abs(float(v_hn(1e6, r, ln_tau, 0.9, 0.8)) - r) < 1e-3 * r
+
+    # Independent oracle: convolve the analytic HN distribution with the
+    # single-RC step kernel over a wide fine ln tau grid
+    alpha, beta = 0.85, 0.75
+    gamma_hn = element_distribution_function("HN")
+    tau_grid = np.geomspace(1e-12, 1e12, 4000)
+    g = np.asarray(gamma_hn(tau_grid, r, ln_tau, alpha, beta))
+    t_chk = np.geomspace(1e-5, 1e1, 25)
+    kernel = 1 - np.exp(-t_chk[:, None] / tau_grid[None, :])
+    v_oracle = np.trapezoid(g[None, :] * kernel, x=np.log(tau_grid), axis=1)
+    v_ours = np.asarray(v_hn(t_chk, r, ln_tau, alpha, beta))
+    assert np.allclose(v_ours, v_oracle, rtol=2e-3, atol=2e-3 * r)
+
+
+def test_predict_response_hn_model():
+    """Full-model step-superposed response with an HN element."""
+    m = DiscreteElementModel("R0-HN1")
+    m.set_parameter_values([0.3, 1.5, np.log(1e-2), 0.9, 0.85])
+    times = np.linspace(-0.01, 0.5, 300)
+    v = m.predict_response(times, [0.0, 0.2], [0.1, -0.05])
+    from hybdrt_tpu.models.elements import element_voltage_function
+    v_hn = element_voltage_function("HN")
+    expected = np.zeros_like(times)
+    for ts, ss in [(0.0, 0.1), (0.2, -0.05)]:
+        dt = times - ts
+        expected += ss * (np.where(dt > 0, 0.3, 0.0)
+                          + np.asarray(v_hn(dt, 1.5, np.log(1e-2), 0.9, 0.85)))
+    assert np.allclose(v, expected, rtol=1e-6, atol=1e-8)
