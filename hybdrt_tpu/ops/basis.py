@@ -50,6 +50,12 @@ def beta(y, epsilon=None):
     return jnp.abs(y) * (1 - jnp.abs(y))
 
 
+def beta_rbf(y, mu, epsilon):
+    """Gaussian RBF centered at mu windowed by the beta envelope
+    (reference basis.py:99-104). Signature phi(y, mu, epsilon)."""
+    return gaussian(y - mu, epsilon) * beta(y)
+
+
 def ramp(y, epsilon):
     return jnp.where(y > 0, y * epsilon, 0.0)
 
@@ -73,6 +79,7 @@ _BASIS_FUNCS = {
     "step": step,
     "delta": delta,
     "beta": beta,
+    "beta-rbf": beta_rbf,
     "ramp": ramp,
     "bounded_ramp": bounded_ramp,
     "pwl_transformed": pwl_transformed,
@@ -136,6 +143,25 @@ def get_basis_func_derivative(basis_type, order, zga_params=None):
                                for x_i, y_i in zip(coef[1:], y_basis)])
             return jnp.sum(terms, axis=0)
         return func
+    elif basis_type == "beta":
+        if order == 1:
+            return lambda y, epsilon=None: jnp.sign(y) - 2 * y
+        if order == 2:
+            return lambda y, epsilon=None: -2 * jnp.ones_like(jnp.asarray(y, dtype=float))
+    elif basis_type == "beta-rbf":
+        f = gaussian
+        fx = get_basis_func_derivative("gaussian", 1)
+        g = beta
+        gx = get_basis_func_derivative("beta", 1)
+        if order == 1:
+            return lambda y, mu, epsilon: (f(y - mu, epsilon) * gx(y)
+                                           + fx(y - mu, epsilon) * g(y))
+        if order == 2:
+            fxx = get_basis_func_derivative("gaussian", 2)
+            gxx = get_basis_func_derivative("beta", 2)
+            return lambda y, mu, epsilon: (gxx(y) * f(y - mu, epsilon)
+                                           + 2 * gx(y) * fx(y - mu, epsilon)
+                                           + fxx(y - mu, epsilon) * g(y))
     elif basis_type == "pwl":
         phi = get_basis_func("pwl")
 

@@ -129,3 +129,47 @@ def test_lookup_tables_monotonic_domain():
     assert z_re[0] > z_re[-1]
     lg_td, resp = lookup.generate_response_lookup("gaussian", "galv", "ideal", EPS)
     assert np.all(np.diff(resp) > -1e-12)  # step response is nondecreasing in t/tau
+
+
+def test_basis_library_complete():
+    """Every basis type in the validation list resolves to a callable, and the
+    full reference set (utils/validation.py:7) is covered."""
+    from hybdrt_tpu.ops import basis as B
+    from hybdrt_tpu.utils import validation
+    reference_set = {"gaussian", "beta", "beta-rbf", "Cole-Cole", "step",
+                     "delta", "ramp", "pwl", "pwl_transformed", "zga"}
+    assert reference_set <= set(validation.basis_options) | {"zga"}
+    y = np.linspace(-2, 2, 101)
+    zga_params = (np.array([-0.5, 0.5]), np.array([0.0, 0.6, 0.4]), 0.9)
+    for bt in validation.basis_options + ["zga"]:
+        phi = B.get_basis_func(bt, zga_params=zga_params)
+        if bt == "beta-rbf":
+            out = np.asarray(phi(y, 0.3, 1.5))
+        else:
+            out = np.asarray(phi(y, 1.5))
+        assert out.shape == y.shape and np.all(np.isfinite(out)), bt
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_beta_and_beta_rbf_derivatives_vs_autodiff(order):
+    """beta / beta-rbf closed-form derivatives against jax autodiff of the
+    basis function itself (independent oracle; avoids |y|=0 and the beta
+    envelope kink)."""
+    import jax
+    from hybdrt_tpu.ops import basis as B
+    y = np.linspace(0.05, 0.95, 19)  # one smooth branch of |y|(1-|y|)
+
+    d_beta = B.get_basis_func_derivative("beta", order)
+    f = B.beta
+    for _ in range(order):
+        f = jax.grad(f)
+    ad = np.array([float(f(float(v))) for v in y])
+    assert np.allclose(np.asarray(d_beta(y)), ad, atol=1e-10)
+
+    d_brbf = B.get_basis_func_derivative("beta-rbf", order)
+    mu, eps = 0.3, 1.5
+    g = lambda v: B.beta_rbf(v, mu, eps)
+    for _ in range(order):
+        g = jax.grad(g)
+    ad2 = np.array([float(g(float(v))) for v in y])
+    assert np.allclose(np.asarray(d_brbf(y, mu, eps)), ad2, atol=1e-8)
