@@ -1,9 +1,17 @@
-"""File-source detection and timestamp extraction
-(reference hybdrt/dataload/core.py)."""
+"""Vendor file-source registry: detection and header-metadata extraction.
+
+Table-driven redesign of the reference's if-chain logic (reference
+hybdrt/dataload/core.py): each supported instrument format is described by a
+single ``_SourceSpec`` row — extensions, first-line header tag, timestamp
+regex/format, and time-column names — and every public function is a generic
+lookup over the registry. Adding a vendor means adding one row.
+"""
+import re
+from dataclasses import dataclass, field
 from datetime import datetime
 from enum import StrEnum, auto
 from pathlib import Path
-from typing import List, Optional, Union
+from typing import List, Optional, Tuple, Union
 
 FilePath = Union[str, Path]
 
@@ -22,35 +30,72 @@ class FileSource(StrEnum):
         return self.name.split("_")[0]
 
 
-EXT_SOURCE_MAP = {
-    "dta": FileSource.GAMRY_DTA,
-    "mpr": FileSource.ECLAB_MPR,
-    "mpt": FileSource.ECLAB_MPT,
-    "z": FileSource.ZPLOT,
-}
+@dataclass(frozen=True)
+class _SourceSpec:
+    """Everything the loader needs to know about one vendor format."""
+    source: FileSource
+    extensions: Tuple[str, ...] = ()
+    header_tag: Optional[str] = None      # expected first line (or first word)
+    match_first_word: bool = False        # tag carries a version suffix
+    # Timestamp: each regex contributes one captured group; the joined groups
+    # are parsed with timestamp_fmt
+    timestamp_res: Tuple[str, ...] = ()
+    timestamp_fmt: Optional[str] = None
+    time_columns: Tuple[str, ...] = ()    # candidate data time columns (lowercased)
 
-HEADER_SOURCE_MAP = {
-    "EXPLAIN": FileSource.GAMRY_DTA,
-    "EC-Lab ASCII FILE": FileSource.ECLAB_TXT,
-    "ZPLOT2 ASCII": FileSource.ZPLOT,
-    "RelaxIS": FileSource.RELAXIS,
-}
+
+_REGISTRY: Tuple[_SourceSpec, ...] = (
+    _SourceSpec(
+        FileSource.GAMRY_DTA,
+        extensions=("dta",),
+        header_tag="EXPLAIN",
+        timestamp_res=(r"DATE\t[^\t\n]*\t([^\t\n]+)", r"TIME\t[^\t\n]*\t([^\t\n]+)"),
+        timestamp_fmt="%m/%d/%Y %H:%M:%S.%f",
+        time_columns=("time", "t"),
+    ),
+    _SourceSpec(
+        FileSource.ZPLOT,
+        extensions=("z",),
+        header_tag="ZPLOT2 ASCII",
+        timestamp_res=(r"Date\s+(\S+)", r"Time\s+(\S+)"),
+        timestamp_fmt="%m-%d-%Y %H:%M:%S",
+    ),
+    _SourceSpec(
+        FileSource.ECLAB_TXT,
+        header_tag="EC-Lab ASCII FILE",
+        timestamp_res=(r"Acquisition started on :\s*([^\n]+)",),
+        timestamp_fmt="%m/%d/%Y %H:%M:%S.%f",
+        time_columns=("time/s",),
+    ),
+    _SourceSpec(FileSource.ECLAB_MPR, extensions=("mpr",)),
+    _SourceSpec(FileSource.ECLAB_MPT, extensions=("mpt",)),
+    _SourceSpec(FileSource.RELAXIS, header_tag="RelaxIS", match_first_word=True),
+)
+
+_SPEC_BY_SOURCE = {spec.source: spec for spec in _REGISTRY}
+# Kept as public names for compatibility with the reference API surface
+EXT_SOURCE_MAP = {ext: spec.source for spec in _REGISTRY for ext in spec.extensions}
+HEADER_SOURCE_MAP = {spec.header_tag: spec.source
+                     for spec in _REGISTRY if spec.header_tag}
 
 
+# ------------------------------------------------------------------
+# File reading / source detection
+# ------------------------------------------------------------------
 def get_extension(file: FilePath) -> str:
-    parts = Path(file).name.split(".")
-    if len(parts) == 1:
+    suffix = Path(file).suffix
+    if not suffix:
         raise ValueError(f"No extension found for file: {file}")
-    return parts[-1]
+    return suffix[1:]
 
 
 def read_txt(file: FilePath) -> str:
-    try:
-        with open(file, "r") as f:
-            return f.read()
-    except UnicodeDecodeError:
-        with open(file, "r", encoding="latin1") as f:
-            return f.read()
+    for encoding in (None, "latin1"):
+        try:
+            return Path(file).read_text(encoding=encoding)
+        except UnicodeDecodeError:
+            continue
+    raise UnicodeDecodeError("latin1", b"", 0, 1, f"Could not decode {file}")
 
 
 def detect_source_from_ext(file: FilePath) -> Optional[FileSource]:
@@ -58,68 +103,74 @@ def detect_source_from_ext(file: FilePath) -> Optional[FileSource]:
 
 
 def detect_source_from_text(text: str) -> Optional[FileSource]:
-    header = text.split("\n")[0]
-    source = HEADER_SOURCE_MAP.get(header)
-    if source is None:
-        # Version numbers may vary (e.g. "RelaxIS 3.0") — match first word
-        word = header.split(" ")[0]
-        source = {k.split(" ")[0]: v for k, v in HEADER_SOURCE_MAP.items()}.get(word)
-    return source
+    header = text.partition("\n")[0]
+    for spec in _REGISTRY:
+        if spec.header_tag is None:
+            continue
+        candidate = header.split(" ")[0] if spec.match_first_word else header
+        tag = (spec.header_tag.split(" ")[0] if spec.match_first_word
+               else spec.header_tag)
+        if candidate == tag:
+            return spec.source
+    return None
 
 
-def detect_file_source(file: FilePath) -> Optional[FileSource]:
-    source = detect_source_from_ext(file)
-    if source is None:
-        source = detect_source_from_text(read_txt(file))
+def detect_file_source(file: FilePath) -> FileSource:
+    source = detect_source_from_ext(file) or detect_source_from_text(read_txt(file))
     if source is None:
         raise ValueError(f"Could not detect source for {file}")
     return source
 
 
 def read_with_source(file: FilePath, source: Optional[FileSource] = None):
+    """Read once, detect once."""
     text = read_txt(file)
     if source is None:
-        source = detect_source_from_ext(file)
-        if source is None:
-            source = detect_source_from_text(text)
+        source = detect_source_from_ext(file) or detect_source_from_text(text)
     return text, source
 
 
+# ------------------------------------------------------------------
+# Header metadata
+# ------------------------------------------------------------------
 def get_line(text: str, pattern: str) -> str:
+    """First line of ``text`` containing ``pattern``."""
     start = text.find(pattern)
-    end = text[start:].find("\n") + start
-    return text[start:end]
+    return text[start:].partition("\n")[0]
 
 
 def detect_time_column(columns: List[str], source) -> Optional[str]:
-    if source == FileSource.GAMRY_DTA or source is None:
-        lower = [c.lower() for c in columns]
-        for cand in ("time", "t"):
-            if cand in lower:
-                return columns[lower.index(cand)]
-        return None
+    spec = _SPEC_BY_SOURCE.get(source)
+    candidates = spec.time_columns if spec else ()
+    if source is None or source == FileSource.GAMRY_DTA:
+        candidates = _SPEC_BY_SOURCE[FileSource.GAMRY_DTA].time_columns
+    lower = [c.lower() for c in columns]
+    for cand in candidates:
+        if cand in lower:
+            return columns[lower.index(cand)]
+        if cand in columns:
+            return cand
+    # EC-Lab declares its column name exactly
     if source == FileSource.ECLAB_TXT:
         return "time/s"
     return None
 
 
-def extract_timestamp(file: FilePath, source: Optional[FileSource] = None):
-    """Experiment start timestamp from the file header."""
+def extract_timestamp(file: FilePath,
+                      source: Optional[FileSource] = None) -> Optional[datetime]:
+    """Experiment start time from the file header (None if the format does
+    not carry one)."""
     if get_extension(file).lower() == "mpr":
         from .sources.eclab_mpr import read_mpr
         return read_mpr(file).timestamp
-    txt, source = read_with_source(file, source)
-    if source == FileSource.GAMRY_DTA:
-        date = get_line(txt, "DATE").split("\t")[2]
-        time_txt = get_line(txt, "TIME").split("\t")[2]
-        return datetime.strptime(f"{date} {time_txt}", "%m/%d/%Y %H:%M:%S.%f")
-    if source == FileSource.ZPLOT:
-        date = get_line(txt, "Date").split()[1]
-        time_txt = get_line(txt, "Time").split()[1]
-        return datetime.strptime(f"{date} {time_txt}", "%m-%d-%Y %H:%M:%S")
-    if source == FileSource.ECLAB_TXT:
-        find_str = "Acquisition started on :"
-        index = txt.find(find_str) + len(find_str)
-        timestr = txt[index:].splitlines()[0].strip()
-        return datetime.strptime(timestr, "%m/%d/%Y %H:%M:%S.%f")
-    return None
+    text, source = read_with_source(file, source)
+    spec = _SPEC_BY_SOURCE.get(source)
+    if spec is None or not spec.timestamp_res:
+        return None
+    pieces = []
+    for pattern in spec.timestamp_res:
+        m = re.search(pattern, text)
+        if m is None:
+            return None
+        pieces.append(m.group(1).strip())
+    return datetime.strptime(" ".join(pieces), spec.timestamp_fmt)

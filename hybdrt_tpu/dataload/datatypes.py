@@ -1,230 +1,208 @@
-"""Typed measurement containers (reference hybdrt/dataload/datatypes.py)."""
+"""Measurement containers for impedance/admittance spectra and chrono records.
+
+Redesigned from the reference's enum-driven class tree (reference
+hybdrt/dataload/datatypes.py): containers here are plain dataclasses around a
+complex-valued core array, and the standard column names live in small
+class-level schema tuples. Derived quantities (modulus, phase, cartesian
+parts) are computed from the complex array on demand instead of being stored
+as parallel fields.
+"""
+from dataclasses import dataclass, replace
 from datetime import datetime
-from enum import StrEnum
-from typing import List, Optional
+from typing import ClassVar, Optional, Tuple
 
 import numpy as np
 import pandas as pd
 
 
-class ImmittanceFields(StrEnum):
+def _column(df: pd.DataFrame, name: str) -> np.ndarray:
+    if name not in df.columns:
+        raise ValueError(f"Data must contain column {name}")
+    return df[name].to_numpy()
+
+
+@dataclass
+class ImmittanceData:
+    """Frequency-domain immittance: a frequency grid plus one complex array.
+
+    Subclasses fix the column schema (prefix 'z' or 'y'). Polar/cartesian
+    views are derived, never stored.
+    """
+    freq: np.ndarray
+    x: np.ndarray
+    time: Optional[np.ndarray] = None
+    timestamp: Optional[datetime] = None
+    raw_data: Optional[pd.DataFrame] = None
+
+    prefix: ClassVar[str] = "z"
+
+    def __post_init__(self):
+        self.freq = np.asarray(self.freq)
+        self.x = np.asarray(self.x)
+
+    # -- schema ------------------------------------------------------
     @classmethod
-    def cartesian_fields(cls):
-        return cls.REAL.value, cls.IMAG.value
+    def _cols(cls) -> dict:
+        p = cls.prefix
+        return {"freq": "freq", "real": f"{p}_re", "imag": f"{p}_im",
+                "modulus": f"{p}_mod", "phase": f"{p}_phase", "time": "time"}
 
-    @classmethod
-    def polar_fields(cls):
-        return cls.MODULUS.value, cls.PHASE.value
+    # -- derived views -----------------------------------------------
+    @property
+    def real(self) -> np.ndarray:
+        return self.x.real
 
+    @property
+    def imag(self) -> np.ndarray:
+        return self.x.imag
 
-class ZFields(ImmittanceFields):
-    FREQUENCY = "freq"
-    REAL = "z_re"
-    IMAG = "z_im"
-    MODULUS = "z_mod"
-    PHASE = "z_phase"
-    TIME = "time"
+    @property
+    def modulus(self) -> np.ndarray:
+        return np.abs(self.x)
 
+    @property
+    def phase(self) -> np.ndarray:
+        """Phase angle in degrees."""
+        return np.angle(self.x, deg=True)
 
-class YFields(ImmittanceFields):
-    FREQUENCY = "freq"
-    REAL = "y_re"
-    IMAG = "y_im"
-    MODULUS = "y_mod"
-    PHASE = "y_phase"
-    TIME = "time"
+    def cartesian(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.real, self.imag
 
+    def polar(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.modulus, self.phase
 
-class ChronoFields(StrEnum):
-    TIME = "time"
-    CURRENT = "i"
-    VOLTAGE = "v"
-
-
-class BaseData:
-    fields: List[str]
-
-    def __init__(self, time=None, timestamp: Optional[datetime] = None,
-                 raw_data: Optional[pd.DataFrame] = None):
-        self.time = time
-        self.timestamp = timestamp
-        self.raw_data = raw_data
-
-    def as_tuple(self):
-        return tuple(getattr(self, f) for f in self.fields)
-
-    def as_array(self):
-        return np.array(self.as_tuple()).T
-
-    def as_dataframe(self):
-        return pd.DataFrame.from_dict(dict(zip(self.fields, self.as_tuple())))
+    @property
+    def fx(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(frequencies, immittance) tuple for fitting."""
+        return self.freq, self.x
 
     @property
     def timestamps(self):
-        if self.time is not None and self.timestamp is not None:
-            return self.timestamp + self.time
-        return None
+        if self.time is None or self.timestamp is None:
+            return None
+        return self.timestamp + self.time
 
+    # -- conversion ----------------------------------------------------
+    def as_dataframe(self) -> pd.DataFrame:
+        cols = self._cols()
+        out = {cols["freq"]: self.freq, cols["real"]: self.real,
+               cols["imag"]: self.imag}
+        if self.time is not None:
+            out[cols["time"]] = self.time
+        return pd.DataFrame(out)
 
-class ImmittanceData(BaseData):
-    field_enum = ImmittanceFields
+    def as_generic_dataframe(self) -> pd.DataFrame:
+        out = {"freq": self.freq, "real": self.real, "imag": self.imag,
+               "modulus": self.modulus, "phase": self.phase}
+        if self.time is not None:
+            out["time"] = self.time
+        return pd.DataFrame(out)
 
-    def __init__(self, freq, x, time=None, timestamp=None, raw_data=None):
-        self.freq = np.asarray(freq)
-        self._x = np.asarray(x)
-        super().__init__(time=time, timestamp=timestamp, raw_data=raw_data)
-
-    @property
-    def fx(self):
-        """(frequencies, immittance) tuple for fitting."""
-        return self.freq, self._x
-
-    @property
-    def fields(self):
-        return [f.value for f in self.field_enum if hasattr(self, f.value)]
-
-    @property
-    def real(self):
-        return self._x.real
-
-    @property
-    def imag(self):
-        return self._x.imag
-
-    @property
-    def modulus(self):
-        return np.abs(self._x)
-
-    @property
-    def phase(self):
-        return np.angle(self._x, deg=True)
-
-    def polar(self):
-        return self.modulus, self.phase
-
-    def cartesian(self):
-        return self.real, self.imag
-
-    def as_generic_dataframe(self):
-        data = {}
-        for key in ("freq", "real", "imag", "modulus", "phase", "time"):
-            val = getattr(self, key, None)
-            if val is not None:
-                data[key] = val
-        return pd.DataFrame.from_dict(data)
-
-    def trim_freq(self, f_min=None, f_max=None):
-        f_min = -np.inf if f_min is None else f_min
-        f_max = np.inf if f_max is None else f_max
-        mask = (self.freq >= f_min) & (self.freq <= f_max)
-        time_input = self.time[mask] if self.time is not None else None
-        return self.__class__(self.freq[mask], self._x[mask], time=time_input,
-                              timestamp=self.timestamp)
+    def as_tuple(self):
+        return self.fx
 
     @classmethod
     def from_dataframe(cls, data: pd.DataFrame, timestamp=None):
-        try:
-            freq = data[cls.field_enum.FREQUENCY.value].values
-        except KeyError:
-            raise ValueError(f"Data must contain column {cls.field_enum.FREQUENCY.value}")
-        cart = cls.field_enum.cartesian_fields()
-        pol = cls.field_enum.polar_fields()
-        if all(c in data.columns for c in cart):
-            x = data[cart[0]].values + 1j * data[cart[1]].values
-        elif all(c in data.columns for c in pol):
-            phase = np.pi * data[pol[1]].values / 180
-            x = data[pol[0]].values * (np.cos(phase) + 1j * np.sin(phase))
+        cols = cls._cols()
+        freq = _column(data, cols["freq"])
+        if cols["real"] in data.columns and cols["imag"] in data.columns:
+            x = data[cols["real"]].to_numpy() + 1j * data[cols["imag"]].to_numpy()
+        elif cols["modulus"] in data.columns and cols["phase"] in data.columns:
+            x = (data[cols["modulus"]].to_numpy()
+                 * np.exp(1j * np.deg2rad(data[cols["phase"]].to_numpy())))
         else:
-            raise ValueError(f"Data must contain columns {cart} or {pol}")
-        time = data[cls.field_enum.TIME.value].values \
-            if cls.field_enum.TIME.value in data.columns else None
+            raise ValueError(
+                f"Data must contain columns ({cols['real']}, {cols['imag']}) "
+                f"or ({cols['modulus']}, {cols['phase']})")
+        time = (data[cols["time"]].to_numpy()
+                if cols["time"] in data.columns else None)
         return cls(freq, x, time=time, timestamp=timestamp, raw_data=data)
 
+    # -- operations ----------------------------------------------------
+    def trim_freq(self, f_min=None, f_max=None):
+        lo = -np.inf if f_min is None else f_min
+        hi = np.inf if f_max is None else f_max
+        keep = (self.freq >= lo) & (self.freq <= hi)
+        return replace(self, freq=self.freq[keep], x=self.x[keep],
+                       time=None if self.time is None else self.time[keep],
+                       raw_data=None)
+
     def invert(self):
-        """Z <-> Y conversion."""
-        new_cls = YData if isinstance(self, ZData) else ZData
-        return new_cls(self.freq, 1 / self._x, time=self.time, timestamp=self.timestamp)
+        """Impedance <-> admittance."""
+        other = YData if isinstance(self, ZData) else ZData
+        return other(self.freq, 1 / self.x, time=self.time,
+                     timestamp=self.timestamp)
 
 
+@dataclass
 class ZData(ImmittanceData):
-    field_enum = ZFields
+    prefix: ClassVar[str] = "z"
 
     @property
     def z(self):
-        return self._x
+        return self.x
 
-    @property
-    def z_re(self):
-        return self.real
-
-    @property
-    def z_im(self):
-        return self.imag
-
-    @property
-    def z_mod(self):
-        return self.modulus
-
-    @property
-    def z_phase(self):
-        return self.phase
+    z_re = ImmittanceData.real
+    z_im = ImmittanceData.imag
+    z_mod = ImmittanceData.modulus
+    z_phase = ImmittanceData.phase
 
 
+@dataclass
 class YData(ImmittanceData):
-    field_enum = YFields
+    prefix: ClassVar[str] = "y"
 
     @property
     def y(self):
-        return self._x
+        return self.x
+
+    y_re = ImmittanceData.real
+    y_im = ImmittanceData.imag
+    y_mod = ImmittanceData.modulus
+    y_phase = ImmittanceData.phase
+
+
+@dataclass
+class ChronoData:
+    """Time-domain record: time, current, voltage."""
+    time: np.ndarray
+    i: np.ndarray
+    v: np.ndarray
+    timestamp: Optional[datetime] = None
+    raw_data: Optional[pd.DataFrame] = None
+
+    columns: ClassVar[Tuple[str, str, str]] = ("time", "i", "v")
+
+    def __post_init__(self):
+        self.time = np.asarray(self.time)
+        self.i = np.asarray(self.i)
+        self.v = np.asarray(self.v)
 
     @property
-    def y_re(self):
-        return self.real
-
-    @property
-    def y_im(self):
-        return self.imag
-
-    @property
-    def y_mod(self):
-        return self.modulus
-
-    @property
-    def y_phase(self):
-        return self.phase
-
-
-class ChronoData(BaseData):
-    """Chrono/IV time-series data."""
-    field_enum = ChronoFields
-
-    def __init__(self, time, i, v, timestamp=None, raw_data=None):
-        self.i = np.asarray(i)
-        self.v = np.asarray(v)
-        super().__init__(time=np.asarray(time), timestamp=timestamp, raw_data=raw_data)
-
-    @property
-    def fields(self):
-        return [f.value for f in self.field_enum]
-
-    @property
-    def tiv(self):
+    def tiv(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(time, current, voltage) tuple for fitting."""
         return self.time, self.i, self.v
 
-    def trim_time(self, t_min=None, t_max=None):
-        t_min = -np.inf if t_min is None else t_min
-        t_max = np.inf if t_max is None else t_max
-        mask = (self.time >= t_min) & (self.time <= t_max)
-        return ChronoData(self.time[mask], self.i[mask], self.v[mask],
-                          timestamp=self.timestamp)
+    @property
+    def timestamps(self):
+        if self.timestamp is None:
+            return None
+        return self.timestamp + self.time
+
+    def as_tuple(self):
+        return self.tiv
+
+    def as_dataframe(self) -> pd.DataFrame:
+        return pd.DataFrame(dict(zip(self.columns, self.tiv)))
 
     @classmethod
     def from_dataframe(cls, data: pd.DataFrame, timestamp=None):
-        try:
-            time = data[cls.field_enum.TIME.value].values
-            i = data[cls.field_enum.CURRENT.value].values
-            v = data[cls.field_enum.VOLTAGE.value].values
-        except KeyError as e:
-            raise ValueError(f"Data must contain column {e.args[0]}")
-        return cls(time, i, v, timestamp=timestamp, raw_data=data)
+        t, i, v = (_column(data, c) for c in cls.columns)
+        return cls(t, i, v, timestamp=timestamp, raw_data=data)
+
+    def trim_time(self, t_min=None, t_max=None):
+        lo = -np.inf if t_min is None else t_min
+        hi = np.inf if t_max is None else t_max
+        keep = (self.time >= lo) & (self.time <= hi)
+        return ChronoData(self.time[keep], self.i[keep], self.v[keep],
+                          timestamp=self.timestamp)
