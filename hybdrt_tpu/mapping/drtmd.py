@@ -332,64 +332,109 @@ class DRTMD:
             self.fit_observations(fit_index, print_interval, ignore_errors)
 
     def _fit_batched(self, fit_index, mesh=None, dtype=None):
-        """TPU fast path: one sharded vmapped fit over all observations —
-        EIS-only (BatchedEISFitter) or hybrid chrono+EIS on one shared
-        measurement protocol (BatchedHybridFitter)."""
-        import jax.numpy as jnp
-        from ..parallel.batch import BatchedEISFitter, BatchedHybridFitter
+        """TPU fast path: vmapped, mesh-sharded fits over all observations.
 
+        Observations are partitioned by data type (EIS / hybrid / chrono).
+        Groups that share one measurement grid use the shared-matrix fitters
+        (BatchedEISFitter / BatchedHybridFitter -- one design matrix for the
+        whole batch); heterogeneous groups (per-observation frequency grids,
+        chrono protocols, basis windows) run through the padded + masked
+        ragged fitter (hybdrt_tpu.parallel.ragged). The reference fits all of
+        these serially (reference drtmd.py:303-319)."""
         if len(fit_index) == 0:
             return
-        # Gather and classify the observations
-        freqs, zs, chronos = [], [], []
+        fit_index = np.asarray(fit_index)
+        chronos, eiss, types = [], [], []
         for i in fit_index:
             chrono_data, eis_data = self.get_obs_data(i)
-            if eis_data[0] is None:
-                raise ValueError("Batched fitting requires EIS data in every "
-                                 "observation (EIS-only or hybrid)")
-            freqs.append(np.asarray(eis_data[0]))
-            zs.append(np.asarray(eis_data[1]))
+            has_c = chrono_data is not None and chrono_data[0] is not None
+            has_e = eis_data is not None and eis_data[0] is not None
+            if not (has_c or has_e):
+                raise ValueError(f"Observation {i} has no data")
             chronos.append(chrono_data)
-        f0 = freqs[0]
-        for f in freqs[1:]:
-            if len(f) != len(f0) or not np.allclose(f, f0):
-                raise ValueError("Batched fitting requires a shared frequency grid")
-        z_batch = np.stack(zs)
+            eiss.append(eis_data)
+            types.append("hybrid" if (has_c and has_e)
+                         else ("eis" if has_e else "chrono"))
+        types = np.array(types)
 
-        is_hybrid = chronos[0][0] is not None
-        if any((c[0] is not None) != is_hybrid for c in chronos):
-            raise ValueError("Batched fitting requires all observations to be "
-                             "the same type (all EIS-only or all hybrid)")
         if self.fit_type == "pfrt":
-            if is_hybrid:
+            if not np.all(types == "eis"):
                 raise ValueError("Batched pfrt fitting supports EIS-only "
                                  "observations")
+            f0 = np.asarray(eiss[0][0])
+            if any(len(np.asarray(e[0])) != len(f0)
+                   or not np.allclose(e[0], f0) for e in eiss[1:]):
+                raise ValueError("Batched pfrt fitting requires a shared "
+                                 "frequency grid")
+            z_batch = np.stack([np.asarray(e[1]) for e in eiss])
             return self._fit_batched_pfrt(fit_index, f0, z_batch, mesh=mesh,
                                           dtype=dtype)
 
-        if is_hybrid:
-            t0 = np.asarray(chronos[0][0])
-            i0 = np.asarray(chronos[0][1])
-            for c in chronos[1:]:
-                if len(np.asarray(c[0])) != len(t0) or not np.allclose(c[0], t0)                         or not np.allclose(c[1], i0):
-                    raise ValueError("Batched hybrid fitting requires one shared "
-                                     "time grid and input protocol")
-            v_batch = np.stack([np.asarray(c[2]) for c in chronos])
-            fitter = BatchedHybridFitter(
-                t0, i0, f0, tau_supergrid=self.tau_supergrid,
-                fit_ohmic=self.fit_ohmic, fit_inductance=self.fit_inductance,
-                nonneg=self.fit_kw.get("nonneg", True),
-                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh)
-            result = fitter.fit(v_batch, z_batch)
-        else:
-            fitter = BatchedEISFitter(
-                f0, tau_supergrid=self.tau_supergrid, fit_ohmic=self.fit_ohmic,
-                fit_inductance=self.fit_inductance, fit_capacitance=self.fit_capacitance,
-                fit_dop=self.fit_dop, nonneg=self.fit_kw.get("nonneg", True),
-                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh)
-            result = fitter.fit(z_batch)
-        self._batch_fitter = fitter
+        for type_name in ("eis", "hybrid", "chrono"):
+            sel = types == type_name
+            if not sel.any():
+                continue
+            idx = fit_index[sel]
+            sub_c = [c for c, s in zip(chronos, sel) if s]
+            sub_e = [e for e, s in zip(eiss, sel) if s]
+            if type_name == "eis" and self._eis_grid_uniform(sub_e):
+                self._fit_batched_eis_uniform(idx, sub_e, mesh=mesh, dtype=dtype)
+            elif type_name == "hybrid" and self._hybrid_protocol_uniform(sub_c, sub_e):
+                self._fit_batched_hybrid_uniform(idx, sub_c, sub_e, mesh=mesh,
+                                                 dtype=dtype)
+            else:
+                self._fit_batched_ragged(idx, sub_c, sub_e, mesh=mesh, dtype=dtype)
 
+    @staticmethod
+    def _eis_grid_uniform(eiss):
+        f0 = np.asarray(eiss[0][0])
+        return all(len(np.asarray(e[0])) == len(f0) and np.allclose(e[0], f0)
+                   for e in eiss[1:])
+
+    @staticmethod
+    def _hybrid_protocol_uniform(chronos, eiss):
+        if not DRTMD._eis_grid_uniform(eiss):
+            return False
+        t0 = np.asarray(chronos[0][0])
+        i0 = np.asarray(chronos[0][1])
+        return all(len(np.asarray(c[0])) == len(t0) and np.allclose(c[0], t0)
+                   and np.allclose(c[1], i0) for c in chronos[1:])
+
+    def _fit_batched_eis_uniform(self, fit_index, eiss, mesh=None, dtype=None):
+        import jax.numpy as jnp
+        from ..parallel.batch import BatchedEISFitter
+        f0 = np.asarray(eiss[0][0])
+        z_batch = np.stack([np.asarray(e[1]) for e in eiss])
+        fitter = BatchedEISFitter(
+            f0, tau_supergrid=self.tau_supergrid, fit_ohmic=self.fit_ohmic,
+            fit_inductance=self.fit_inductance, fit_capacitance=self.fit_capacitance,
+            fit_dop=self.fit_dop, nonneg=self.fit_kw.get("nonneg", True),
+            dtype=dtype if dtype is not None else jnp.float64, mesh=mesh)
+        result = fitter.fit(z_batch)
+        self._batch_fitter = fitter
+        self._store_uniform_result(fit_index, fitter, result, z_batch,
+                                   is_hybrid=False)
+
+    def _fit_batched_hybrid_uniform(self, fit_index, chronos, eiss, mesh=None,
+                                    dtype=None):
+        import jax.numpy as jnp
+        from ..parallel.batch import BatchedHybridFitter
+        f0 = np.asarray(eiss[0][0])
+        z_batch = np.stack([np.asarray(e[1]) for e in eiss])
+        t0 = np.asarray(chronos[0][0])
+        i0 = np.asarray(chronos[0][1])
+        v_batch = np.stack([np.asarray(c[2]) for c in chronos])
+        fitter = BatchedHybridFitter(
+            t0, i0, f0, tau_supergrid=self.tau_supergrid,
+            fit_ohmic=self.fit_ohmic, fit_inductance=self.fit_inductance,
+            nonneg=self.fit_kw.get("nonneg", True),
+            dtype=dtype if dtype is not None else jnp.float64, mesh=mesh)
+        result = fitter.fit(v_batch, z_batch)
+        self._batch_fitter = fitter
+        self._store_uniform_result(fit_index, fitter, result, z_batch,
+                                   is_hybrid=True)
+
+    def _store_uniform_result(self, fit_index, fitter, result, z_batch, is_hybrid):
         # Locate the shared basis window on the supergrid
         left_index = nearest_index(self.tau_supergrid, fitter.basis_tau[0])
         right_index = nearest_index(self.tau_supergrid, fitter.basis_tau[-1]) + 1
@@ -424,6 +469,73 @@ class DRTMD:
             z_hat = fitter.predict_z(result)
             resid = np.abs(z_hat - z_batch)
             self.obs_rss[fit_index] = np.sum(resid ** 2, axis=1)
+
+    def _fit_batched_ragged(self, fit_index, chronos, eiss, mesh=None, dtype=None):
+        """Heterogeneous batch: per-observation grids/protocols/windows padded
+        and masked into one vmapped fit (hybdrt_tpu.parallel.ragged)."""
+        import jax.numpy as jnp
+        from ..parallel.ragged import BatchedRaggedFitter
+        from ..solver import qphb as qphb_mod
+
+        fit_kw = {k: v for k, v in self.fit_kw.items() if k != "nonneg"}
+        fitter = BatchedRaggedFitter(
+            self.tau_supergrid, fit_ohmic=self.fit_ohmic,
+            fit_inductance=self.fit_inductance,
+            fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
+            nonneg=self.fit_kw.get("nonneg", True),
+            dtype=dtype if dtype is not None else jnp.float64, mesh=mesh,
+            step_model=self.step_model, chrono_mode=self.chrono_mode,
+            fixed_basis_nu=self.fixed_basis_nu, fit_kw=fit_kw)
+        observations = list(zip(chronos, eiss))
+        result = fitter.fit(observations)
+        self._ragged_fitter = fitter
+
+        if self.obs_special is None:
+            self.drt1d.special_qp_params = fitter.special_qp_params
+            self.initialize_obs_special()
+
+        ns = fitter.cfg.num_special
+        # Scaled-space weighted llh/rss from the padded batch arrays (the
+        # serial path stores drt1d.evaluate_llh()/evaluate_rss())
+        from scipy.special import gammaln as _gammaln
+        batch = fitter._last_batch
+        rzm_final = fitter.final_design_matrices(result)
+        y_hat = np.einsum("brn,bn->br", rzm_final, result.x_raw)
+        wr = result.weights * (y_hat - batch["rzv"]) * batch["row_mask"]
+        rss = np.sum(wr ** 2, axis=1)
+        n_data = batch["row_mask"].sum(axis=1)
+        alpha_n = 2.0 - 1 + n_data / 2
+        beta_n = 1.0 + 0.5 * rss
+        llh = (-alpha_n * np.log(beta_n) + _gammaln(alpha_n) - _gammaln(2.0)
+               + np.sum(batch["row_mask"] * np.log(np.maximum(result.weights, 1e-300)),
+                        axis=1))
+
+        for bi, i in enumerate(fit_index):
+            li, ri = result.tau_indices[bi]
+            w_i = ri - li
+            self.obs_x[i, li:ri] = result.x[bi][:w_i]
+            self.obs_tau_indices[i] = (li, ri)
+            if "R_inf" in self.obs_special:
+                self.obs_special["R_inf"][i] = result.r_inf[bi]
+            if "inductance" in self.obs_special:
+                self.obs_special["inductance"][i] = result.inductance[bi]
+            if "C_inv" in self.obs_special:
+                self.obs_special["C_inv"][i] = result.c_inv[bi]
+            if "x_dop" in self.obs_special and result.x_dop is not None:
+                self.obs_special["x_dop"][i] = result.x_dop[bi]
+            n_i = int(result.num_rows[bi])
+            self.obs_fit_attr[i] = {
+                "batched": True, "ragged": True,
+                "x_raw": result.x_raw[bi][:ns + w_i],
+                "scale": result.scale[bi],
+                "weights": result.weights[bi][:n_i],
+                "rho": result.rho[bi],
+                "s_vectors": result.s_vectors[bi][:, :ns + w_i],
+                "chrono_data": chronos[bi], "eis_data": eiss[bi],
+            }
+            self.obs_rss[i] = rss[bi]
+            self.obs_llh[i] = llh[bi]
+            self.obs_fit_status[i] = True
 
     def _fit_batched_pfrt(self, fit_index, f0, z_batch, mesh=None, dtype=None):
         """Batched PFRT sweep over all EIS observations: one vmapped
@@ -479,6 +591,8 @@ class DRTMD:
 
     def _rebuild_batched_fit(self, obs_index, attr):
         """Build a lightweight DRT carrying (P, q) from stored batched state."""
+        if attr.get("ragged"):
+            return self._rebuild_ragged_fit(obs_index, attr)
         if attr.get("pfrt"):
             # Batched pfrt stores the sweep arrays directly; covariance
             # reconstruction needs the per-step P matrices, which the
@@ -510,6 +624,70 @@ class DRTMD:
         drt.coefficient_scale = attr["scale"]
         drt.impedance_scale = attr["scale"]
         drt.fit_parameters = drt.extract_qphb_parameters(attr["x_raw"])
+        drt.fit_parameters["p_matrix"] = np.asarray(p_matrix)
+        drt.fit_parameters["q_vector"] = np.asarray(q_vector)
+        return drt
+
+    def _rebuild_ragged_fit(self, obs_index, attr):
+        """Build a DRT carrying (P, q) for a ragged-batched observation by
+        re-assembling its (cheap, host-side) QP system and combining it with
+        the stored final weights/hyperparameters."""
+        import jax.numpy as jnp
+        from ..solver import qphb as qphb_mod
+        from ..models.drt import _hypers_to_pytree
+        from ..parallel.ragged import BatchedRaggedFitter
+
+        fitter = getattr(self, "_ragged_fitter", None)
+        if fitter is None:
+            fit_kw = {k: v for k, v in self.fit_kw.items() if k != "nonneg"}
+            fitter = BatchedRaggedFitter(
+                self.tau_supergrid, fit_ohmic=self.fit_ohmic,
+                fit_inductance=self.fit_inductance,
+                fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
+                nonneg=self.fit_kw.get("nonneg", True),
+                step_model=self.step_model, chrono_mode=self.chrono_mode,
+                fixed_basis_nu=self.fixed_basis_nu, fit_kw=fit_kw)
+            self._ragged_fitter = fitter
+        sys_ = fitter._prep_obs(attr["chrono_data"], attr["eis_data"])
+
+        x_raw = np.asarray(attr["x_raw"])
+        rzm = np.asarray(sys_["rzm"]).copy()
+        if sys_["vz_offset"]:
+            nc = sys_["num_chrono"]
+            sign = np.ones(rzm.shape[0])
+            sign[nc:] = -1.0
+            rzm[:, sys_["vz_index"]] = ((sys_["rzm_vz"] @ x_raw) * sign
+                                        * sys_["vz_strength_vec"])
+        hyp = _hypers_to_pytree(sys_["hypers"])
+        p_matrix, q_vector = qphb_mod.calculate_pq(
+            jnp.asarray(rzm), jnp.asarray(sys_["rzv"]),
+            jnp.asarray(sys_["m_stack"]), hyp,
+            jnp.asarray(sys_["l1_lambda_vector"]), jnp.asarray(attr["rho"]),
+            jnp.ones(3), jnp.asarray(attr["s_vectors"]),
+            jnp.asarray(attr["weights"]), sys_["cfg"])
+
+        drt = DRT(interpolate_integrals=False, tau_supergrid=self.tau_supergrid,
+                  tau_basis_type=self.tau_basis_type,
+                  fit_inductance=self.fit_inductance, fit_ohmic=self.fit_ohmic,
+                  fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
+                  fixed_basis_nu=self.fixed_basis_nu,
+                  step_model=self.step_model, chrono_mode=self.chrono_mode,
+                  warn=False)
+        drt.interpolate_lookups = self.drt1d.interpolate_lookups
+        drt.integrate_method = "interp"
+        drt.basis_tau = sys_["basis_tau"]
+        drt.tau_epsilon = self.tau_epsilon
+        drt.special_qp_params = sys_["special_qp_params"]
+        drt.coefficient_scale = attr["scale"]
+        drt.impedance_scale = sys_["impedance_scale"]
+        drt.input_signal_scale = sys_["input_signal_scale"]
+        drt.response_signal_scale = sys_["response_signal_scale"]
+        drt.inductance_scale = sys_["inductance_scale"]
+        drt.capacitance_scale = sys_["capacitance_scale"]
+        drt.dop_scale_vector = sys_["dop_scale_vector"]
+        drt.v_baseline_scale = sys_["v_baseline_scale"]
+        drt.scaled_response_offset = sys_["scaled_response_offset"] or 0.0
+        drt.fit_parameters = drt.extract_qphb_parameters(x_raw)
         drt.fit_parameters["p_matrix"] = np.asarray(p_matrix)
         drt.fit_parameters["q_vector"] = np.asarray(q_vector)
         return drt

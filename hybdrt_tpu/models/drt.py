@@ -691,7 +691,7 @@ class DRT:
                        hybrid_weight_factor_method=None,
                        eff_hp=True, weight_factor=1,
                        xtol=1e-2, max_iter=50, jit_loop=True, store_history=False,
-                       **kw):
+                       prep_only=False, **kw):
         validation.check_chrono_data(times, i_signal, v_signal)
         validation.check_eis_data(frequencies, z)
         for err_struct in (chrono_error_structure, eis_error_structure):
@@ -1054,6 +1054,43 @@ class DRT:
             vmm = np.zeros((len(rzv), len(rzv)))
             vmm[:num_chrono, :num_chrono] = chrono_vmm
             vmm[num_chrono:, num_chrono:] = eis_vmm
+
+        # Prep-only exit for the ragged batch fitter: return the fully
+        # assembled per-observation QP system (exactly what the serial fit
+        # would solve) without running weight init or the outer loop. Used by
+        # hybdrt_tpu.parallel.ragged to pad/mask heterogeneous observations
+        # into one vmapped computation.
+        if prep_only:
+            return {
+                "rzm": rzm, "rzv": rzv, "vmm": vmm, "m_stack": m_stack,
+                "l1_lambda_vector": l1_lambda_vector, "lb": lb,
+                "s_vectors": s_vectors, "rho_vector": rho_vector,
+                "dop_rho_vector": dop_rho_vector, "cfg": cfg,
+                "rzm_vz": rzm_vz, "vz_strength_vec": vz_strength_vec,
+                "vz_offset": bool(vz_offset and data_type == "hybrid"),
+                "vz_index": self.special_qp_params.get("vz_offset", {}).get("index", -1),
+                "data_type": data_type, "num_chrono": num_chrono,
+                "num_eis": num_eis, "hypers": qphb_hypers,
+                "outlier_p": qphb_hypers.get("outlier_p"),
+                "basis_tau": np.asarray(self.basis_tau),
+                "special_qp_params": dict(self.special_qp_params),
+                "coefficient_scale": self.coefficient_scale,
+                "input_signal_scale": getattr(self, "input_signal_scale", None),
+                "response_signal_scale": getattr(self, "response_signal_scale", None),
+                "impedance_scale": self.impedance_scale,
+                "v_baseline_scale": getattr(self, "v_baseline_scale", None),
+                "dop_scale_vector": self.dop_scale_vector,
+                "inductance_scale": inductance_scale,
+                "capacitance_scale": capacitance_scale,
+                "sample_times": sample_times,
+                "frequencies": frequencies,
+                "hybrid_weight_factor_method": hybrid_weight_factor_method,
+                "eis_weight_factor": eis_weight_factor,
+                "chrono_weight_factor": chrono_weight_factor,
+                "weight_factor": weight_factor,
+                "iw_l1_lambda_0": iw_l1_lambda_0, "iw_l2_lambda_0": iw_l2_lambda_0,
+                "scaled_response_offset": getattr(self, "scaled_response_offset", None),
+            }
 
         # ---------------- Weight initialization (reference drt1d.py:638-815)
         iw_hypers = dict(qphb_hypers)
@@ -1736,7 +1773,13 @@ class DRT:
     def estimate_param_cov(self, p_matrix=None):
         """Covariance = P^-1 with coefficient rescaling (reference drt1d.py:4116)."""
         if p_matrix is None:
-            p_matrix = self.qphb_params["p_matrix"]
+            if self.qphb_params is not None:
+                p_matrix = self.qphb_params["p_matrix"]
+            else:
+                # Rebuilt batched/ragged fits carry (P, q) in fit_parameters
+                p_matrix = self.fit_parameters.get("p_matrix")
+            if p_matrix is None:
+                raise ValueError("No P matrix available; fit first or pass p_matrix")
         p_inv = np.asarray(mat1d.invert_psd(jnp.asarray(p_matrix), use_cholesky=True))
         if p_inv is None:
             return None

@@ -49,12 +49,17 @@ class FitCarry(NamedTuple):
 
 def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,
                rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
-               weight_factor, hyp, fcfg: FitConfig, nl_cross=None, rm_bkg=None):
+               weight_factor, hyp, fcfg: FitConfig, nl_cross=None, rm_bkg=None,
+               col_mask=None, var_floor=None, row_factors=None, vz_sign=None):
     st, rzm = carry
     nc = fcfg.num_chrono
 
     weights = st.weights
-    if fcfg.data_type == "hybrid":
+    if row_factors is not None:
+        # Ragged batches: per-row chrono/EIS weight factors precomputed per
+        # observation (row counts are data, not static)
+        weights = weights * row_factors
+    elif fcfg.data_type == "hybrid":
         factors = jnp.concatenate([
             jnp.full((nc,), 1.0) * chrono_weight_factor,
             jnp.full((rzv.shape[0] - nc,), 1.0) * eis_weight_factor,
@@ -73,7 +78,8 @@ def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weight
                                   x_rtol=fcfg.x_rtol, max_hp_iter=fcfg.max_hp_iter,
                                   qp_max_iter=fcfg.qp_max_iter,
                                   qp_max_iter_warm=fcfg.qp_max_iter_warm,
-                                  nl_cross=nl_cross)
+                                  nl_cross=nl_cross, col_mask=col_mask,
+                                  var_floor=var_floor)
 
     # Normalize rho update scale to the iteration-0 ridge solution
     # (reference drt1d.py:946-962)
@@ -112,7 +118,11 @@ def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weight
     # (reference drt1d.py:972-979)
     if fcfg.data_type == "hybrid" and fcfg.vz_offset:
         y_hat = rzm_vz @ st_new.x
-        vz_sep = y_hat.at[nc:].multiply(-1.0)
+        if vz_sign is not None:
+            # Ragged batches: +1 on chrono rows, -1 on EIS rows, per obs
+            vz_sep = y_hat * vz_sign
+        else:
+            vz_sep = y_hat.at[nc:].multiply(-1.0)
         rzm = rzm.at[:, fcfg.vz_index].set(vz_sep * vz_strength_vec)
 
     return FitCarry(state=st_new, rzm=rzm)
@@ -122,7 +132,8 @@ def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weight
 def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
                   x0, s0, rho0, dop_rho0, init_weights, est_weights, outlier_t0,
                   rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
-                  weight_factor, fcfg: FitConfig, nl_cross=None, rm_bkg=None):
+                  weight_factor, fcfg: FitConfig, nl_cross=None, rm_bkg=None,
+                  col_mask=None, var_floor=None, row_factors=None, vz_sign=None):
     """Run the full QPHB outer loop; returns (final_state, final_rzm)."""
     k = fcfg.cfg.k_range
     state0 = QPHBState(
@@ -138,7 +149,9 @@ def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
     def body(carry):
         return _loop_body(carry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,
                           rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
-                          weight_factor, hyp, fcfg, nl_cross=nl_cross, rm_bkg=rm_bkg)
+                          weight_factor, hyp, fcfg, nl_cross=nl_cross, rm_bkg=rm_bkg,
+                          col_mask=col_mask, var_floor=var_floor,
+                          row_factors=row_factors, vz_sign=vz_sign)
 
     final = jax.lax.while_loop(cond, body, FitCarry(state=state0, rzm=rzm))
     return final.state, final.rzm
@@ -147,7 +160,8 @@ def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
 def qphb_fit_eager(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
                    x0, s0, rho0, dop_rho0, init_weights, est_weights, outlier_t0,
                    rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
-                   weight_factor, fcfg: FitConfig, nl_cross=None, rm_bkg=None):
+                   weight_factor, fcfg: FitConfig, nl_cross=None, rm_bkg=None,
+                   col_mask=None, var_floor=None, row_factors=None, vz_sign=None):
     """Python-driven variant collecting per-iteration history (diagnostics)."""
     k = fcfg.cfg.k_range
     state = QPHBState(
@@ -162,7 +176,9 @@ def qphb_fit_eager(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
     while int(carry.state.it) < fcfg.max_iter and not bool(carry.state.converged):
         carry = _loop_body(carry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,
                            rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
-                           weight_factor, hyp, fcfg, nl_cross=nl_cross, rm_bkg=rm_bkg)
+                           weight_factor, hyp, fcfg, nl_cross=nl_cross, rm_bkg=rm_bkg,
+                           col_mask=col_mask, var_floor=var_floor,
+                           row_factors=row_factors, vz_sign=vz_sign)
         st = carry.state
         history.append({
             "x": st.x, "s_vectors": st.s_vectors, "rho_vector": st.rho_vector,

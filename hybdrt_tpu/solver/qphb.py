@@ -58,12 +58,17 @@ class QPHBState(NamedTuple):
 # L2 (SMS) matrix assembly — reference qphb.py:53-130
 # ------------------------------------------------------------------
 def calculate_qp_l2_matrix(hyp, rho_vector, dop_rho_vector, m_stack, s_vectors, cfg: QPHBConfig,
-                           nl_cross=None):
+                           nl_cross=None, col_mask=None):
     """l2 = sum_k S_k^1/2 M_k' S_k^1/2 with block scaling of M_k by
     l2_lambda_0 * w_k * rho_k (DRT block) / dop equivalents (DOP block).
 
     Cross-blocks of M_k are structurally zero, so block scaling reduces to an
     outer-product row/col scaling that fuses with the s-vector scaling.
+
+    col_mask (ragged batching): 1 for active parameter columns, 0 for padded
+    ones. Masked columns are decoupled from the penalty and pinned by a unit
+    diagonal, so with zeroed design columns and l1 entries the QP solution is
+    exactly 0 there and the active block matches the unpadded problem.
     """
     n = m_stack.shape[-1]
     dw = hyp["derivative_weights"]
@@ -91,11 +96,15 @@ def calculate_qp_l2_matrix(hyp, rho_vector, dop_rho_vector, m_stack, s_vectors, 
         else:
             dop_factor = 0.0
         scale_vec = special_mask + drt_mask * d_factor + dop_mask * dop_factor
+        if col_mask is not None:
+            scale_vec = scale_vec * col_mask
         d_k = jnp.sqrt(s_vectors[k] * scale_vec)
         active = jnp.where(dw[k] > 0, 1.0, 0.0)
         l2_mat = l2_mat + active * (m_stack[k] * d_k[:, None] * d_k[None, :])
     if nl_cross is not None:
         l2_mat = l2_mat + nl_cross
+    if col_mask is not None:
+        l2_mat = l2_mat + jnp.diag(1.0 - col_mask)
     return l2_mat
 
 
@@ -152,11 +161,12 @@ def solve_rho(pm, x, sv, alpha, beta, xmx_norm):
 # ------------------------------------------------------------------
 def solve_outlier_t(vmm, resid, outlier_p):
     """Bernoulli outlier posterior: t = 1 - P(outlier)."""
-    s_bar = vmm @ resid ** 2
+    tiny = jnp.asarray(1e-150, dtype=resid.dtype)
+    s_bar = jnp.maximum(vmm @ resid ** 2, tiny ** 2)
     sqrt2pi = jnp.sqrt(2 * jnp.pi)
     sd_in = jnp.sqrt(s_bar)
     pdf_in = jnp.exp(-0.5 * resid ** 2 / s_bar) / (sd_in * sqrt2pi)
-    abs_r = jnp.abs(resid)
+    abs_r = jnp.maximum(jnp.abs(resid), tiny)
     pdf_out = jnp.exp(-0.5) / (abs_r * sqrt2pi)
     t_out = 1 - outlier_p * pdf_out / ((1 - outlier_p) * pdf_in + outlier_p * pdf_out)
     return jnp.where(sd_in > abs_r, 1.0, t_out)
@@ -210,15 +220,24 @@ def estimate_weights(x, y, vmm, rm, est_weights=None, outlier_p=None, var_floor=
 
 
 def initialize_weights(iw_hyp, m_stack, rho_vector, dop_rho_vector, s_vectors, rv, rm, vmm,
-                       lb, cfg: QPHBConfig, outlier_p=None, nl_cross=None):
+                       lb, cfg: QPHBConfig, outlier_p=None, nl_cross=None,
+                       col_mask=None, var_floor=None):
     """Overfit-ridge solve -> residual variance -> initial weights
     (reference qphb.py:1609-1681). iw_hyp carries the overfit lambda values.
+
+    col_mask / var_floor support padded (ragged-batch) systems: see
+    calculate_qp_l2_matrix; var_floor should be the unpadded data variance
+    * 1e-7 so padded zero rows do not dilute the default jnp.var(rv).
 
     Returns (est_weights, init_weights, x_overfit, outlier_t).
     """
     l2_matrix = calculate_qp_l2_matrix(iw_hyp, rho_vector, dop_rho_vector, m_stack, s_vectors, cfg,
-                                       nl_cross=nl_cross)
+                                       nl_cross=nl_cross, col_mask=col_mask)
     l1_0 = iw_hyp["l1_lambda_0"]
+    if col_mask is not None:
+        # Padded columns: positive linear cost with lb=0 makes the pinned
+        # solution strictly complementary (x=0, z=1) instead of degenerate
+        l1_0 = l1_0 * col_mask + (1.0 - col_mask)
 
     if outlier_p is not None:
         est_weights = jnp.ones(vmm.shape[0], dtype=rv.dtype)
@@ -240,13 +259,15 @@ def initialize_weights(iw_hyp, m_stack, rho_vector, dop_rho_vector, s_vectors, r
                 vmm_eff = vmm_base
             for _ in range(2):
                 est_weights, outlier_t, tvt = estimate_weights(
-                    x_overfit, rv, vmm_eff, rm, est_weights=None, outlier_p=outlier_p)
+                    x_overfit, rv, vmm_eff, rm, est_weights=None, outlier_p=outlier_p,
+                    var_floor=var_floor)
     else:
         p_matrix = rm.T @ rm + l2_matrix
         q_vector = -rm.T @ rv + l1_0
         x_overfit = solve_qp_box(p_matrix, q_vector, lb).x
         est_weights, outlier_t, _ = estimate_weights(x_overfit, rv, vmm, rm,
-                                                     est_weights=None, outlier_p=None)
+                                                     est_weights=None, outlier_p=None,
+                                                     var_floor=var_floor)
 
     iw_alpha = iw_hyp.get("iw_alpha")
     iw_beta = iw_hyp.get("iw_beta")
@@ -274,9 +295,9 @@ def estimate_x_rp(hyp, m_stack, rho_vector, dop_rho_vector, s_vectors, rv, rm, l
 # Posterior quantities — reference qphb.py:1154-1377
 # ------------------------------------------------------------------
 def calculate_pq(rm, rv, m_stack, hyp, l1_lambda_vector, rho_vector, dop_rho_vector,
-                 s_vectors, weights, cfg: QPHBConfig, nl_cross=None):
+                 s_vectors, weights, cfg: QPHBConfig, nl_cross=None, col_mask=None):
     l2_matrix = calculate_qp_l2_matrix(hyp, rho_vector, dop_rho_vector, m_stack, s_vectors, cfg,
-                                       nl_cross=nl_cross)
+                                       nl_cross=nl_cross, col_mask=col_mask)
     wrm = rm * weights[:, None]
     wrv = rv * weights
     p_matrix = l2_matrix + wrm.T @ wrm
@@ -290,20 +311,25 @@ def evaluate_rss(x_hat, rm, rv, weights):
 
 
 def evaluate_llh(x_hat, rm, rv, weights, marginalize_weights=True, alpha_0=2.0, beta_0=1.0,
-                 include_constants=False):
+                 include_constants=False, row_mask=None):
     """Gaussian log-likelihood, optionally with sigma^2 marginalized under an
-    inverse-gamma prior (reference qphb.py:1355-1377)."""
+    inverse-gamma prior (reference qphb.py:1355-1377). row_mask excludes
+    padded (ragged-batch) rows from the data count and weight terms."""
     rss = evaluate_rss(x_hat, rm, rv, weights)
+    n_data = rv.shape[0] if row_mask is None else jnp.sum(row_mask)
     if marginalize_weights:
-        alpha_n = alpha_0 - 1 + rv.shape[0] / 2
+        alpha_n = alpha_0 - 1 + n_data / 2
         beta_n = beta_0 + 0.5 * rss
         llh = alpha_0 * jnp.log(beta_0) - alpha_n * jnp.log(beta_n) \
             + gammaln(alpha_n) - gammaln(alpha_0)
     else:
         llh = -0.5 * rss
-    llh = llh + jnp.sum(jnp.log(weights))
+    logw = jnp.log(weights)
+    if row_mask is not None:
+        logw = logw * row_mask
+    llh = llh + jnp.sum(logw)
     if include_constants:
-        llh = llh - 0.5 * rv.shape[0] * jnp.log(2 * jnp.pi)
+        llh = llh - 0.5 * n_data * jnp.log(2 * jnp.pi)
     return llh
 
 
@@ -377,12 +403,16 @@ def is_converged(x_in, x_out, x_atol, x_rtol):
 def iterate_qphb(state: QPHBState, rv, rm, vmm, m_stack, m1_gmat_source, dop_gmat,
                  l1_lambda_vector, lb, est_weights, hyp, cfg: QPHBConfig,
                  x_rtol=1e-2, max_hp_iter=1, qp_max_iter=60, nl_cross=None,
-                 qp_max_iter_warm=None):
+                 qp_max_iter_warm=None, col_mask=None, var_floor=None):
     """One outer QPHB iteration: weighted QP for x, closed-form s/rho updates
     on the DRT (and DOP) blocks, then data-weight re-estimation.
 
     m1_gmat_source: the order-1 penalty matrix used to build the smoothing
     g-matrix for the order-0 s update (reference qphb.py:769-774).
+
+    col_mask / var_floor support padded (ragged-batch) systems; padded data
+    rows have zero design rows so they drop out of the QP, and padded
+    parameter columns are pinned to exactly 0 by the masked l2 matrix.
     """
     ns = cfg.num_special
     dw = hyp["derivative_weights"]
@@ -391,7 +421,8 @@ def iterate_qphb(state: QPHBState, rv, rm, vmm, m_stack, m1_gmat_source, dop_gma
     wrm = rm * state.weights[:, None]
     wrv = rv * state.weights
     l2_matrix = calculate_qp_l2_matrix(hyp, state.rho_vector, state.dop_rho_vector,
-                                       m_stack, state.s_vectors, cfg, nl_cross=nl_cross)
+                                       m_stack, state.s_vectors, cfg, nl_cross=nl_cross,
+                                       col_mask=col_mask)
     p_matrix = wrm.T @ wrm + l2_matrix
     q_vector = -wrm.T @ wrv + l1_lambda_vector
     # Warm-start the interior point from the previous iteration's primal/dual
@@ -412,6 +443,10 @@ def iterate_qphb(state: QPHBState, rv, rm, vmm, m_stack, m1_gmat_source, dop_gma
     else:
         qp_res = solve_qp_box(p_matrix, q_vector, lb, max_iter=qp_max_iter)
     x = qp_res.x
+    if col_mask is not None:
+        # Pin padded columns to exact zero so downstream updates and the
+        # relative convergence check see them as absent
+        x = x * col_mask
 
     s_vectors = state.s_vectors
     rho_vector = state.rho_vector
@@ -488,10 +523,14 @@ def iterate_qphb(state: QPHBState, rv, rm, vmm, m_stack, m1_gmat_source, dop_gma
     # Weight re-estimation
     outlier_p = hyp.get("outlier_p") if cfg.has_outlier else None
     weights, outlier_t, _ = estimate_weights(x, rv, vmm, rm, est_weights=est_weights,
-                                             outlier_p=outlier_p)
+                                             outlier_p=outlier_p, var_floor=var_floor)
 
-    # Convergence vs. input x
-    x_atol = jnp.mean(state.x) * 1e-3
+    # Convergence vs. input x (padded columns are identically zero in both
+    # iterates, so only the atol normalization needs the mask)
+    if col_mask is None:
+        x_atol = jnp.mean(state.x) * 1e-3
+    else:
+        x_atol = jnp.sum(state.x * col_mask) / jnp.sum(col_mask) * 1e-3
     converged = is_converged(state.x, x, x_atol, x_rtol)
 
     return QPHBState(x=x, s_vectors=s_vectors, rho_vector=rho_vector,

@@ -1,0 +1,186 @@
+"""Ragged-observation batching: heterogeneous grids/protocols/windows padded
+and masked into one vmapped fit must match the serial per-observation fits
+(reference fits these serially: hybdrt/mapping/drtmd.py:245-319)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import hybdrt_tpu
+from hybdrt_tpu.parallel.ragged import BatchedRaggedFitter
+from hybdrt_tpu.parallel.sharding import make_mesh
+
+TAU_SG = np.logspace(-8, 3, 111)  # 10 ppd supergrid
+
+
+def _zarc(f, r, tau0, a):
+    return r / (1 + (2j * np.pi * f * tau0) ** a)
+
+
+def _rc_v(t, ts, amp, r, tau0):
+    dt = t - ts
+    return amp * r * np.where(dt > 0, 1 - np.exp(-np.maximum(dt, 0) / tau0), 0.0)
+
+
+def _eis_obs(f, rng, tau1=1e-2, tau2=1e-1):
+    z = 0.4 + _zarc(f, 1.0, tau1, 0.85) + _zarc(f, 1.5, tau2, 0.9)
+    return z + 0.004 * rng.normal(size=len(f)) + 4e-3j * rng.normal(size=len(f))
+
+
+def _hybrid_obs(times, st, amp, f, rng):
+    r1, tau1, r2, tau2 = 1.0, 1e-2, 1.5, 1e-4
+    i_sig = np.where(times >= st, amp, 0.0)
+    v = (0.4 * i_sig + _rc_v(times, st, amp, r1, tau1)
+         + _rc_v(times, st, amp, r2, tau2))
+    v = v + 5e-4 * rng.normal(size=len(times))
+    z = 0.4 + _zarc(f, r1, tau1, 0.99) + _zarc(f, r2, tau2, 0.99)
+    z = z + 0.003 * rng.normal(size=len(f)) + 3e-3j * rng.normal(size=len(f))
+    return (times, i_sig, v), (f, z)
+
+
+def _serial_rel_err(res, k, drt):
+    xs = drt.fit_parameters["x"]
+    li, ri = res.tau_indices[k]
+    assert ri - li == len(xs)
+    return np.max(np.abs(res.x[k][:ri - li] - xs)) / max(1e-12, np.max(np.abs(xs)))
+
+
+def test_penalty_matrices_translation_invariant():
+    """The shared penalty stack is valid for every window: on the log-uniform
+    supergrid, a narrower window's penalty matrix is a leading slice of the
+    widest window's Toeplitz matrix."""
+    from hybdrt_tpu.ops import mat1d
+    eps = 1 / np.mean(np.diff(np.log(TAU_SG)))
+    wide = np.log(TAU_SG[2:104])
+    narrow = np.log(TAU_SG[22:74])
+    for order in range(3):
+        m_wide = np.asarray(mat1d.construct_integrated_derivative_matrix(
+            wide, order=order, epsilon=eps))
+        m_narrow = np.asarray(mat1d.construct_integrated_derivative_matrix(
+            narrow, order=order, epsilon=eps))
+        assert np.allclose(m_wide[:52, :52], m_narrow, rtol=1e-9, atol=1e-12)
+
+
+def test_ragged_eis_matches_serial():
+    """Three EIS observations with different frequency grids AND different
+    basis-window widths, fitted as one masked batch, match serial fits."""
+    rng = np.random.default_rng(0)
+    grids = [np.logspace(5, -1, 57), np.logspace(3, 0, 31), np.logspace(6, -2, 81)]
+    obs = [(None, (f, _eis_obs(f, rng))) for f in grids]
+
+    fitter = BatchedRaggedFitter(TAU_SG)
+    res = fitter.fit(obs)
+    widths = [r - l for l, r in res.tau_indices]
+    assert len(set(widths)) > 1  # genuinely ragged windows
+
+    for k, (_, (f, z)) in enumerate(obs):
+        drt = hybdrt_tpu.DRT(tau_supergrid=TAU_SG, warn=False)
+        drt.fit_eis(f, z)
+        rel = _serial_rel_err(res, k, drt)
+        assert rel < 1e-6, (k, rel)
+        assert abs(res.r_inf[k] - drt.fit_parameters["R_inf"]) < 1e-6
+        assert res.n_iter[k] == drt.qphb_params["n_iter"]
+        # padded tail of the coefficient block is exactly zero
+        li, ri = res.tau_indices[k]
+        assert np.all(res.x[k][ri - li:] == 0.0)
+
+
+def test_ragged_hybrid_matches_serial():
+    """Two hybrid observations with different time grids, step amplitudes, and
+    frequency grids match serial fit_hybrid."""
+    rng = np.random.default_rng(1)
+    protos = [
+        (np.concatenate([np.linspace(-0.05, -0.001, 10),
+                         np.geomspace(1e-4, 1.0, 80)]), 0.0, 0.1,
+         np.logspace(5, 1, 33)),
+        (np.concatenate([np.linspace(-0.02, -0.001, 6),
+                         np.geomspace(2e-4, 0.5, 60)]), 0.0, -0.08,
+         np.logspace(4, 0, 41)),
+    ]
+    obs = [_hybrid_obs(t, st, amp, f, rng) for (t, st, amp, f) in protos]
+
+    fitter = BatchedRaggedFitter(TAU_SG)
+    res = fitter.fit(obs)
+    for k, ((times, i_sig, v), (f, z)) in enumerate(obs):
+        drt = hybdrt_tpu.DRT(tau_supergrid=TAU_SG, warn=False)
+        drt.fit_hybrid(times, i_sig, v, f, z)
+        rel = _serial_rel_err(res, k, drt)
+        assert rel < 1e-6, (k, rel)
+        assert res.n_iter[k] == drt.qphb_params["n_iter"]
+
+
+def test_drtmd_mixed_types_and_grids_batched():
+    """DRTMD.fit_all(batched=True) accepts a map with mixed observation types
+    (EIS-only + hybrid) and per-observation grids, and matches serial fits."""
+    from hybdrt_tpu.mapping import DRTMD
+    rng = np.random.default_rng(2)
+
+    eis_grids = [np.logspace(5, -1, 45), np.logspace(4, 0, 37)]
+    eis_obs = [(None, (f, _eis_obs(f, rng))) for f in eis_grids]
+    hyb = [_hybrid_obs(np.concatenate([np.linspace(-0.05, -0.001, 8),
+                                       np.geomspace(1e-4, 0.8, 70)]),
+                       0.0, 0.1, np.logspace(5, 1, 29), rng),
+           _hybrid_obs(np.concatenate([np.linspace(-0.03, -0.001, 6),
+                                       np.geomspace(2e-4, 0.4, 55)]),
+                       0.0, -0.06, np.logspace(4, 0, 35), rng)]
+    all_obs = eis_obs + hyb
+
+    md = DRTMD(TAU_SG, psi_dim_names=["a"], print_progress=False)
+    md_serial = DRTMD(TAU_SG, psi_dim_names=["a"], print_progress=False)
+    for k, (c, e) in enumerate(all_obs):
+        md.add_observation([float(k)], c, e)
+        md_serial.add_observation([float(k)], c, e)
+
+    md.fit_all(batched=True)
+    md_serial.fit_all()
+
+    assert md.obs_fit_status.all()
+    # Tolerance note: padding changes XLA reduction orders at the last ulp,
+    # and for spectra with a coefficient sitting on the QP active-set
+    # classification knife-edge such a seed can flip one activation and shift
+    # the outer-loop trajectory by up to the convergence-tolerance scale
+    # (both trajectories are equally valid solver runs). Iterate parity is
+    # therefore asserted at the xtol scale here plus a solution-QUALITY
+    # equivalence (log-likelihoods agree); the strict <1e-6 machinery parity
+    # is established on non-knife-edge spectra by the tests above.
+    for k in range(len(all_obs)):
+        assert md.obs_tau_indices[k] == md_serial.obs_tau_indices[k]
+        denom = max(1e-12, np.max(np.abs(md_serial.obs_x[k])))
+        rel = np.max(np.abs(md.obs_x[k] - md_serial.obs_x[k])) / denom
+        assert rel < 2e-2, (k, rel)
+        assert abs(md.obs_special["R_inf"][k]
+                   - md_serial.obs_special["R_inf"][k]) < 1e-3
+        assert abs(md.obs_llh[k] - md_serial.obs_llh[k]) \
+            < 0.5 + 1e-3 * abs(md_serial.obs_llh[k]), k
+    assert np.all(np.isfinite(md.obs_llh[:len(all_obs)]))
+    assert np.all(md.obs_rss[:len(all_obs)] >= 0)
+
+    # get_fit reconstructs a usable DRT for a ragged observation
+    drt0 = md.get_fit(0)
+    f0, z0 = all_obs[0][1]
+    z_hat = drt0.predict_z(f0)
+    assert np.median(np.abs(z_hat - z0) / np.abs(z0)) < 0.05
+    cov = drt0.estimate_param_cov()
+    assert cov is not None and np.all(np.isfinite(np.diag(cov)))
+
+
+def test_ragged_multidevice_mesh():
+    """Ragged batch sharded over the 8-device CPU mesh matches the unsharded
+    result."""
+    rng = np.random.default_rng(3)
+    grids = [np.logspace(5, -1, 41), np.logspace(4, 0, 33),
+             np.logspace(5, 0, 37), np.logspace(3, -1, 29),
+             np.logspace(6, -1, 51)]
+    obs = [(None, (f, _eis_obs(f, rng))) for f in grids]
+
+    plain = BatchedRaggedFitter(TAU_SG, max_iter=12)
+    res_plain = plain.fit(obs)
+
+    mesh = make_mesh(jax.devices("cpu"))
+    sharded = BatchedRaggedFitter(TAU_SG, max_iter=12, mesh=mesh)
+    res_mesh = sharded.fit(obs)
+
+    assert res_mesh.x.shape[0] == len(obs)
+    for k in range(len(obs)):
+        assert np.allclose(res_mesh.x[k], res_plain.x[k], rtol=1e-8, atol=1e-10)
+        assert res_mesh.tau_indices[k] == res_plain.tau_indices[k]
