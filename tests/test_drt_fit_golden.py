@@ -231,3 +231,95 @@ def test_q_vector_with_golden_weights():
     rzv = drt.qphb_params["rv"]
     q_check = -(rzm * w_golden[:, None]).T @ (rzv * w_golden)
     assert np.allclose(q_check, expected_result["q_vector"], rtol=1e-5)
+
+
+def test_solution_beats_golden_under_reference_criteria():
+    """Proof of optimality closing the golden-tolerance gap: our solution
+    achieves a strictly LOWER posterior objective than the golden x — not
+    only under our own final weights/hyperparameters but under the
+    REFERENCE'S own final weights (recovered from z_sigma_tot) and under
+    hyperparameters (s, rho) tuned to the golden x itself by the closed-form
+    updates. The residual 5e-4/2-3% disagreement with the golden values is
+    therefore the reference's convergence slack (cvxopt stops at a loose
+    interior iterate; our interior point + active-set polish lands on the
+    exact optimum), not a different answer.
+
+    (A direct cvxopt-tolerance emulation — relative duality gap 1e-6 without
+    polish — moves our fit by only ~3e-7 because the Jacobi equilibration in
+    solve_qp_box removes the cond~2e7 scaling that makes cvxopt's iterate
+    inaccurate; cvxopt's error is scaling-induced, so it cannot be reproduced
+    by loosening a well-scaled solver, only outperformed.)"""
+    import jax.numpy as jnp
+    from hybdrt_tpu.models.drt import _hypers_to_pytree
+    from hybdrt_tpu.solver import qphb as qphb_mod
+
+    freq, z_noisy, expected_result = _golden_data()
+    drt = DRT(fit_inductance=True, fit_capacitance=False, fit_dop=False,
+              fit_ohmic=True)
+    drt.fit_eis(freq, z_noisy, **HYPERS)
+
+    qp = drt.qphb_params
+    rzm, rzv = qp["rm"], qp["rv"]
+    cfg = qp["cfg"]
+    ns = cfg.num_special
+    sp = drt.special_qp_params
+    m_stack = np.stack([qp["penalty_matrices"][f"m{k}"] for k in range(3)])
+    hyp = _hypers_to_pytree(qp["hypers"])
+    scale = drt.coefficient_scale
+
+    x_ours = drt._raw_x()
+    x_gold = np.zeros_like(x_ours)
+    x_gold[ns:] = expected_result["x"] / scale
+    x_gold[sp["R_inf"]["index"]] = expected_result["R_inf"] / scale
+    x_gold[sp["inductance"]["index"]] = (expected_result["inductance"]
+                                         / (scale * drt.inductance_scale))
+    sig = expected_result["z_sigma_tot"]
+    w_gold = drt.impedance_scale / np.concatenate([sig.real, sig.imag])
+    w_ours = qp["weights"]
+
+    def objective(x, weights, s_vectors, rho):
+        l2 = np.asarray(qphb_mod.calculate_qp_l2_matrix(
+            hyp, jnp.asarray(rho), jnp.ones(3), jnp.asarray(m_stack),
+            jnp.asarray(s_vectors), cfg))
+        wr = weights * (rzm @ x - rzv)
+        return 0.5 * (wr @ wr) + 0.5 * x @ l2 @ x  # l1_lambda_0 = 0 here
+
+    def hp_update(x):
+        """One closed-form s/rho update pass at x (the loop's own updates)."""
+        s_vecs = np.stack([np.asarray(qp["s_vectors"][k]) for k in range(3)])
+        s_new = s_vecs.copy()
+        rho_new = np.array(qp["rho_vector"], dtype=float).copy()
+        x_drt = x[ns:]
+        hypers = qp["hypers"]
+        for k in range(3):
+            pm = m_stack[k][ns:, ns:]
+            s_a = hypers["s_alpha"][k]
+            s_b = (s_a - 1) / hypers["s_0"][k]
+            if k == 0:
+                sx = np.sign(x_drt) * np.sqrt(np.abs(x_drt))
+                g = m_stack[1][ns:, ns:] * sx[:, None] * sx[None, :]
+            else:
+                g = np.zeros_like(pm)
+            sv = np.asarray(qphb_mod.solve_s_integral(
+                jnp.asarray(pm), jnp.asarray(x_drt),
+                jnp.asarray(s_vecs[k][ns:]), 1.0, s_a, s_b, jnp.asarray(g),
+                hypers["sigma_ds"][k]))
+            s_new[k][ns:] = np.maximum(sv, 1e-15)
+            r_a = hypers["rho_alpha"][k]
+            r_b = r_a / hypers["rho_0"][k]
+            rho_new[k] = float(qphb_mod.solve_rho(
+                jnp.asarray(pm), jnp.asarray(x_drt),
+                jnp.asarray(s_new[k][ns:]), r_a, r_b, qp["xmx_norms"][k]))
+        return s_new, rho_new
+
+    s_ours = np.stack([np.asarray(qp["s_vectors"][k]) for k in range(3)])
+    rho_ours = np.asarray(qp["rho_vector"])
+    s_gold, rho_gold = hp_update(x_gold)
+
+    # Our x must be at least as good as the golden x in every combination of
+    # (reference/our weights) x (golden-tuned/our hyperparameters)
+    for w in (w_gold, w_ours):
+        for s_v, r_v in ((s_gold, rho_gold), (s_ours, rho_ours)):
+            f_ours = objective(x_ours, w, s_v, r_v)
+            f_gold = objective(x_gold, w, s_v, r_v)
+            assert f_ours <= f_gold + 1e-9 * abs(f_gold), (f_ours, f_gold)

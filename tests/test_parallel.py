@@ -179,3 +179,50 @@ def test_batched_pfrt_sweep_matches_single():
     llh_single = np.asarray(drt.pfrt_result["step_llh"])
     llh_batch = step_llh[0]
     assert np.argmax(llh_single) == np.argmax(llh_batch)
+
+
+def test_convergence_semantics_match_serial_across_spectrum_family():
+    """Convergence semantics vs the reference behavior: the convergence check
+    is formula-identical to the reference (qphb.py:597-604,969: rel-or-abs on
+    x with atol = mean(x)*1e-3), so batched and serial fits must agree on BOTH
+    iteration counts and converged flags across a family of spectra spanning
+    sharp (delta-like, beta->1) to dispersed relaxations. This pins the
+    bench's converged fraction to a per-spectrum property of the data rather
+    than a mis-tuned batched check — and the final assertion shows the
+    non-converged fits are benign limit cycles near a valid solution (the
+    reference's 'usually not an issue'), not divergence."""
+    freq = np.logspace(5, -1, 57)
+    betas = np.linspace(0.78, 1.0, 8)
+    rng = np.random.default_rng(11)
+    z_batch = np.stack([
+        0.5 + 1.5 / (1 + (2j * np.pi * freq * 1e-2) ** b)
+        + 0.003 * rng.normal(size=len(freq))
+        + 3e-3j * rng.normal(size=len(freq)) for b in betas])
+
+    fitter = BatchedEISFitter(freq)
+    result = fitter.fit(z_batch)
+
+    serial_conv, serial_iter = [], []
+    for z in z_batch:
+        drt = DRT(warn=False)
+        drt.fit_eis(freq, z)
+        serial_conv.append(drt.qphb_params["converged"])
+        serial_iter.append(drt.qphb_params["n_iter"])
+
+    assert list(result.converged) == serial_conv
+    assert list(result.n_iter) == serial_iter
+
+    conv = np.asarray(serial_conv)
+    if not conv.all():
+        # Non-converged fits are benign in DATA space: for delta-like spectra
+        # the spike keeps sharpening (coefficients shift mass between adjacent
+        # basis functions indefinitely — hence no x-convergence), but the
+        # impedance prediction is already settled. Tripling the iteration
+        # budget changes the predicted spectrum by no more than the noise
+        # level (sigma = 0.003 per component here).
+        k = int(np.where(~conv)[0][0])
+        drt_long = DRT(warn=False)
+        drt_long.fit_eis(freq, z_batch[k], max_iter=150)
+        z_long = drt_long.predict_z(freq)
+        z_short = fitter.predict_z(result)[k]
+        assert np.max(np.abs(z_long - z_short)) < 2 * 0.003 * np.sqrt(2)
