@@ -741,9 +741,15 @@ class DRTMD:
 
     def resolve_group(self, group_id, batch_size=7, overlap=2, psi_sort_dims=None,
                       psi_distance_dims=None, truncate=False, sigma=1, lambda_psi=1,
-                      tau_filter_sigma=0, special_filter_sigma=0):
+                      tau_filter_sigma=0, special_filter_sigma=0, batched=False,
+                      mesh=None):
         """Overlapping-batch joint refinement of a group
-        (reference drtmd.py:486-560)."""
+        (reference drtmd.py:486-560).
+
+        With batched=True all overlapping windows are assembled host-side and
+        their block QPs solved as ONE vmapped (optionally mesh-sharded)
+        computation (resolve.solve_resolve_batch) instead of the reference's
+        serial per-window loop."""
         obs_index = self.get_group_index(group_id)
         include = self.obs_fit_status[obs_index] & ~self.obs_ignore_flag[obs_index]
         obs_index = obs_index[include]
@@ -762,26 +768,69 @@ class DRTMD:
         step = max(batch_size - overlap, 1)
         num_batches = 1 + int(np.ceil(max(num_obs - batch_size, 0) / step))
 
+        windows = []
+        for start in range(0, num_obs, step):
+            if num_obs - start < batch_size:
+                start = max(0, num_obs - batch_size)
+            windows.append((start, start + batch_size))
+            if start + batch_size >= num_obs:
+                break
+
         x_batch = np.zeros((num_batches, num_obs, self.obs_x_resolved.shape[1]))
         x_special = {k: np.zeros((num_batches, num_obs, *self.special_param_shape(k)))
                      for k in (self.obs_special_resolved or {})}
         batch_margins = np.full((num_batches, num_obs), -1.0)
 
-        for i, start in enumerate(range(0, num_obs, step)):
-            if num_obs - start < batch_size:
-                start = max(0, num_obs - batch_size)
-            end = start + batch_size
-            batch_index = obs_index[start:end]
-            self.resolve_observations(batch_index, None, psi_distance_dims, truncate,
-                                      sigma, lambda_psi, tau_filter_sigma,
-                                      special_filter_sigma)
-            x_batch[i, start:end] = self.obs_x_resolved[batch_index]
-            for key in x_special:
-                x_special[key][i, start:end] = self.obs_special_resolved[key][batch_index]
-            batch_margins[i, start:end] = np.minimum(np.arange(batch_size),
-                                                     np.arange(batch_size)[::-1])
-            if end >= num_obs:
-                break
+        if batched and num_obs > 1:
+            # Assemble every window's block QP, then solve all of them in one
+            # vmapped, mesh-sharded computation
+            obs_drts = {i: self.get_fit(i) for i in obs_index}
+            systems, metas = [], []
+            for (start, end) in windows:
+                bidx = obs_index[start:end]
+                drt_list = [obs_drts[i] for i in bidx]
+                ti_list = [self.obs_tau_indices[i] for i in bidx]
+                p, q, lb, meta = resolve_mod.assemble_resolve_system(
+                    drt_list, ti_list, self.fit_kw.get("nonneg", True),
+                    truncate=truncate, sigma=sigma, lambda_psi=lambda_psi,
+                    tau_filter_sigma=tau_filter_sigma,
+                    special_filter_sigma=special_filter_sigma)
+                systems.append((p, q, lb))
+                metas.append((meta, drt_list))
+            xs = resolve_mod.solve_resolve_batch(systems, mesh=mesh)
+            for i, (x_flat, ((special_dict, mti, nr, nc), drt_list)) \
+                    in enumerate(zip(xs, metas)):
+                start, end = windows[i]
+                bidx = obs_index[start:end]
+                x_drt, x_sp = resolve_mod.unpack_resolved_x(
+                    x_flat.reshape(nr, nc), drt_list, special_dict)
+                self.obs_x_resolved[bidx[:, None],
+                                    np.arange(mti[0], mti[1])[None, :]] = x_drt
+                for key, val in x_sp.items():
+                    if key not in self.obs_special_resolved:
+                        shape = (self.num_obs, *self.special_param_shape(key))
+                        self.obs_special_resolved[key] = np.zeros(shape)
+                        x_special[key] = np.zeros(
+                            (num_batches, num_obs, *self.special_param_shape(key)))
+                    self.obs_special_resolved[key][bidx] = val
+                x_batch[i, start:end] = self.obs_x_resolved[bidx]
+                for key in x_special:
+                    x_special[key][i, start:end] = \
+                        self.obs_special_resolved[key][bidx]
+                batch_margins[i, start:end] = np.minimum(
+                    np.arange(batch_size), np.arange(batch_size)[::-1])
+        else:
+            for i, (start, end) in enumerate(windows):
+                batch_index = obs_index[start:end]
+                self.resolve_observations(batch_index, None, psi_distance_dims,
+                                          truncate, sigma, lambda_psi,
+                                          tau_filter_sigma, special_filter_sigma)
+                x_batch[i, start:end] = self.obs_x_resolved[batch_index]
+                for key in x_special:
+                    x_special[key][i, start:end] = \
+                        self.obs_special_resolved[key][batch_index]
+                batch_margins[i, start:end] = np.minimum(
+                    np.arange(batch_size), np.arange(batch_size)[::-1])
 
         if overlap > 0 and num_obs > 1:
             batch_weights = batch_margins + 0.1

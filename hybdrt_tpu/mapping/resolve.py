@@ -114,11 +114,14 @@ def get_tau_indices(obs_tau_indices, truncate=False):
             int(np.max([t[1] for t in obs_tau_indices])))
 
 
-def resolve_observations(obs_drt_list, obs_tau_indices, nonneg, obs_psi=None,
-                         truncate=False, sigma=1, lambda_psi=1, unpack=False,
-                         tau_filter_sigma=0, special_filter_sigma=0):
-    """Jointly re-optimize a batch of fitted observations with psi-smoothing
-    (reference resolve.py:176-341). Returns x (nr, nc) or unpacked params."""
+def assemble_resolve_system(obs_drt_list, obs_tau_indices, nonneg,
+                            truncate=False, sigma=1, lambda_psi=1,
+                            tau_filter_sigma=0, special_filter_sigma=0):
+    """Build the joint block-QP system for one resolve window
+    (reference resolve.py:176-330, everything before the cvxopt call).
+
+    Returns (p_matrix, q_vector, lb, meta) with
+    meta = (special_dict, match_tau_indices, nr, nc)."""
     match_tau_indices = get_tau_indices(obs_tau_indices, truncate=truncate)
 
     special_dict = offset_special_dict(obs_drt_list[0].special_qp_params)
@@ -202,6 +205,20 @@ def resolve_observations(obs_drt_list, obs_tau_indices, nonneg, obs_psi=None,
                 s0 = sp["index"] + i * nc
                 lb[s0:s0 + sp.get("size", 1)] = 0.0
 
+    return p_matrix, q_vector, lb, (special_dict, match_tau_indices, nr, nc)
+
+
+def resolve_observations(obs_drt_list, obs_tau_indices, nonneg, obs_psi=None,
+                         truncate=False, sigma=1, lambda_psi=1, unpack=False,
+                         tau_filter_sigma=0, special_filter_sigma=0):
+    """Jointly re-optimize a batch of fitted observations with psi-smoothing
+    (reference resolve.py:176-341). Returns x (nr, nc) or unpacked params."""
+    p_matrix, q_vector, lb, meta = assemble_resolve_system(
+        obs_drt_list, obs_tau_indices, nonneg, truncate=truncate, sigma=sigma,
+        lambda_psi=lambda_psi, tau_filter_sigma=tau_filter_sigma,
+        special_filter_sigma=special_filter_sigma)
+    special_dict, match_tau_indices, nr, nc = meta
+
     res = solve_qp_box(jnp.asarray(p_matrix), jnp.asarray(q_vector), jnp.asarray(lb))
     x_opt = np.asarray(res.x).reshape((nr, nc))
 
@@ -209,6 +226,46 @@ def resolve_observations(obs_drt_list, obs_tau_indices, nonneg, obs_psi=None,
         x_drt, x_special = unpack_resolved_x(x_opt, obs_drt_list, special_dict)
         return x_drt, x_special, match_tau_indices
     return x_opt, match_tau_indices
+
+
+def solve_resolve_batch(systems, mesh=None, dtype=None):
+    """Solve many resolve-window block QPs as ONE vmapped (optionally
+    mesh-sharded) computation instead of a serial python loop — the
+    device-parallel replacement for the reference's per-window cvxopt calls
+    inside resolve_group (reference drtmd.py:486-560).
+
+    systems: list of (p_matrix, q_vector, lb) of possibly different sizes;
+    windows are padded to the largest size with unit-diagonal / unit-cost
+    pinned columns (exactly zero in the solution, strictly complementary).
+    Returns a list of solution vectors at the original sizes."""
+    import jax
+    from ..parallel import sharding as sh
+
+    dtype = dtype or jnp.float64
+    sizes = [len(q) for (_, q, _) in systems]
+    n_max = max(sizes)
+    b = len(systems)
+    p_b = np.zeros((b, n_max, n_max))
+    q_b = np.zeros((b, n_max))
+    lb_b = np.zeros((b, n_max))
+    for i, (p, q, lb) in enumerate(systems):
+        n = len(q)
+        p_b[i, :n, :n] = p
+        p_b[i, n:, n:] = np.eye(n_max - n)
+        q_b[i, :n] = q
+        q_b[i, n:] = 1.0  # pinned at lb=0 with dual 1 (non-degenerate)
+        lb_b[i, :n] = lb
+
+    arrays = (p_b, q_b, lb_b)
+    if mesh is not None:
+        arrays = tuple(sh.shard_batch(jnp.asarray(
+            sh.pad_batch(a, mesh)[0], dtype=dtype), mesh) for a in arrays)
+    else:
+        arrays = tuple(jnp.asarray(a, dtype=dtype) for a in arrays)
+
+    solve = jax.jit(jax.vmap(lambda p, q, lb: solve_qp_box(p, q, lb).x))
+    x_b = np.asarray(solve(*arrays))
+    return [x_b[i, :n] for i, n in enumerate(sizes)]
 
 
 def unpack_resolved_x(x, obs_drt_list, special_dict):
