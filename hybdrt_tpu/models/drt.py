@@ -116,6 +116,7 @@ class DRT:
         self.fit_type = None
         self.fit_kwargs = None
         self.fit_matrices = {}
+        self._pred_mat_cache = {}
         self.qphb_params = None
         self.qphb_history = None
         self.background_gp = None
@@ -428,6 +429,13 @@ class DRT:
             smooth_inf_response, self.chrono_mode))
         self.fit_matrices["inf_response"] = inf_rv.copy()
 
+        # Signature for prediction-matrix reuse (see _get_response_pred_matrix)
+        self._fit_rm_signature = self._basis_signature() + (
+            self.step_model, self.chrono_mode,
+            None if tau_rise is None else float(np.atleast_1d(tau_rise)[0]),
+            tuple(np.round(np.atleast_1d(step_times).astype(float), 12).tolist()),
+            tuple(np.round(np.atleast_1d(step_sizes).astype(float), 12).tolist()))
+
         if self.fit_dop:
             rm_dop, _ = phasance.construct_phasor_v_matrix(times, self.basis_nu,
                                                            self.nu_basis_type, self.nu_epsilon,
@@ -452,6 +460,8 @@ class DRT:
             zga_params=self.zga_params, interpolate_grids=self.interpolate_lookups["z_imag"]))
         zm = zmr + 1j * zmi
         self.fit_matrices["impedance"] = zm.copy()
+        # Signature for prediction-matrix reuse (see _get_impedance_pred_matrix)
+        self._fit_zm_signature = self._basis_signature()
 
         induc_zv = np.asarray(mat1d.construct_inductance_impedance_vector(frequencies))
         cap_zv = np.asarray(mat1d.construct_capacitance_impedance_vector(frequencies))
@@ -1609,19 +1619,101 @@ class DRT:
         num = int((log_max - log_min) * ppd) + 1
         return np.logspace(log_min, log_max, num)
 
+    # ------------------------------------------------------------------
+    # Prediction-matrix caching (reference drtbase.py:716-1086): repeated
+    # predictions — PFRT/dual-inversion inner loops call predict_z on the
+    # same grid many times — reuse the fit matrices (when the requested grid
+    # matches or embeds in the fit grid via rel_round matching) or the last
+    # built prediction matrix, instead of re-assembling per call.
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _match_indices(x, y, precision=10):
+        """Row indices such that y[idx] == x elementwise (to relative
+        precision, any ordering), or None if x is not contained in y."""
+        from ..utils.array import rel_round
+        xr = np.atleast_1d(rel_round(np.asarray(x, dtype=float), precision))
+        yr = np.atleast_1d(rel_round(np.asarray(y, dtype=float), precision))
+        lookup = {v: i for i, v in enumerate(yr)}
+        idx = np.empty(len(xr), dtype=int)
+        for i, v in enumerate(xr):
+            j = lookup.get(v)
+            if j is None:
+                return None
+            idx[i] = j
+        return idx
+
+    def _basis_signature(self):
+        bt = np.asarray(self.basis_tau)
+        return (self.tau_basis_type, float(self.tau_epsilon), len(bt),
+                float(bt[0]), float(bt[-1]))
+
+    def _get_impedance_pred_matrix(self, frequencies):
+        sig = self._basis_signature()
+        f = np.asarray(frequencies, dtype=float)
+        # Fit-matrix reuse / subset slicing
+        zm_fit = self.fit_matrices.get("impedance")
+        if zm_fit is not None and getattr(self, "_fit_zm_signature", None) == sig \
+                and np.size(self.f_fit):
+            idx = self._match_indices(f, self.f_fit)
+            if idx is not None:
+                return zm_fit[idx]
+        entry = getattr(self, "_pred_mat_cache", {}).get("z")
+        if entry is not None and entry[0] == sig:
+            idx = self._match_indices(f, entry[1])
+            if idx is not None:
+                return entry[2][idx]
+        zm = np.asarray(mat1d.construct_impedance_matrix(
+            f, "real", tau=self.basis_tau, basis_type=self.tau_basis_type,
+            epsilon=self.tau_epsilon, integrate_method=self.integrate_method,
+            zga_params=self.zga_params,
+            interpolate_grids=self.interpolate_lookups["z_real"])) \
+            + 1j * np.asarray(mat1d.construct_impedance_matrix(
+                f, "imag", tau=self.basis_tau, basis_type=self.tau_basis_type,
+                epsilon=self.tau_epsilon, integrate_method=self.integrate_method,
+                zga_params=self.zga_params,
+                interpolate_grids=self.interpolate_lookups["z_imag"]))
+        if not hasattr(self, "_pred_mat_cache"):
+            self._pred_mat_cache = {}
+        self._pred_mat_cache["z"] = (sig, f.copy(), zm)
+        return zm
+
+    def _get_response_pred_matrix(self, times, step_times, step_sizes, tau_rise):
+        sig = self._basis_signature() + (
+            self.step_model, self.chrono_mode,
+            None if tau_rise is None else float(np.atleast_1d(tau_rise)[0]),
+            tuple(np.round(np.atleast_1d(step_times).astype(float), 12).tolist()),
+            tuple(np.round(np.atleast_1d(step_sizes).astype(float), 12).tolist()))
+        times = np.asarray(times, dtype=float)
+        rm_fit = self.fit_matrices.get("response")
+        t_fit = self.get_fit_times()
+        if rm_fit is not None and getattr(self, "_fit_rm_signature", None) == sig \
+                and t_fit is not None and np.size(t_fit):
+            idx = self._match_indices(times, t_fit)
+            if idx is not None:
+                return rm_fit[idx]
+        entry = getattr(self, "_pred_mat_cache", {}).get("response")
+        if entry is not None and entry[0] == sig:
+            idx = self._match_indices(times, entry[1])
+            if idx is not None:
+                return entry[2][idx]
+        rm, _ = mat1d.construct_response_matrix(
+            self.basis_tau, times, self.step_model, step_times, step_sizes,
+            basis_type=self.tau_basis_type, epsilon=self.tau_epsilon,
+            tau_rise=tau_rise, op_mode=self.chrono_mode,
+            integrate_method=self.integrate_method, zga_params=self.zga_params,
+            interpolate_grids=self.interpolate_lookups["response"])
+        rm = np.asarray(rm)
+        if not hasattr(self, "_pred_mat_cache"):
+            self._pred_mat_cache = {}
+        self._pred_mat_cache["response"] = (sig, times.copy(), rm)
+        return rm
+
     @on_host
     def predict_z(self, frequencies, include_vz_offset=True, x=None, include_dop=True,
                   include_drt=True, include_inductance=True, include_ohmic=True,
                   include_cap=True):
         frequencies = np.asarray(frequencies)
-        zm = np.asarray(mat1d.construct_impedance_matrix(
-            frequencies, "real", tau=self.basis_tau, basis_type=self.tau_basis_type,
-            epsilon=self.tau_epsilon, integrate_method=self.integrate_method,
-            zga_params=self.zga_params, interpolate_grids=self.interpolate_lookups["z_real"])) \
-            + 1j * np.asarray(mat1d.construct_impedance_matrix(
-                frequencies, "imag", tau=self.basis_tau, basis_type=self.tau_basis_type,
-                epsilon=self.tau_epsilon, integrate_method=self.integrate_method,
-                zga_params=self.zga_params, interpolate_grids=self.interpolate_lookups["z_imag"]))
+        zm = self._get_impedance_pred_matrix(frequencies)
 
         if x is not None and not isinstance(x, dict):
             fit_parameters = self.extract_qphb_parameters(x)
@@ -1663,12 +1755,7 @@ class DRT:
         step_sizes = self.step_sizes if step_sizes is None else step_sizes
         tau_rise = self.tau_rise
 
-        rm, _ = mat1d.construct_response_matrix(
-            self.basis_tau, times, self.step_model, step_times, step_sizes,
-            basis_type=self.tau_basis_type, epsilon=self.tau_epsilon, tau_rise=tau_rise,
-            op_mode=self.chrono_mode, integrate_method=self.integrate_method,
-            zga_params=self.zga_params, interpolate_grids=self.interpolate_lookups["response"])
-        rm = np.asarray(rm)
+        rm = self._get_response_pred_matrix(times, step_times, step_sizes, tau_rise)
 
         fit_parameters = self.fit_parameters if x is None else (
             x if isinstance(x, dict) else self.extract_qphb_parameters(x))

@@ -323,3 +323,43 @@ def test_solution_beats_golden_under_reference_criteria():
             f_ours = objective(x_ours, w, s_v, r_v)
             f_gold = objective(x_gold, w, s_v, r_v)
             assert f_ours <= f_gold + 1e-9 * abs(f_gold), (f_ours, f_gold)
+
+
+def test_prediction_matrix_caching(monkeypatch):
+    """Prediction-matrix reuse (reference drtbase.py:716-1086): predicting on
+    the fit grid, a subset of it, or a repeated prediction grid must NOT
+    re-assemble the impedance matrix; a genuinely new grid must, and values
+    must be identical with caching on."""
+    from hybdrt_tpu.ops import mat1d
+
+    freq, z_noisy, _ = _golden_data()
+    drt = DRT(fit_inductance=True, fit_ohmic=True)
+    drt.fit_eis(freq, z_noisy, **HYPERS)
+
+    f_new = np.logspace(5.5, -0.5, 40)
+    z_fresh = drt.predict_z(f_new)  # populate the prediction cache
+
+    calls = {"n": 0}
+    orig = mat1d.construct_impedance_matrix
+
+    def counting(*args, **kw):
+        calls["n"] += 1
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(mat1d, "construct_impedance_matrix", counting)
+
+    z_fit_grid = drt.predict_z(freq)          # fit-matrix reuse
+    z_subset = drt.predict_z(freq[::2])       # fit-matrix subset slice
+    z_repeat = drt.predict_z(f_new)           # prediction-cache hit
+    assert calls["n"] == 0
+
+    drt.predict_z(np.logspace(4, 0, 17))      # new grid -> rebuild
+    assert calls["n"] == 2  # real + imag parts
+
+    # Values are identical to uncached assembly
+    assert np.allclose(z_repeat, z_fresh, rtol=0, atol=0)
+    assert np.allclose(z_subset, z_fit_grid[::2], rtol=0, atol=0)
+    monkeypatch.setattr(mat1d, "construct_impedance_matrix", orig)
+    drt._pred_mat_cache.clear()
+    drt._fit_zm_signature = None
+    assert np.allclose(drt.predict_z(f_new), z_fresh, rtol=1e-12, atol=1e-14)
