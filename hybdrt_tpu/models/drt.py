@@ -1656,7 +1656,10 @@ class DRT:
                 and np.size(self.f_fit):
             idx = self._match_indices(f, self.f_fit)
             if idx is not None:
-                return zm_fit[idx]
+                # Stored fit matrices carry the subclass sign (DCT inverts them
+                # in _prep_for_fit); callers re-apply _dist_matrix_sign, so
+                # un-invert here (sign^2 == 1).
+                return self._dist_matrix_sign * zm_fit[idx]
         entry = getattr(self, "_pred_mat_cache", {}).get("z")
         if entry is not None and entry[0] == sig:
             idx = self._match_indices(f, entry[1])
@@ -1690,7 +1693,9 @@ class DRT:
                 and t_fit is not None and np.size(t_fit):
             idx = self._match_indices(times, t_fit)
             if idx is not None:
-                return rm_fit[idx]
+                # Un-apply the subclass sign stored in the fit matrix (see
+                # _get_impedance_pred_matrix).
+                return self._dist_matrix_sign * rm_fit[idx]
         entry = getattr(self, "_pred_mat_cache", {}).get("response")
         if entry is not None and entry[0] == sig:
             idx = self._match_indices(times, entry[1])
