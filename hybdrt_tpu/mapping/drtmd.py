@@ -242,6 +242,35 @@ class DRTMD:
     # ------------------------------------------------------------------
     # Fitting (reference drtmd.py:245-328)
     # ------------------------------------------------------------------
+    def fit_convergence_summary(self):
+        """Structured convergence telemetry for batched fits.
+
+        Returns a dict with per-observation arrays: ``converged`` (bool;
+        False for unfitted/failed obs), ``n_iter`` (-1 where unknown), the
+        failure messages recorded by ignore_errors, and aggregate counts.
+        The serial path warns per fit instead (drt1d); this is the batched
+        equivalent of inspecting the reference's per-obs fit loop output."""
+        n = self.num_obs
+        converged = np.zeros(n, dtype=bool)
+        n_iter = np.full(n, -1, dtype=int)
+        for i in range(n):
+            attr = self.obs_fit_attr[i] if i < len(self.obs_fit_attr) else None
+            if isinstance(attr, dict) and attr.get("batched"):
+                converged[i] = attr.get("converged", False)
+                n_iter[i] = attr.get("n_iter", -1)
+            elif self.obs_fit_status[i]:
+                # Serial fits store the full drt1d attribute dict
+                converged[i] = True
+        errors = [str(e) if e is not None else None for e in self.obs_fit_errors]
+        return {
+            "converged": converged,
+            "n_iter": n_iter,
+            "errors": errors,
+            "num_fitted": int(np.sum(self.obs_fit_status)),
+            "num_failed": int(sum(e is not None for e in self.obs_fit_errors)),
+            "num_converged": int(np.sum(converged)),
+        }
+
     def fit_observation(self, obs_index, ignore_errors=False):
         chrono_data, eis_data = self.get_obs_data(obs_index)
         try:
@@ -327,11 +356,12 @@ class DRTMD:
         else:
             fit_index = np.where(~self.obs_fit_status & ~self.obs_ignore_flag)[0]
         if batched:
-            self._fit_batched(fit_index, mesh=mesh, dtype=dtype)
+            self._fit_batched(fit_index, mesh=mesh, dtype=dtype,
+                              ignore_errors=ignore_errors)
         else:
             self.fit_observations(fit_index, print_interval, ignore_errors)
 
-    def _fit_batched(self, fit_index, mesh=None, dtype=None):
+    def _fit_batched(self, fit_index, mesh=None, dtype=None, ignore_errors=False):
         """TPU fast path: vmapped, mesh-sharded fits over all observations.
 
         Observations are partitioned by data type (EIS / hybrid / chrono).
@@ -378,12 +408,29 @@ class DRTMD:
             sub_c = [c for c, s in zip(chronos, sel) if s]
             sub_e = [e for e, s in zip(eiss, sel) if s]
             if type_name == "eis" and self._eis_grid_uniform(sub_e):
-                self._fit_batched_eis_uniform(idx, sub_e, mesh=mesh, dtype=dtype)
+                self._fit_batched_eis_uniform(idx, sub_e, mesh=mesh, dtype=dtype,
+                                              ignore_errors=ignore_errors)
             elif type_name == "hybrid" and self._hybrid_protocol_uniform(sub_c, sub_e):
                 self._fit_batched_hybrid_uniform(idx, sub_c, sub_e, mesh=mesh,
-                                                 dtype=dtype)
+                                                 dtype=dtype,
+                                                 ignore_errors=ignore_errors)
             else:
-                self._fit_batched_ragged(idx, sub_c, sub_e, mesh=mesh, dtype=dtype)
+                self._fit_batched_ragged(idx, sub_c, sub_e, mesh=mesh, dtype=dtype,
+                                         ignore_errors=ignore_errors)
+
+    def _batched_obs_failure(self, obs_index, reason, ignore_errors):
+        """Per-observation failure handling for batched fits: the batched
+        analog of fit_observation(ignore_errors=True) (reference
+        drtmd.py:303-319 catches per-obs exceptions in the serial loop; in a
+        vmapped fit a failed spectrum surfaces as non-finite output instead)."""
+        err = ValueError(reason)
+        if ignore_errors:
+            print(f"Error at obs_index {obs_index}; observation ignored.\n{err}")
+            self.obs_fit_status[obs_index] = False
+            self.obs_ignore_flag[obs_index] = True
+            self.obs_fit_errors[obs_index] = err
+            return
+        raise err
 
     @staticmethod
     def _eis_grid_uniform(eiss):
@@ -400,7 +447,8 @@ class DRTMD:
         return all(len(np.asarray(c[0])) == len(t0) and np.allclose(c[0], t0)
                    and np.allclose(c[1], i0) for c in chronos[1:])
 
-    def _fit_batched_eis_uniform(self, fit_index, eiss, mesh=None, dtype=None):
+    def _fit_batched_eis_uniform(self, fit_index, eiss, mesh=None, dtype=None,
+                                 ignore_errors=False):
         import jax.numpy as jnp
         from ..parallel.batch import BatchedEISFitter
         f0 = np.asarray(eiss[0][0])
@@ -413,10 +461,10 @@ class DRTMD:
         result = fitter.fit(z_batch)
         self._batch_fitter = fitter
         self._store_uniform_result(fit_index, fitter, result, z_batch,
-                                   is_hybrid=False)
+                                   is_hybrid=False, ignore_errors=ignore_errors)
 
     def _fit_batched_hybrid_uniform(self, fit_index, chronos, eiss, mesh=None,
-                                    dtype=None):
+                                    dtype=None, ignore_errors=False):
         import jax.numpy as jnp
         from ..parallel.batch import BatchedHybridFitter
         f0 = np.asarray(eiss[0][0])
@@ -432,9 +480,10 @@ class DRTMD:
         result = fitter.fit(v_batch, z_batch)
         self._batch_fitter = fitter
         self._store_uniform_result(fit_index, fitter, result, z_batch,
-                                   is_hybrid=True)
+                                   is_hybrid=True, ignore_errors=ignore_errors)
 
-    def _store_uniform_result(self, fit_index, fitter, result, z_batch, is_hybrid):
+    def _store_uniform_result(self, fit_index, fitter, result, z_batch, is_hybrid,
+                              ignore_errors=False):
         # Locate the shared basis window on the supergrid
         left_index = nearest_index(self.tau_supergrid, fitter.basis_tau[0])
         right_index = nearest_index(self.tau_supergrid, fitter.basis_tau[-1]) + 1
@@ -447,6 +496,12 @@ class DRTMD:
             self.initialize_obs_special()
 
         for bi, i in enumerate(fit_index):
+            if not (np.all(np.isfinite(result.x[bi]))
+                    and np.isfinite(result.r_inf[bi])):
+                self._batched_obs_failure(
+                    i, "Batched fit produced non-finite coefficients",
+                    ignore_errors)
+                continue
             self.obs_x[i, left_index:right_index] = result.x[bi]
             self.obs_tau_indices[i] = (left_index, right_index)
             if "R_inf" in self.obs_special:
@@ -463,14 +518,18 @@ class DRTMD:
                 "scale": result.scale[bi], "weights": result.weights[bi],
                 "rho": result.rho[bi], "s_vectors": result.s_vectors[bi],
                 "z": z_batch[bi],
+                "converged": bool(result.converged[bi]),
+                "n_iter": int(result.n_iter[bi]),
             }
             self.obs_fit_status[i] = True
         if not is_hybrid:
             z_hat = fitter.predict_z(result)
             resid = np.abs(z_hat - z_batch)
-            self.obs_rss[fit_index] = np.sum(resid ** 2, axis=1)
+            ok = self.obs_fit_status[fit_index]
+            self.obs_rss[fit_index[ok]] = np.sum(resid ** 2, axis=1)[ok]
 
-    def _fit_batched_ragged(self, fit_index, chronos, eiss, mesh=None, dtype=None):
+    def _fit_batched_ragged(self, fit_index, chronos, eiss, mesh=None, dtype=None,
+                            ignore_errors=False):
         """Heterogeneous batch: per-observation grids/protocols/windows padded
         and masked into one vmapped fit (hybdrt_tpu.parallel.ragged)."""
         import jax.numpy as jnp
@@ -513,6 +572,12 @@ class DRTMD:
         for bi, i in enumerate(fit_index):
             li, ri = result.tau_indices[bi]
             w_i = ri - li
+            if not (np.all(np.isfinite(result.x[bi][:w_i]))
+                    and np.isfinite(result.r_inf[bi])):
+                self._batched_obs_failure(
+                    i, "Batched ragged fit produced non-finite coefficients",
+                    ignore_errors)
+                continue
             self.obs_x[i, li:ri] = result.x[bi][:w_i]
             self.obs_tau_indices[i] = (li, ri)
             if "R_inf" in self.obs_special:
@@ -532,6 +597,8 @@ class DRTMD:
                 "rho": result.rho[bi],
                 "s_vectors": result.s_vectors[bi][:, :ns + w_i],
                 "chrono_data": chronos[bi], "eis_data": eiss[bi],
+                "converged": bool(result.converged[bi]),
+                "n_iter": int(result.n_iter[bi]),
             }
             self.obs_rss[i] = rss[bi]
             self.obs_llh[i] = llh[bi]

@@ -273,3 +273,44 @@ def test_resolve_group_batched_matches_serial(fitted_md):
     md_mesh.resolve_group("g1", psi_sort_dims=["T"], batched=True, mesh=mesh)
     assert np.allclose(md_mesh.obs_x_resolved, md_serial.obs_x_resolved,
                        rtol=1e-8, atol=1e-10)
+
+
+def test_batched_ignore_errors_and_telemetry():
+    """Batched fit_all with one NaN-poisoned observation: with
+    ignore_errors=True the poisoned obs is flagged and the rest are fitted;
+    fit_convergence_summary reports per-obs telemetry (batched analog of the
+    reference's serial try/except loop, drtmd.py:303-319)."""
+    z_list = _make_map_data()
+    md = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False, print_progress=False)
+    for k, (p, z) in enumerate(zip(PSIS[:4], z_list[:4])):
+        if k == 2:
+            z = z.copy()
+            z[10] = np.nan + 1j * np.nan
+        md.add_observation([p], None, (FREQ, z), group_id="g1")
+
+    md.fit_all(batched=True, ignore_errors=True)
+    assert md.obs_fit_status[[0, 1, 3]].all()
+    assert not md.obs_fit_status[2]
+    assert md.obs_ignore_flag[2]
+    assert md.obs_fit_errors[2] is not None
+
+    summary = md.fit_convergence_summary()
+    assert summary["num_fitted"] == 3
+    assert summary["num_failed"] == 1
+    assert summary["errors"][2] is not None
+    assert summary["n_iter"][0] > 0
+    # Healthy fits still match an unpoisoned serial fit
+    md_ref = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+                   print_progress=False)
+    md_ref.add_observation([PSIS[0]], None, (FREQ, z_list[0]))
+    md_ref.fit_all()
+    assert np.allclose(md.obs_x[0], md_ref.obs_x[0], atol=1e-6)
+
+    # Without ignore_errors the poisoned batch raises
+    md2 = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+                print_progress=False)
+    z_bad = z_list[0].copy()
+    z_bad[:] = np.nan + 1j * np.nan
+    md2.add_observation([0.0], None, (FREQ, z_bad))
+    with pytest.raises(ValueError):
+        md2.fit_all(batched=True)
