@@ -476,12 +476,18 @@ def _pfrt_fit(self, z_batch, factors=None, max_init_iter=20,
         factors = np.logspace(-0.7, 0.7, 11)
     factors = np.asarray(factors, dtype=float)
     rzv, scale = self.scale_batch(z_batch)
-    rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
+    b_orig = rzv.shape[0]
+    if self.mesh is not None:
+        rzv, _ = sh.pad_batch(rzv, self.mesh)
+        rzv_dev = sh.shard_batch(jnp.asarray(rzv, dtype=self.dtype), self.mesh)
+    else:
+        rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
 
     sweep = jax.jit(jax.vmap(lambda rv: _pfrt_sweep_single(
         self, rv, factors, max_init_iter, max_iter_per_step, self.dtype)))
     step_x, step_llh = sweep(rzv_dev)
-    return np.asarray(step_x), np.asarray(step_llh), np.asarray(scale)
+    return (np.asarray(step_x)[:b_orig], np.asarray(step_llh)[:b_orig],
+            np.asarray(scale))
 
 
 BatchedEISFitter.pfrt_fit = _pfrt_fit

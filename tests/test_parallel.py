@@ -226,3 +226,64 @@ def test_convergence_semantics_match_serial_across_spectrum_family():
         z_long = drt_long.predict_z(freq)
         z_short = fitter.predict_z(result)[k]
         assert np.max(np.abs(z_long - z_short)) < 2 * 0.003 * np.sqrt(2)
+
+
+def test_batched_hybrid_fitter_mesh():
+    """BatchedHybridFitter sharded over the 8-device CPU mesh matches the
+    unsharded fit exactly (per-spectrum computation is device-local)."""
+    rng = np.random.default_rng(7)
+    times = np.concatenate([np.linspace(-0.005, -0.0005, 8),
+                            np.logspace(-5, 0, 60)])
+    i_sig = np.where(times >= 0, 0.1, 0.0)
+    freq2 = np.logspace(5, -1, 25)
+    w = 2j * np.pi * freq2
+
+    def sim(seed):
+        r = np.random.default_rng(seed)
+        tau0 = 10 ** r.uniform(-3, -2)
+        r0 = r.uniform(1.0, 2.0)
+        v = 0.3 * i_sig + 0.1 * r0 * (1 - np.exp(-np.maximum(times, 0) / tau0)) \
+            * (times >= 0) + r.normal(0, 2e-4, len(times))
+        z_ = 0.3 + r0 / (1 + (w * tau0) ** 1.0) \
+            + r.normal(0, 1e-3, 25) + 1j * r.normal(0, 1e-3, 25)
+        return v, z_
+
+    vs, zs = zip(*[sim(i) for i in range(10)])  # 10: not divisible by 8
+    from hybdrt_tpu.parallel.batch import BatchedHybridFitter
+    plain = BatchedHybridFitter(times, i_sig, freq2)
+    res_plain = plain.fit(np.stack(vs), np.stack(zs))
+
+    mesh = make_mesh(jax.devices("cpu"))
+    sharded = BatchedHybridFitter(times, i_sig, freq2, mesh=mesh)
+    res_mesh = sharded.fit(np.stack(vs), np.stack(zs))
+    assert res_mesh.x.shape == res_plain.x.shape
+    assert np.allclose(res_mesh.x, res_plain.x, rtol=1e-9, atol=1e-12)
+    assert np.allclose(res_mesh.r_inf, res_plain.r_inf, rtol=1e-9)
+
+
+def test_batched_pfrt_mesh():
+    """Batched PFRT sweep sharded over the mesh matches the unsharded sweep
+    (and pads/truncates a batch size not divisible by the mesh)."""
+    freq32 = np.logspace(5, -1, 31)
+    w = 2j * np.pi * freq32
+
+    def sim(seed):
+        r = np.random.default_rng(seed)
+        z_ = 0.4 + 1.5 / (1 + (w * 10 ** r.uniform(-3.5, -2.5)) ** 0.9)
+        return z_ + r.normal(0, 1e-3, 31) + 1j * r.normal(0, 1e-3, 31)
+
+    zb = np.stack([sim(i) for i in range(5)])  # 5: not divisible by 8
+    factors = np.logspace(-0.5, 0.5, 4)
+    plain = BatchedEISFitter(freq32)
+    x_p, llh_p, scale_p = plain.pfrt_fit(zb, factors=factors)
+
+    mesh = make_mesh(jax.devices("cpu"))
+    sharded = BatchedEISFitter(freq32, mesh=mesh)
+    x_m, llh_m, scale_m = sharded.pfrt_fit(zb, factors=factors)
+    assert x_m.shape == x_p.shape == (5, 4, plain.rzm.shape[1])
+    # Sharded compilation reorders fusions, so the warm-started iterative
+    # sweep is not bitwise-identical; the solutions and the model-selection
+    # signal (per-obs llh profile argmax) must agree.
+    assert np.allclose(x_m, x_p, atol=2e-3)
+    assert np.array_equal(np.argmax(llh_m, axis=1), np.argmax(llh_p, axis=1))
+    assert np.allclose(scale_m, scale_p)
