@@ -1,0 +1,126 @@
+"""Tutorial 6 — TPU-scale batch fitting and mapping (hybdrt_tpu exclusive).
+
+This is the capability the framework was rebuilt TPU-first for: the
+reference fits map observations one at a time in a Python loop
+(reference hybdrt/mapping/drtmd.py:303); here the whole map — even with
+heterogeneous measurement grids — runs as ONE vmapped, mesh-sharded XLA
+computation. On a single TPU v5e chip the batched EIS fitter exceeds
+1500 spectra/s (see bench.py); on a multi-chip mesh the batch axis shards
+across devices with no code changes.
+
+Covers:
+  1. ``DRTMD``: observation store + psi coordinates for in-operando maps
+  2. ``fit_all(batched=True)`` — uniform and mixed-grid (ragged) batches
+  3. Sharding over a device mesh (virtual CPU mesh here; real TPUs in prod)
+  4. Robustness: per-obs failure isolation and convergence telemetry
+  5. Joint resolution across the map (``resolve_group``) — also batched
+  6. Direct use of ``BatchedEISFitter`` for raw-throughput sweeps
+"""
+import numpy as np
+import matplotlib.pyplot as plt
+
+from tutorial_utils import QUICK, savefig, use_cpu_f64, zarc
+
+use_cpu_f64()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from hybdrt_tpu import DRTMD  # noqa: E402
+from hybdrt_tpu.parallel import BatchedEISFitter  # noqa: E402
+from hybdrt_tpu.parallel.sharding import make_mesh  # noqa: E402
+
+rng = np.random.default_rng(6)
+
+# ----------------------------------------------------------------------
+# 1. An in-operando map: spectra measured while temperature ramps. The
+#    relaxation accelerates (tau drops) and shrinks with T. Half the
+#    spectra use a different frequency grid — instrument settings changed
+#    mid-experiment — which the reference would have to fit serially.
+# ----------------------------------------------------------------------
+n_obs = 8 if QUICK else 24
+temps = np.linspace(0.0, 1.0, n_obs)  # normalized temperature coordinate
+grids = [np.logspace(5, -1, 31), np.logspace(4, -2, 27)]  # two protocols
+
+tau_super = np.logspace(-7, 2, 91)
+md = DRTMD(tau_super, psi_dim_names=["T"], warn=False, print_progress=False)
+for k, T in enumerate(temps):
+    f_k = grids[k % 2]
+    tau_k = 10 ** (-1.5 - 1.5 * T)     # relaxation speeds up with T
+    r_k = 1.5 - 0.6 * T                # and shrinks
+    z_k = 0.4 + zarc(f_k, r_k, tau_k, 0.9)
+    z_k = z_k + rng.normal(0, 1.5e-3, len(f_k)) \
+        + 1j * rng.normal(0, 1.5e-3, len(f_k))
+    md.add_observation([T], None, (f_k, z_k), group_id="ramp")
+
+# ----------------------------------------------------------------------
+# 2+3. One batched fit for the whole map, sharded over a device mesh.
+#    On TPU hardware `jax.devices()` returns the chips; here we build a
+#    virtual CPU mesh so the tutorial runs anywhere.
+# ----------------------------------------------------------------------
+# On TPU hardware you would write make_mesh(jax.devices()); the tutorial
+# pins to the CPU backend (float64 accuracy configuration, any machine).
+mesh = make_mesh(jax.devices("cpu"))
+print(f"mesh: {mesh.devices.size} device(s) ({mesh.devices.ravel()[0].platform})")
+md.fit_all(batched=True, mesh=mesh if mesh.devices.size > 1 else None)
+print(f"fitted {md.num_obs} mixed-grid observations in one batched call")
+
+# ----------------------------------------------------------------------
+# 4. Telemetry: per-observation convergence without per-obs Python loops.
+# ----------------------------------------------------------------------
+summary = md.fit_convergence_summary()
+print(f"converged {summary['num_converged']}/{summary['num_fitted']}, "
+      f"median outer iterations "
+      f"{int(np.median(summary['n_iter'][summary['n_iter'] > 0]))}")
+# Fits that hit the iteration cap are benign limit cycles (coefficient mass
+# oscillating between adjacent basis functions; the prediction is settled) —
+# the serial reference behaves identically on such spectra. See
+# tests/test_parallel.py::test_convergence_semantics_match_serial_...
+
+# The recovered map tracks the programmed trends
+rp = md.predict_r_p()
+peak_tau = tau_super[np.argmax(md.obs_x, axis=1)]
+fig, axes = plt.subplots(1, 2, figsize=(9, 3))
+axes[0].plot(temps, rp, "o", label="fitted")
+axes[0].plot(temps, 1.5 - 0.6 * temps, "k--", lw=1, label="true")
+axes[0].set_xlabel("T (norm.)"), axes[0].set_ylabel(r"$R_p$ ($\Omega$)")
+axes[0].legend()
+axes[1].semilogy(temps, peak_tau, "o", label="fitted")
+axes[1].semilogy(temps, 10 ** (-1.5 - 1.5 * temps), "k--", lw=1, label="true")
+axes[1].set_xlabel("T (norm.)"), axes[1].set_ylabel(r"peak $\tau$ (s)")
+savefig(fig, "t06_map_trends.png")
+
+# ----------------------------------------------------------------------
+# 5. Joint resolution: couple neighboring observations along the ramp so
+#    the map varies smoothly; all window-QPs solve as one vmapped batch.
+# ----------------------------------------------------------------------
+md.resolve_group("ramp", psi_sort_dims=["T"], batched=True,
+                 mesh=mesh if mesh.devices.size > 1 else None)
+rough = lambda x: np.sum(np.diff(x, n=2, axis=0) ** 2)  # noqa: E731
+print(f"resolve: distribution-field roughness along T "
+      f"{rough(md.obs_x):.3e} -> {rough(md.obs_x_resolved):.3e}")
+
+# ----------------------------------------------------------------------
+# 6. Raw throughput path: a single shared-grid batch straight through
+#    BatchedEISFitter (what bench.py measures on the TPU chip). float32
+#    is the TPU performance dtype; see tests/test_f32_accuracy.py for the
+#    quantified f32-vs-f64 error distributions.
+# ----------------------------------------------------------------------
+import time  # noqa: E402
+
+B = 64 if QUICK else 256
+f0 = grids[0]
+zb = np.stack([0.4 + zarc(f0, 1.2, 10 ** rng.uniform(-3, -1), 0.9)
+               + rng.normal(0, 1.5e-3, len(f0))
+               + 1j * rng.normal(0, 1.5e-3, len(f0)) for _ in range(B)])
+with jax.default_device(jax.devices("cpu")[0]):
+    fitter = BatchedEISFitter(f0, dtype=jnp.float32, max_iter=50)
+    res = fitter.fit(zb)          # includes compile on first call
+    t0 = time.perf_counter()
+    res = fitter.fit(zb)
+    dt = time.perf_counter() - t0
+print(f"batched fit: {B} spectra in {dt:.2f} s "
+      f"({B / dt:.0f} spectra/s on this CPU backend; "
+      f"bench.py measures >1500/s on one TPU v5e chip at batch 1024)")
+assert np.max(np.abs(fitter.predict_r_p(res) - 1.2)) < 0.1
+print("Tutorial 6 complete.")

@@ -65,9 +65,11 @@ class ImmittanceData:
         """Phase angle in degrees."""
         return np.angle(self.x, deg=True)
 
+    @property
     def cartesian(self) -> Tuple[np.ndarray, np.ndarray]:
         return self.real, self.imag
 
+    @property
     def polar(self) -> Tuple[np.ndarray, np.ndarray]:
         return self.modulus, self.phase
 

@@ -2231,6 +2231,38 @@ class DRT:
         ax.scatter(peak_tau, gamma / scale, **kw)
         return ax
 
+    def plot_peak_drts(self, ax=None, tau=None, ppd=10, peak_gammas=None,
+                       estimate_peak_drts_kw=None, x=None, sign=None, **kw):
+        """Plot the per-peak distributions from the peak decomposition
+        (reference drt1d.py:4066)."""
+        import matplotlib.pyplot as plt
+        from .. import plotting as plt_mod
+        if tau is None:
+            tau = self.get_tau_eval(ppd)
+        if peak_gammas is None:
+            peak_gammas = self.estimate_peak_drts(
+                tau=tau, x=x, sign=sign if sign is not None else 1,
+                **(estimate_peak_drts_kw or {}))
+        if ax is None:
+            _, ax = plt.subplots(figsize=(4, 3))
+        scale_prefix = kw.pop("scale_prefix", None)
+        if scale_prefix is None:
+            scale_prefix = plt_mod.get_scale_prefix(np.sum(peak_gammas, axis=0))
+        scale = plt_mod._scale_factor(scale_prefix)
+        for gamma in peak_gammas:
+            ax.plot(tau, gamma / scale, **kw)
+        ax.set_xscale("log")
+        ax.set_xlabel(r"$\tau$ (s)")
+        ax.set_ylabel(rf"$\gamma$ ({scale_prefix}$\Omega$)")
+        ax.get_figure().tight_layout()
+        return ax
+
+    def copy(self):
+        """Deep copy of the model, fit state included (reference
+        drt1d.py:6392)."""
+        import copy as _copy
+        return _copy.deepcopy(self)
+
     def plot_chrono_fit(self, ax=None, transform_time=False, **kw):
         """Measured vs fitted chrono response (reference drt1d.plot_chrono_fit)."""
         from .. import plotting as plt_mod
