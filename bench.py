@@ -78,13 +78,18 @@ def main():
     res = fitter.fit(z)
     print(f"compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # Timed full batch
-    t0 = time.time()
-    res = fitter.fit(z)
-    elapsed = time.time() - t0
+    # Timed full batch: best of 3 reps (the tunneled chip is shared, so
+    # single-rep timings vary ~4x with external interference; the best rep
+    # reflects the hardware)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        res = fitter.fit(z)
+        times.append(time.time() - t0)
+    elapsed = min(times)
     spectra_per_sec = BATCH / elapsed
-    print(f"batch {BATCH} in {elapsed:.2f}s -> {spectra_per_sec:.1f} spectra/s",
-          file=sys.stderr)
+    print(f"batch {BATCH} reps {[f'{t:.2f}s' for t in times]} -> best "
+          f"{spectra_per_sec:.1f} spectra/s", file=sys.stderr)
 
     # Accuracy sanity: predicted impedance residual vs data should be at noise level
     z_hat = fitter.predict_z(res)
