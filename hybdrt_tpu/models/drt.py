@@ -121,6 +121,8 @@ class DRT:
         self.qphb_history = None
         self.background_gp = None
         self.pfrt_result = None
+        self.map_samples = None
+        self.map_sample_kw = None
         self.candidate_dict = None
         self.candidate_df = None
         self.best_candidate_dict = None
@@ -1285,6 +1287,7 @@ class DRT:
             "x_overfit_eis": x_over_e,
             "p_matrix": p_matrix,
             "q_vector": q_vector,
+            "x_raw": np.asarray(x),
             "rho_vector": rho_out,
             "dop_rho_vector": dop_rho_out if self.fit_dop else None,
             "s_vectors": [s_vectors_out[k] for k in range(k_range)],
@@ -1612,6 +1615,48 @@ class DRT:
             out = out / sv
         return out
 
+    @property
+    def tau_basis_area(self):
+        """Area of one tau basis function (reference drtbase.py:256)."""
+        return basis.get_basis_func_area(self.tau_basis_type, self.tau_epsilon,
+                                         self.zga_params)
+
+    @property
+    def nu_basis_area(self):
+        """Area of one nu (DOP) basis function (reference drtbase.py:260)."""
+        return basis.get_basis_func_area(self.nu_basis_type, self.nu_epsilon)
+
+    @property
+    def num_chrono(self):
+        """Number of fitted chrono data points (reference drtbase.py:599)."""
+        t = self.get_fit_times()
+        return 0 if t is None else len(t)
+
+    @property
+    def num_eis(self):
+        """Number of fitted EIS frequencies (reference drtbase.py:608)."""
+        return 0 if self.f_fit is None else len(np.atleast_1d(self.f_fit))
+
+    def plot_zga_approximation(self, ax=None):
+        """Compare the ZGA (ZARC-Gaussian approximation) basis function to
+        the exact gaussian RBF it approximates (reference drtbase.py:549)."""
+        import matplotlib.pyplot as plt
+        if self.zga_params is None:
+            raise ValueError("ZGA parameters have not been set")
+        if ax is None:
+            _, ax = plt.subplots(figsize=(4, 3))
+        y = np.linspace(-3 / self.tau_epsilon, 3 / self.tau_epsilon, 400)
+        phi_rbf = basis.get_basis_func("gaussian")
+        phi_zga = basis.get_basis_func("zga", self.zga_params)
+        ax.plot(y, np.asarray(phi_rbf(jnp.asarray(y), self.tau_epsilon)),
+                label="exact RBF")
+        ax.plot(y, np.asarray(phi_zga(jnp.asarray(y), self.tau_epsilon)),
+                ls="--", label="ZGA")
+        ax.set_xlabel(r"$y = \ln(\tau/\tau_0)$")
+        ax.set_ylabel(r"$\phi(y)$")
+        ax.legend()
+        return ax
+
     def get_tau_eval(self, ppd, extend_decades=0):
         """Evaluation grid spanning basis_tau +- extend_decades."""
         log_min = np.log10(np.min(self.basis_tau)) - extend_decades
@@ -1889,6 +1934,115 @@ class DRT:
             elif name == "x_dop":
                 scale_vec[start:end] = self.coefficient_scale * self.dop_scale_vector
         return p_inv * scale_vec[:, None] * scale_vec[None, :]
+
+    @on_host
+    def generate_map_samples(self, shift_scale=1.5, deltas=(-3, -2, -1, 1, 2, 3),
+                             refresh=False):
+        """Explore the posterior around the MAP by conditional re-optimization.
+
+        For every DRT coefficient index i and shift delta, coordinate i is
+        pinned at x_hat_i + delta*sigma_i*shift_scale (sigma from the Laplace
+        covariance P^-1) and the remaining coordinates are re-optimized under
+        the converged hyperparameters; the sample's joint log-posterior is
+        recorded. ALL pinned-coordinate QPs solve as one vmapped computation.
+
+        Reference parity note: drt1d.py:4147 implements the same sampling
+        scheme via qphb.optimize_lp_semi_fixed, which is commented out
+        upstream (qphb.py:1424) — the reference method raises AttributeError.
+        This is a working TPU-native equivalent: pinning is expressed by
+        zeroing row/column i of P (unit diagonal, q_i = -v) so every sample
+        is the same static-shape box QP, batchable with vmap.
+
+        Results are cached in ``self.map_samples`` as a dict with raw-space
+        ``x`` (n_samples, n_params), ``lp`` (n_samples,), and ``lp_hat``.
+        """
+        kwargs = {"shift_scale": shift_scale, "deltas": tuple(deltas)}
+        if not refresh and getattr(self, "map_samples", None) is not None \
+                and self.map_sample_kw == kwargs:
+            return self.map_samples
+        if self.qphb_params is None or "x_raw" not in self.qphb_params:
+            raise ValueError("Fit the model (fit_eis/fit_chrono/fit_hybrid) "
+                             "before sampling")
+        qp = self.qphb_params
+        P = np.asarray(qp["p_matrix"])
+        q = np.asarray(qp["q_vector"])
+        lb = np.asarray(qp["lb"], dtype=float)
+        x_hat = np.asarray(qp["x_raw"], dtype=float)
+        n = len(x_hat)
+        ns = self.get_qp_mat_offset()
+
+        # Laplace sigma in raw coefficient space
+        p_inv = np.asarray(mat1d.invert_psd(jnp.asarray(P), use_cholesky=True))
+        sigma_x = np.sqrt(np.maximum(np.diagonal(p_inv), 0))
+
+        import jax
+        from ..ops.qp import solve_qp_box
+        from ..solver.qphb import evaluate_posterior_lp
+
+        # Refine the MAP against the FINAL hyperparameter system: the stored
+        # iterate solved the previous outer iteration's QP, so a pinned
+        # sample could otherwise (slightly) beat it. (The reference notes the
+        # same effect and re-optimizes first, drt1d.py:4186.)
+        x_hat = np.asarray(solve_qp_box(jnp.asarray(P), jnp.asarray(q),
+                                        jnp.asarray(lb),
+                                        x_init=jnp.asarray(x_hat)).x)
+
+        # Sample grid: (index, delta) pairs over the DRT block
+        idx = np.repeat(np.arange(ns, n), len(deltas))
+        dlt = np.tile(np.asarray(deltas, dtype=float), n - ns)
+        v = x_hat[idx] + dlt * sigma_x[idx] * shift_scale
+        v = np.maximum(v, lb[idx])  # respect the nonneg/box constraint
+
+        P_j = jnp.asarray(P)
+        q_j = jnp.asarray(q)
+        lb_j = jnp.asarray(lb)
+        eye = jnp.eye(n)
+
+        def solve_pinned(i, v_i):
+            m = 1.0 - eye[i]  # 0 at the pinned coordinate
+            P_pin = P_j * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+            q_pin = m * (q_j + P_j[:, i] * v_i) - eye[i] * v_i
+            res = solve_qp_box(P_pin, q_pin, lb_j)
+            return res.x
+
+        x_samples = jax.jit(jax.vmap(solve_pinned))(jnp.asarray(idx),
+                                                    jnp.asarray(v))
+
+        hyp = _hypers_to_pytree(qp["hypers"])
+        k_range = qp["cfg"].k_range
+        m_stack = jnp.stack([jnp.asarray(qp["penalty_matrices"][f"m{k}"])
+                             for k in range(k_range)])
+        s_stack = jnp.stack([jnp.asarray(s) for s in qp["s_vectors"]])
+
+        def lp_of(x_s):
+            return evaluate_posterior_lp(
+                x_s, jnp.asarray(qp["rm"]), jnp.asarray(qp["rv"]), m_stack, hyp,
+                jnp.asarray(qp["l1_lambda_vector"]), jnp.asarray(qp["rho_vector"]),
+                None if qp["dop_rho_vector"] is None
+                else jnp.asarray(qp["dop_rho_vector"]),
+                s_stack, jnp.asarray(qp["weights"]),
+                jnp.asarray(qp["xmx_norms"]), qp["cfg"])
+
+        lp = np.asarray(jax.jit(jax.vmap(lp_of))(x_samples))
+        lp_hat = float(jax.jit(lp_of)(jnp.asarray(x_hat)))
+
+        self.map_samples = {"x": np.asarray(x_samples), "lp": lp,
+                            "lp_hat": lp_hat, "x_hat": x_hat,
+                            "index": idx, "delta": dlt}
+        self.map_sample_kw = kwargs
+        return self.map_samples
+
+    def estimate_posterior_mean(self, **sample_kw):
+        """Posterior-mean coefficient vector from lp-weighted MAP samples
+        (reference drt1d.py:4415; see generate_map_samples for the parity
+        note). Returns the raw-space vector including the MAP itself as a
+        sample; pass through extract_qphb_parameters for physical values."""
+        samples = self.generate_map_samples(**sample_kw)
+        x_hat = samples["x_hat"]
+        x_all = np.vstack([x_hat[None, :], samples["x"]])
+        lp_all = np.concatenate([[samples["lp_hat"]], samples["lp"]])
+        w = np.exp(lp_all - np.max(lp_all))
+        return np.average(x_all, axis=0, weights=w)
 
     @on_host
     def estimate_distribution_cov(self, tau=None, ppd=20, order=0, extend_var=True,

@@ -685,6 +685,81 @@ class DiscreteElementModel:
             for k, bd in enumerate(bounds):
                 self.parameter_bounds[i0 + k] = bd
 
+    # -- plotting (reference elements.py:1352-1800) --------------------
+    def plot_distribution(self, tau=None, x=None, ax=None, ppd=20, **kw):
+        """The model's total DRT gamma(tau) (reference elements.py:1352)."""
+        import matplotlib.pyplot as plt
+        gamma = self.predict_distribution(tau=tau, x=x, ppd=ppd,
+                                          return_tau=True)
+        if isinstance(gamma, tuple):
+            gamma, tau = gamma
+        if ax is None:
+            _, ax = plt.subplots(figsize=(4, 3))
+        ax.semilogx(tau, gamma, **kw)
+        ax.set_xlabel(r"$\tau$ (s)")
+        ax.set_ylabel(r"$\gamma$ ($\Omega$)")
+        return ax
+
+    plot_drt = plot_distribution
+
+    def plot_element_drts(self, tau=None, element_names=None, x=None, ax=None,
+                          ppd=20, **kw):
+        """Per-element DRT curves (reference elements.py:1464)."""
+        import matplotlib.pyplot as plt
+        if tau is None:
+            _, tau = self.predict_distribution(x=x, ppd=ppd, return_tau=True)
+        if element_names is None:
+            element_names = [n for n, t in zip(self.element_names,
+                                               self.element_types)
+                             if t in ("HN", "RQ", "RC")]
+        if ax is None:
+            _, ax = plt.subplots(figsize=(4, 3))
+        for name in element_names:
+            ax.semilogx(tau, self.predict_element_drt(tau, name, x=x),
+                        label=name, **kw)
+        ax.set_xlabel(r"$\tau$ (s)")
+        ax.set_ylabel(r"$\gamma$ ($\Omega$)")
+        ax.legend()
+        return ax
+
+    def plot_eis_fit(self, frequencies=None, axes=None, plot_data=True, **kw):
+        """Fitted vs measured impedance (reference elements.py:1708)."""
+        from .. import plotting as plt_mod
+        if frequencies is None:
+            if self.f_fit is None:
+                raise ValueError("No fit data; pass frequencies")
+            frequencies = self.f_fit
+        import matplotlib.pyplot as plt
+        if axes is None:
+            _, axes = plt.subplots(1, 3, figsize=(11, 3))
+        if plot_data and self.z_fit is not None and np.ndim(self.z_fit) == 1:
+            plt_mod.plot_eis((self.f_fit, self.z_fit), axes=axes, label="data")
+        z_hat = self.predict_z(frequencies)
+        plt_mod.plot_eis((frequencies, z_hat), axes=axes, plot_func="plot",
+                         label="fit", **kw)
+        return axes
+
+    def plot_eis_residuals(self, axes=None, part="both", **kw):
+        """Weighted fit residuals vs frequency (reference elements.py:1760)."""
+        import matplotlib.pyplot as plt
+        if self.f_fit is None or self.z_fit is None or np.ndim(self.z_fit) != 1:
+            raise ValueError("No single-spectrum fit data to evaluate")
+        resid = self.predict_z(self.f_fit) - self.z_fit
+        parts = {"real": ("Re", resid.real), "imag": ("Im", resid.imag)}
+        keys = ["real", "imag"] if part == "both" else [part]
+        if axes is None:
+            _, axes = plt.subplots(1, len(keys), figsize=(4 * len(keys), 3),
+                                   squeeze=False)
+            axes = axes[0]
+        axes = np.atleast_1d(axes)
+        for ax, key in zip(axes, keys):
+            label, r = parts[key]
+            ax.semilogx(self.f_fit, r, "o", ms=3, **kw)
+            ax.axhline(0, color="k", lw=0.5)
+            ax.set_xlabel("$f$ (Hz)")
+            ax.set_ylabel(rf"${label}(\hat{{Z}} - Z)$ ($\Omega$)")
+        return axes
+
     def get_parameter_dict(self, x=None):
         x = self.get_parameter_values(x)
         return dict(zip(self.parameter_names, x))

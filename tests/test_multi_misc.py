@@ -188,3 +188,56 @@ def test_drt_save_load_roundtrip(tmp_path):
     assert np.allclose(drt2.predict_distribution(tau), drt.predict_distribution(tau))
     assert np.allclose(drt2.predict_z(f), drt.predict_z(f))
     assert drt2.predict_r_p() == pytest.approx(drt.predict_r_p())
+
+
+def test_map_samples_and_posterior_mean():
+    """generate_map_samples/estimate_posterior_mean: vmapped
+    pinned-coordinate conditional QPs around the (refined) MAP. The
+    reference's implementation (drt1d.py:4147) depends on
+    qphb.optimize_lp_semi_fixed which is commented out upstream; this is a
+    working equivalent, so the test asserts the math, not golden values."""
+    from hybdrt_tpu import DRT
+    rng = np.random.default_rng(0)
+    f = np.logspace(5, -1, 41)
+    w = 2j * np.pi * f
+    z = 0.4 + 1.0 / (1 + (w * 1e-3) ** 0.9) + 0.8 / (1 + (w * 1e-1) ** 0.85)
+    z = z + rng.normal(0, 1e-3, 41) + 1j * rng.normal(0, 1e-3, 41)
+    drt = DRT(warn=False)
+    drt.fit_eis(f, z)
+
+    s = drt.generate_map_samples()
+    n_drt = len(drt.basis_tau)
+    assert s["x"].shape == (n_drt * 6, drt.get_qp_mat_offset() + n_drt)
+    assert np.all(np.isfinite(s["lp"]))
+    # The refined MAP dominates every conditionally-constrained sample
+    assert np.all(s["lp"] <= s["lp_hat"] + 1e-7)
+    # Pinned coordinates actually took their requested (clipped) values
+    k = len(s["index"]) // 2
+    i = s["index"][k]
+    assert s["x"][k, i] >= 0  # nonneg respected
+
+    # Posterior mean stays near the MAP for well-identified data, and
+    # physical predictions agree
+    x_mean = drt.estimate_posterior_mean()
+    pm = drt.extract_qphb_parameters(x_mean)
+    assert abs(drt.predict_r_p(x=pm["x"]) - drt.predict_r_p()) < 0.05
+
+    # Cache: same kwargs return the same object; refresh re-runs
+    assert drt.generate_map_samples() is s
+    assert drt.generate_map_samples(shift_scale=2.0) is not s
+
+
+def test_basis_area_and_count_properties():
+    """tau_basis_area/nu_basis_area/num_eis/num_chrono parity properties
+    (reference drtbase.py:256-260,599-613)."""
+    from hybdrt_tpu import DRT
+    rng = np.random.default_rng(1)
+    f = np.logspace(5, -1, 31)
+    w = 2j * np.pi * f
+    z = 0.4 + 1.0 / (1 + (w * 1e-2) ** 0.9)
+    z = z + rng.normal(0, 1e-3, 31) + 1j * rng.normal(0, 1e-3, 31)
+    drt = DRT(warn=False)
+    drt.fit_eis(f, z)
+    assert drt.tau_basis_area > 0
+    assert drt.num_eis == 31
+    assert drt.num_chrono == 0

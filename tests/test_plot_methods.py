@@ -89,3 +89,28 @@ def test_plot_chrono_correction():
     drt.fit_chrono(times, i_sig, v, subtract_background=True,
                    estimate_background_kw={"gp_kw": {"n_grid": 4}})
     assert drt.plot_chrono_correction() is not None
+
+
+def test_plot_peak_drts_and_zga(fitted_eis):
+    drt, f, z = fitted_eis
+    ax = drt.plot_peak_drts()
+    assert ax is not None
+    # ZGA approximation plot requires zga_params
+    with pytest.raises(ValueError):
+        drt.plot_zga_approximation()
+
+
+def test_discrete_model_plot_methods(fitted_eis):
+    """DiscreteElementModel plotting surface (reference
+    elements.py:1352-1800)."""
+    drt, f, z = fitted_eis
+    from hybdrt_tpu.models.elements import DiscreteElementModel
+    m = DiscreteElementModel.from_drt(drt, element_types="RQ")
+    m.fit_eis(f, z)
+    assert m.plot_distribution() is not None
+    assert m.plot_drt() is not None
+    assert m.plot_element_drts() is not None
+    axes = m.plot_eis_fit()
+    assert len(np.atleast_1d(axes)) == 3
+    axes = m.plot_eis_residuals()
+    assert len(np.atleast_1d(axes)) == 2
