@@ -2032,6 +2032,29 @@ class DRT:
         self.map_sample_kw = kwargs
         return self.map_samples
 
+    def get_parameter_quantile(self, quantile, **sample_kw):
+        """Posterior parameter quantiles from lp-weighted MAP samples
+        (reference drt1d.py:4403; see generate_map_samples for the parity
+        note). `quantile` may be a scalar or a sequence; returns
+        (n_quantiles, n_params) raw-space values."""
+        samples = self.generate_map_samples(**sample_kw)
+        x_all = np.vstack([samples["x_hat"][None, :], samples["x"]])
+        lp_all = np.concatenate([[samples["lp_hat"]], samples["lp"]])
+        w = np.exp(lp_all - np.max(lp_all))
+        quantile = np.atleast_1d(np.asarray(quantile, dtype=float))
+
+        # Weighted quantile per column: sort values, accumulate normalized
+        # weights, interpolate at the requested quantiles
+        order = np.argsort(x_all, axis=0)
+        x_sorted = np.take_along_axis(x_all, order, axis=0)
+        w_sorted = w[order]
+        cw = np.cumsum(w_sorted, axis=0)
+        cw = (cw - 0.5 * w_sorted) / cw[-1]
+        out = np.empty((len(quantile), x_all.shape[1]))
+        for j in range(x_all.shape[1]):
+            out[:, j] = np.interp(quantile, cw[:, j], x_sorted[:, j])
+        return out
+
     def estimate_posterior_mean(self, **sample_kw):
         """Posterior-mean coefficient vector from lp-weighted MAP samples
         (reference drt1d.py:4415; see generate_map_samples for the parity

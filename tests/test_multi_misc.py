@@ -241,3 +241,23 @@ def test_basis_area_and_count_properties():
     assert drt.tau_basis_area > 0
     assert drt.num_eis == 31
     assert drt.num_chrono == 0
+
+
+def test_get_parameter_quantile():
+    """Posterior quantiles bracket the MAP and are monotone in the quantile
+    (reference drt1d.py:4403)."""
+    from hybdrt_tpu import DRT
+    rng = np.random.default_rng(2)
+    f = np.logspace(5, -1, 31)
+    w = 2j * np.pi * f
+    z = 0.4 + 1.2 / (1 + (w * 1e-2) ** 0.9)
+    z = z + rng.normal(0, 1e-3, 31) + 1j * rng.normal(0, 1e-3, 31)
+    drt = DRT(warn=False)
+    drt.fit_eis(f, z)
+    qs = drt.get_parameter_quantile([0.025, 0.5, 0.975])
+    assert qs.shape == (3, drt.get_qp_mat_offset() + len(drt.basis_tau))
+    assert np.all(qs[0] <= qs[1] + 1e-12) and np.all(qs[1] <= qs[2] + 1e-12)
+    # Median stays near the refined MAP
+    x_hat = drt.map_samples["x_hat"]
+    big = np.abs(x_hat) > 0.05  # well-identified coordinates
+    assert np.all(np.abs(qs[1][big] - x_hat[big]) / np.abs(x_hat[big]) < 0.5)
