@@ -1044,6 +1044,34 @@ class DRTMD:
     def fitted_obs_index(self):
         return np.where(self.obs_fit_status & ~self.obs_ignore_flag)[0]
 
+    @property
+    def obs_dtype(self):
+        """Per-observation data type: 'eis', 'chrono', or 'hybrid'
+        (reference drtmd.py obs_dtype)."""
+        out = []
+        for i in range(self.num_obs):
+            chrono_data, eis_data = self.get_obs_data(i)
+            has_c = chrono_data is not None and chrono_data[0] is not None
+            has_e = eis_data is not None and eis_data[0] is not None
+            out.append("hybrid" if (has_c and has_e)
+                       else ("eis" if has_e else "chrono"))
+        return out
+
+    def filter_psi(self, dim_eq=None, dim_gt=None, dim_lt=None,
+                   return_index=True, exclude_flagged=False):
+        """Select observations by psi-coordinate conditions (reference
+        drtmd.py filter_psi): dim_eq/gt/lt map dimension name -> value."""
+        conditions = [np.ones(self.num_obs, dtype=bool)]
+        for cond_dict, op in ((dim_eq, np.equal), (dim_gt, np.greater),
+                              (dim_lt, np.less)):
+            for name, val in (cond_dict or {}).items():
+                col = self.obs_psi[:, self.psi_dim_names.index(name)]
+                conditions.append(op(col, val))
+        if exclude_flagged:
+            conditions.append(~self.obs_ignore_flag)
+        mask = np.logical_and.reduce(conditions)
+        return np.where(mask)[0] if return_index else mask
+
     def obs_psi_df(self):
         import pandas as pd
         names = self.psi_dim_names or [f"psi{i}" for i in range(self.obs_psi.shape[1])]
@@ -1288,6 +1316,12 @@ class DRTMD:
     def save_attributes(self, dest):
         with open(dest, "wb") as f:
             pickle.dump(self.get_attributes(), f)
+
+    def load_attributes(self, source):
+        """Set attributes from a pickle written by save_attributes; overwrites
+        observations/fits present in the file (reference drtmd.py)."""
+        with open(source, "rb") as f:
+            self.set_attributes(pickle.load(f))
 
     @classmethod
     def from_source(cls, source):

@@ -314,3 +314,23 @@ def test_batched_ignore_errors_and_telemetry():
     md2.add_observation([0.0], None, (FREQ, z_bad))
     with pytest.raises(ValueError):
         md2.fit_all(batched=True)
+
+
+def test_filter_psi_and_obs_dtype(fitted_md):
+    md = fitted_md
+    idx = md.filter_psi(dim_gt={"T": 0.5})
+    assert np.all(PSIS[idx] > 0.5)
+    mask = md.filter_psi(dim_lt={"T": 0.5}, return_index=False)
+    assert mask.dtype == bool and mask.sum() == np.sum(PSIS < 0.5)
+    assert md.filter_psi(dim_eq={"T": PSIS[3]}).tolist() == [3]
+    assert md.obs_dtype == ["eis"] * B
+
+
+def test_load_attributes_roundtrip(tmp_path, fitted_md):
+    md = fitted_md
+    dest = tmp_path / "md_attrs.pkl"
+    md.save_attributes(dest)
+    md2 = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False, print_progress=False)
+    md2.load_attributes(str(dest))
+    assert np.allclose(md2.obs_x, md.obs_x)
+    assert md2.num_obs == md.num_obs
