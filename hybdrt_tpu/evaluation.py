@@ -119,28 +119,141 @@ def discretize_distribution(tau, gamma, singularity_info=None):
     return masses
 
 
+def r2_dev_arrays(y_true, y_est, weights=None):
+    """Per-point residual and deviation-from-mean arrays underlying R^2
+    (reference evaluation.py)."""
+    y_true = np.asarray(y_true)
+    w = 1 if weights is None else np.asarray(weights)
+    return w * (y_true - np.asarray(y_est)), w * (y_true - np.mean(y_true))
+
+
+def rss_array(p, q, weights=None, sigma_uniform=None, normalize=False):
+    """Per-point weighted squared residuals (reference evaluation.py). With
+    weights=None, the variance model var = p^2 + sigma_uniform^2 supplies the
+    weights (sigma_uniform defaults to 25% of sum(p))."""
+    p = np.asarray(p, dtype=float)
+    q = np.asarray(q, dtype=float)
+    if weights is None:
+        if sigma_uniform is None:
+            sigma_uniform = np.sum(p) * 0.25
+        weights = (p ** 2 + sigma_uniform ** 2) ** -0.5
+    normalize_by = np.sum((weights * p) ** 2) if normalize else 1
+    return (weights * (p - q)) ** 2 / normalize_by
+
+
+def sqe_distance_array(x, p, q, normalize=False, discrete=False):
+    """Per-point squared-error distance between distributions
+    (reference evaluation.py)."""
+    if normalize:
+        p, q = normalize_distributions(x, p, q, common_norm=True,
+                                       discrete=discrete)
+    return (np.asarray(p) - np.asarray(q)) ** 2
+
+
 def calculate_reg_metrics(tau, y_exact, y_est, discrete=False, normalize=True,
                           pad=1e-5, sigma_uniform=None):
-    """Regression summary: R^2, RSS, KL/JS divergence indices
-    (reference evaluation.py:567-604)."""
+    """Regression summary: R^2, weighted/unweighted RSS, KL/JS divergence
+    indices, squared-error distance (reference evaluation.py:567-604)."""
     x = np.log(np.asarray(tau))
     kl = kl_divergence(x, y_exact, y_est, pad=pad, normalize=normalize,
                        discrete=discrete)
     js = js_divergence(x, y_exact, y_est, pad=pad, normalize=normalize,
                        discrete=discrete)
+    wrss = rss_array(y_exact, y_est, weights=None, normalize=normalize,
+                     sigma_uniform=sigma_uniform)
+    urss = rss_array(y_exact, y_est, weights=1, normalize=normalize,
+                     sigma_uniform=sigma_uniform)
+    sqed = sqe_distance_array(x, y_exact, y_est, normalize=normalize,
+                              discrete=discrete)
+    agg = np.sum if discrete else (lambda a: np.trapezoid(a, x=x))
     return {
         "r2": r2_score(y_exact, y_est),
         "rss": rss(y_exact, y_est, sigma_uniform=sigma_uniform, normalize=True),
+        "wrss": float(np.sum(wrss)),
+        "urss": float(np.sum(urss)),
+        "sqed": float(agg(sqed)),
         "kl_div": kl,
         "js_div": js,
         "kl_index": divergence_index(kl),
         "js_index": divergence_index(js),
+        "f_kl": float(np.exp(-2 * kl)),
     }
 
 
 # ------------------------------------------------------------------
 # Peak classification metrics (reference evaluation.py:606-722, 1021-1124)
 # ------------------------------------------------------------------
+def get_model_r_p(model, tau=None):
+    """Polarization resistance of any distribution-bearing model: its own
+    predict_r_p if available, else the integral of gamma over ln(tau) plus
+    any singularity mass (reference evaluation.py)."""
+    if hasattr(model, "predict_r_p"):
+        return model.predict_r_p()
+    if tau is None:
+        raise ValueError("tau must be provided if model does not define "
+                         "predict_r_p")
+    r_p = np.trapezoid(np.asarray(model.predict_distribution(tau)),
+                       x=np.log(tau))
+    sing = getattr(model, "singularity_info", None)
+    if sing is not None:
+        r_p += np.sum([si[0] for si in sing])
+    return r_p
+
+
+def merge_singular_peaks(tau_cls, peak_tau, singularity_info):
+    """Add peaks from distribution singularities (delta-like elements) to
+    the peaks found in the smooth part; returns (sorted peak_tau, indices of
+    the singular peaks) (reference evaluation.py)."""
+    from . import peaks as peaks_mod
+    if singularity_info is None:
+        return peak_tau, None
+    dx = np.mean(np.abs(np.diff(np.log(tau_cls))))
+    sing_tau = np.array([si[1] for si in singularity_info])
+    add = peaks_mod.find_new_peaks(np.log(sing_tau), np.log(peak_tau), dx)
+    peak_tau = np.concatenate([peak_tau, sing_tau[add]])
+    order = np.argsort(peak_tau)
+    n_add = int(np.sum(add)) if np.asarray(add).dtype == bool else len(add)
+    sing_index = order[-n_add:] if n_add else np.array([], dtype=int)
+    return peak_tau[order], sing_index
+
+
+def p2p_distance(tau_a, tau_b, a2b_index):
+    """ln(tau)-space distance from each peak in tau_a to its matched peak in
+    tau_b (index -1 = unmatched = infinite distance)
+    (reference evaluation.py)."""
+    tau_a = np.asarray(tau_a, dtype=float)
+    tau_b = np.asarray(tau_b, dtype=float)
+    if len(tau_a) == 0:
+        return np.array([])
+    if len(tau_b) == 0:
+        return np.full(len(tau_a), np.inf)
+    a2b_index = np.asarray(a2b_index)
+    if len(tau_a) != len(a2b_index):
+        raise ValueError("a2b_index must have same length as tau_a")
+    dist = np.abs(np.log(tau_a / tau_b[a2b_index]))
+    dist[a2b_index == -1] = np.inf
+    return dist
+
+
+def process_model_instance(model, tau_reg, tau_cls, discretize=False,
+                           normalize_find_peaks=True, find_peaks_kw=None):
+    """Evaluate a model for scoring: (regression vector on tau_reg, peak
+    locations on tau_cls). With discretize=True, singular distributions are
+    converted to per-point relaxation mass (reference evaluation.py)."""
+    if discretize:
+        if hasattr(model, "predict_mass"):
+            y_reg = model.predict_mass(tau_reg)
+        else:
+            y_reg = discretize_distribution(
+                tau_reg, np.asarray(model.predict_distribution(tau_reg)),
+                getattr(model, "singularity_info", None))
+    else:
+        y_reg = np.asarray(model.predict_distribution(tau_reg))
+    peak_tau = find_model_peaks(model, tau_cls, normalize_find_peaks,
+                                find_peaks_kw)
+    return y_reg, peak_tau
+
+
 def get_similarity_function(function_type):
     if function_type == "gaussian":
         def func(y, epsilon, order=2):

@@ -20,6 +20,50 @@ def get_timestamp(file):
     return extract_timestamp(file)
 
 
+def check_source(source):
+    """Validate a source identifier against the known vendor formats
+    (reference fileload.py)."""
+    known = [s.value for s in FileSource]
+    if str(source) not in known:
+        raise ValueError(f"Unrecognized data source {source}. "
+                         f"Recognized sources: {', '.join(known)}")
+
+
+def read_with_source(file, source=None):
+    """Raw (unstandardized) DataFrame + detected source for a data file
+    (reference fileload.py; deprecated there in favor of dataload)."""
+    if source is None:
+        source = detect_file_source(file)
+    else:
+        check_source(source)
+        source = FileSource(str(source))
+    return _reader._read_generic(file, source, with_timestamp=False)
+
+
+def get_time_offset(df, df_ref):
+    """Seconds between the first timestamps of two standardized DataFrames
+    (reference fileload.py)."""
+    return (df.loc[0, "timestamp"] - df_ref.loc[0, "timestamp"]).total_seconds()
+
+
+def read_notes(file, parse=True):
+    """The NOTES block of a Gamry DTA file, optionally parsed into a dict
+    (reference fileload.py)."""
+    import re
+    txt = read_txt(file)
+    start = txt.find("NOTES")
+    if start == -1:
+        return {} if parse else ""
+    start += txt[start:].find("\n") + 2
+    match = re.search(r"\n(?!\t)", txt[start:])
+    notes = txt[start:start + match.start(0)] if match else txt[start:]
+    if parse:
+        pairs = [line.strip().split("\t", 1) for line in notes.split("\n")
+                 if "\t" in line]
+        return {k: v for k, v in pairs}
+    return notes
+
+
 def read_eis(file, source=None, return_tuple=False, warn=True):
     """Read an EIS file; returns a standardized DataFrame or a (freq, z) tuple."""
     zdata = _reader.read_eis(file, source=source)

@@ -26,10 +26,58 @@ def _scale_factor(prefix):
 # ------------------------------------------------------------------
 # EIS plots (reference plotting.py:302-1010)
 # ------------------------------------------------------------------
+def process_eis_plot_data(data):
+    """Normalize EIS plot input to (freq, z): accepts an ImmittanceData
+    container, a (freq, z) tuple, a bare complex array, or a DataFrame with
+    freq + real/imag (or modulus/phase) columns (reference plotting.py)."""
+    from .dataload.datatypes import ImmittanceData
+    if isinstance(data, ImmittanceData):
+        return data.freq, data.x
+    if isinstance(data, (tuple, list)):
+        if len(data) != 2:
+            raise ValueError("EIS data tuple must be (frequencies, z)")
+        return np.asarray(data[0]), np.asarray(data[1])
+    if hasattr(data, "columns"):  # DataFrame
+        cols = set(data.columns)
+        if not {"freq"} <= cols:
+            raise ValueError("DataFrame must contain a 'freq' column")
+        if {"real", "imag"} <= cols:
+            z = data["real"].to_numpy() + 1j * data["imag"].to_numpy()
+        elif {"modulus", "phase"} <= cols:
+            z = data["modulus"].to_numpy() * np.exp(
+                1j * np.deg2rad(data["phase"].to_numpy()))
+        else:
+            raise ValueError("DataFrame must contain (real, imag) or "
+                             "(modulus, phase) columns")
+        return data["freq"].to_numpy(), z
+    return None, np.asarray(data)  # bare complex array
+
+
+def process_chrono_plot_data(data):
+    """Normalize chrono plot input to (times, i_signal, v_signal): accepts a
+    ChronoData container, a 3-tuple, or a DataFrame with time/i/v columns
+    (reference plotting.py)."""
+    from .dataload.datatypes import ChronoData
+    if isinstance(data, ChronoData):
+        return data.time, data.i, data.v
+    if isinstance(data, (tuple, list)):
+        if len(data) != 3:
+            raise ValueError("Chrono data tuple must be (times, i, v)")
+        return data
+    if hasattr(data, "columns"):
+        cols = set(data.columns)
+        if {"time", "i", "v"} <= cols:
+            return (data["time"].to_numpy(), data["i"].to_numpy(),
+                    data["v"].to_numpy())
+        raise ValueError("DataFrame must contain time, i, v columns")
+    raise ValueError("data must be ChronoData, a (times, i, v) tuple, or a "
+                     "DataFrame")
+
+
 def plot_nyquist(data, ax=None, scale_prefix=None, label="", set_aspect_ratio=True,
                  plot_func="scatter", **kw):
-    """Nyquist plot (-Z'' vs Z'). data = (freq, z) or z array."""
-    freq, z = data if isinstance(data, tuple) else (None, data)
+    """Nyquist plot (-Z'' vs Z'). data = ZData, (freq, z), or z array."""
+    freq, z = process_eis_plot_data(data)
     z = np.asarray(z)
     ax = _get_ax(ax)
     if scale_prefix is None:
@@ -47,7 +95,7 @@ def plot_bode(data, axes=None, scale_prefix=None, rep="cartesian", plot_func="sc
               label="", **kw):
     """Bode plots vs frequency; rep in ('cartesian', 'polar')."""
     import matplotlib.pyplot as plt
-    freq, z = data
+    freq, z = process_eis_plot_data(data)
     freq = np.asarray(freq)
     z = np.asarray(z)
     if axes is None:
@@ -98,7 +146,7 @@ def get_transformed_plot_time(times, step_times):
 def plot_chrono(data, ax=None, which="v", step_times=None, transform_time=False,
                 scale_prefix=None, label="", plot_func="plot", **kw):
     """Plot chrono current/voltage vs (optionally step-transformed) time."""
-    times, i_signal, v_signal = data
+    times, i_signal, v_signal = process_chrono_plot_data(data)
     times = np.asarray(times)
     y = np.asarray(v_signal if which == "v" else i_signal)
     ax = _get_ax(ax)
@@ -271,6 +319,58 @@ def normalize_and_scale(f, area=None, scale_prefix=None, normalize_by=None):
     if scale_prefix is None:
         scale_prefix = get_scale_prefix(f)
     return f, scale_prefix, _scale_factor(scale_prefix)
+
+
+def shade_extrap_regions(ax, tau_min, tau_max, color="gray", alpha=0.2, ls="",
+                         **kw):
+    """Shade the extrapolation regions of a distribution plot — tau outside
+    the measured window (reference plotting.py)."""
+    if tau_min is not None:
+        ax.axvspan(ax.get_xlim()[0], tau_min, color=color, alpha=alpha, ls=ls,
+                   **kw)
+    if tau_max is not None:
+        ax.axvspan(tau_max, ax.get_xlim()[1], color=color, alpha=alpha, ls=ls,
+                   **kw)
+    return ax
+
+
+def display_linear_time_ticks(ax, times, step_times, trans_functions,
+                              step_increment=1, ticks_per_step=9,
+                              major_tick_format=".1f"):
+    """Linear-time tick labels on a step-transformed time axis: major ticks
+    at step times (+ the final time), minor ticks evenly spaced in linear
+    time within each step (reference plotting.py)."""
+    _, time2trans = trans_functions
+    step_times = np.atleast_1d(np.asarray(step_times))[::step_increment]
+    major = np.append(step_times, times[-1])
+    minor = np.concatenate([
+        np.linspace(major[i], major[i + 1], ticks_per_step + 2)[1:-1]
+        for i in range(len(major) - 1)])
+    ax.set_xticks(np.atleast_1d(time2trans(major)))
+    ax.set_xticklabels([f"{t:{major_tick_format}}" for t in major])
+    ax.set_xticks(np.atleast_1d(time2trans(minor)), minor=True)
+    ax.set_xlabel("$t$ (s)")
+    return ax
+
+
+def zoom_nyquist_x(ax, xlim, ymin=None, tight_layout=True):
+    """Zoom a Nyquist plot to an x (Z') range, keeping the equal aspect
+    (reference plotting.py)."""
+    ax.set_xlim(*xlim)
+    if ymin is not None:
+        ax.set_ylim(bottom=ymin)
+    set_nyquist_aspect(ax, set_to_axis="x", tight_layout=tight_layout)
+    return ax
+
+
+def zoom_nyquist_y(ax, ylim, xmin=None, tight_layout=True):
+    """Zoom a Nyquist plot to a y (-Z'') range, keeping the equal aspect
+    (reference plotting.py)."""
+    ax.set_ylim(*ylim)
+    if xmin is not None:
+        ax.set_xlim(left=xmin)
+    set_nyquist_aspect(ax, set_to_axis="y", tight_layout=tight_layout)
+    return ax
 
 
 def set_nyquist_aspect(ax, data=None, set_to_axis=None, tight_layout=True):

@@ -343,6 +343,109 @@ def downsample_data(times, i_signal, v_signal, target_times=None, step_times=Non
     return sample_index, (times[sample_index], i_signal[sample_index], v_signal[sample_index])
 
 
+def get_decimation_index(times, step_times, t_sample, prestep_points,
+                         decimation_interval, decimation_factor, max_t_sample):
+    """Geometric post-step decimation (reference preprocessing.py): keep
+    `prestep_points` evenly spaced pre-step samples; after each step keep
+    `decimation_interval` consecutive samples, then stretches of
+    `decimation_interval` samples at stride decimation_factor**j (j = 1, 2,
+    ...), with the stride capped at max_t_sample / t_sample. The last sample
+    before each next step is always retained."""
+    times = np.asarray(times)
+    step_times = np.atleast_1d(np.asarray(step_times))
+
+    n_pre = np.sum(times < step_times.min())
+    keep = [np.linspace(0, n_pre - 1, prestep_points).round().astype(int)] \
+        if n_pre else []
+
+    max_stride = np.inf if max_t_sample is None else int(max_t_sample / t_sample)
+    step_starts = [int(np.argmax((times >= st))) for st in step_times]
+    boundaries = step_starts[1:] + [len(times)]
+
+    for start, stop in zip(step_starts, boundaries):
+        block = np.arange(start, min(start + decimation_interval + 1, stop))
+        keep.append(block)
+        last = block[-1]
+        j = 1
+        while last < stop - 1:
+            stride = int(min(decimation_factor ** j, max_stride))
+            end = stop if stride >= max_stride \
+                else min(last + decimation_interval * stride + 1, stop)
+            idx = np.arange(last + stride, end, stride)
+            if len(idx) == 0:
+                idx = np.array([end - 1])
+            if end == stop and idx[-1] < stop - 1:
+                idx = np.append(idx, stop - 1)
+            keep.append(idx)
+            last = idx[-1]
+            j += 1
+    return np.unique(np.concatenate(keep)).astype(int)
+
+
+def select_decimation_interval(times, step_times, t_sample, prestep_points,
+                               decimation_factor, max_t_sample, target_size):
+    """Pick the decimation_interval whose kept-sample count is closest to
+    target_size (reference preprocessing.py)."""
+    intervals = np.logspace(np.log10(2), np.log10(1000), 12).astype(int)
+    sizes = [len(get_decimation_index(times, step_times, t_sample,
+                                      prestep_points, iv, decimation_factor,
+                                      max_t_sample)) for iv in intervals]
+    if target_size > sizes[-1] or target_size < sizes[0]:
+        import warnings as _warnings
+        _warnings.warn(f"Cannot achieve target size {target_size} with "
+                       f"decimation factor {decimation_factor}; adjust the "
+                       f"factor or maximum period")
+    return int(np.interp(target_size, sizes, intervals))
+
+
+def sigma_from_decimate_index(y, decimate_index, truncate=4.0):
+    """Antialiasing filter widths for decimated sampling: sigma reaching
+    halfway to the nearest kept neighbor (zero where sampling is dense)
+    (reference preprocessing.py)."""
+    sigmas = np.zeros(len(y))
+    diff = np.diff(decimate_index)
+    ldiff = np.insert(diff, 0, diff[0])
+    rdiff = np.append(diff, diff[-1])
+    min_diff = np.minimum(ldiff, rdiff)
+    sigma_dec = min_diff / (2 * truncate)
+    sigma_dec[min_diff < 2] = 0
+    sigmas[decimate_index] = sigma_dec
+    return sigmas
+
+
+def get_ocv_index(times, step_times, step_sizes, input_signal,
+                  samples_per_step=1, input_rthresh=0.05):
+    """Indices of samples representative of the OCV (zero-input) state: the
+    sample(s) immediately before each step whose pre-step input is below
+    input_rthresh of the mean step size (reference preprocessing.py)."""
+    step_index = get_step_indices_from_step_times(times, step_times)
+    starts = step_index - samples_per_step
+    pre_input = np.array([np.mean(input_signal[s:e])
+                          for s, e in zip(starts, step_index)])
+    thresh = np.mean(np.abs(step_sizes)) * input_rthresh
+    at_ocv = np.where(np.abs(pre_input) < thresh)[0]
+    if len(at_ocv) == 0:
+        return np.array([], dtype=int)
+    return np.concatenate([np.arange(starts[i], step_index[i], dtype=int)
+                           for i in at_ocv])
+
+
+def get_input_signal_scale(times, step_times, input_step_sizes, step_model):
+    """Input scale = mean |step size|, with consecutive ideal steps (< 20 us
+    apart) merged first (reference preprocessing.py)."""
+    step_times = np.atleast_1d(np.asarray(step_times, dtype=float))
+    input_step_sizes = np.atleast_1d(np.asarray(input_step_sizes, dtype=float))
+    if step_model == "ideal" and len(step_times) > 1:
+        group_start = np.concatenate(
+            ([0], np.where(np.diff(step_times) > 2e-5)[0] + 1))
+        if len(group_start) < len(step_times):
+            ends = np.append(group_start[1:], len(input_step_sizes))
+            input_step_sizes = np.array(
+                [np.sum(input_step_sizes[s:e])
+                 for s, e in zip(group_start, ends)])
+    return np.mean(np.abs(input_step_sizes))
+
+
 def discard_first_n_chrono(times, i_signal, v_signal, n, op_mode="galv"):
     """Remove the first n samples after each step (reference :discard_first_n)."""
     times = np.asarray(times)

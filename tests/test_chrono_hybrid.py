@@ -189,3 +189,51 @@ def test_fit_chrono_background_dynamic_and_scaled():
     assert drt.fit_parameters.get("background_scale") is not None
     # Both in-QP background treatments should land near the same solution
     assert abs(rp["dynamic"] - rp["scaled"]) < 0.05
+
+
+def test_decimation_family():
+    """get_decimation_index / select_decimation_interval /
+    sigma_from_decimate_index / get_ocv_index / get_input_signal_scale
+    (reference preprocessing.py decimation API)."""
+    from hybdrt_tpu import preprocessing as pp
+
+    t_sample = 1e-4
+    times = np.arange(-0.01, 1.0, t_sample)
+    step_times = np.array([0.0, 0.5])
+
+    idx = pp.get_decimation_index(times, step_times, t_sample,
+                                  prestep_points=5, decimation_interval=10,
+                                  decimation_factor=2, max_t_sample=0.05)
+    assert np.all(np.diff(idx) > 0)
+    assert len(idx) < len(times) / 5
+    # the sample right before each later step is retained
+    second_start = np.argmax(times >= 0.5)
+    assert second_start - 1 in idx
+    # first points after a step are kept densely (stride 1)
+    assert np.all(np.diff(idx[(times[idx] >= 0) & (times[idx] < 0.001)]) == 1)
+
+    interval = pp.select_decimation_interval(times, step_times, t_sample, 5,
+                                             2, 0.05, target_size=len(idx))
+    assert 2 <= interval <= 1000
+
+    sig = pp.sigma_from_decimate_index(np.zeros(len(times)), idx)
+    assert sig.shape == times.shape
+    gaps = np.diff(idx)
+    min_gap = np.minimum(np.insert(gaps, 0, gaps[0]),
+                         np.append(gaps, gaps[-1]))
+    assert np.all(sig[idx[min_gap < 2]] == 0)      # dense regions unfiltered
+    assert np.all(sig[idx[min_gap >= 2]] > 0)      # decimated regions filtered
+    assert np.max(sig) > 0
+
+    i_sig = np.where(times >= 0, 0.1, 0.0) + np.where(times >= 0.5, 0.1, 0.0)
+    ocv = pp.get_ocv_index(times, step_times, [0.1, 0.1], i_sig,
+                           samples_per_step=3)
+    # Only the first step starts from OCV (input == 0 before it)
+    assert len(ocv) == 3
+    assert np.all(i_sig[ocv] == 0)
+
+    # Consecutive ideal steps merge for scaling
+    scale = pp.get_input_signal_scale(times, [0.0, 1e-5], [0.05, 0.05], "ideal")
+    assert np.isclose(scale, 0.1)
+    scale2 = pp.get_input_signal_scale(times, [0.0, 0.5], [0.05, 0.05], "ideal")
+    assert np.isclose(scale2, 0.05)

@@ -245,3 +245,48 @@ def test_read_chrono_eclab_file(tmp_path):
     assert np.allclose(chrono.i, np.array([0.0, 1e-3]))  # mA should be converted to A
 
 
+
+
+def test_fileload_legacy_helpers(tmp_path):
+    """Legacy fileload surface: check_source / read_with_source /
+    read_notes / get_time_offset (reference fileload.py; deprecated there
+    in favor of dataload, kept for compatibility)."""
+    import pandas as pd
+    import pytest
+    from hybdrt_tpu import fileload as fl
+
+    content = textwrap.dedent(
+        """
+        EXPLAIN
+        TAG	GALVEIS
+        TITLE	LABEL	Galvanostatic EIS	Test Identifier
+        DATE	LABEL	03/14/2025	Date
+        TIME	LABEL	16:50:03.335328	Time
+        NOTES	NOTES	2	Notes...
+        	cell	A-17
+        	temperature	700C
+
+        ZCURVE	TABLE
+        	Pt	Time	Freq	Zreal	Zimag	Zsig	Zmod	Zphz	Idc	Vdc	IERange
+        	#	s	Hz	ohm	ohm	V	ohm	°	A	V	#
+        	0	1.0	10.0	1.0	0.0	1	1.0	0.0	0.0	0.0	12
+        	1	2.0	1.0	2.0	-1.0	1	2.236	0.1	0.0	0.0	12
+        """
+    ).strip()
+    p = tmp_path / "legacy.dta"
+    p.write_text(content)
+
+    with pytest.raises(ValueError):
+        fl.check_source("not_a_source")
+
+    df, source = fl.read_with_source(str(p))
+    assert str(source) == "gamry_dta"
+    assert "Freq" in df.columns and len(df) == 2
+
+    notes = fl.read_notes(str(p))
+    assert notes.get("cell") == "A-17"
+    assert notes.get("temperature") == "700C"
+
+    df1 = pd.DataFrame({"timestamp": pd.to_datetime(["2025-03-14 16:50:03"])})
+    df2 = pd.DataFrame({"timestamp": pd.to_datetime(["2025-03-14 16:50:13"])})
+    assert fl.get_time_offset(df2, df1) == 10.0

@@ -126,3 +126,48 @@ def test_fft_impedance_recovers_rc():
 
     with pytest.raises(ValueError):
         fourier.fft_impedance(np.logspace(-3, 0, 50), np.ones(50), np.ones(50))
+
+
+def test_evaluation_helper_functions():
+    """Module-level scoring helpers (reference evaluation.py):
+    r2_dev_arrays / rss_array / sqe_distance_array / get_model_r_p /
+    p2p_distance / merge_singular_peaks / process_model_instance."""
+    from hybdrt_tpu import evaluation as ev
+
+    tau = np.logspace(-4, 0, 81)
+    x = np.log(tau)
+    p = np.exp(-0.5 * ((x + 4.6) / 0.5) ** 2)
+    q = np.exp(-0.5 * ((x + 4.4) / 0.5) ** 2)
+
+    resid, dev = ev.r2_dev_arrays(p, q)
+    assert 1 - np.sum(resid ** 2) / np.sum(dev ** 2) == pytest.approx(
+        ev.r2_score(p, q))
+
+    # rss_array: zero for identical distributions, variance-model weights
+    assert np.all(ev.rss_array(p, p) == 0)
+    wrss = ev.rss_array(p, q, normalize=True)
+    assert np.all(np.isfinite(wrss)) and np.sum(wrss) > 0
+    assert np.all(ev.sqe_distance_array(x, p, p, normalize=True) < 1e-20)
+
+    class FakeModel:
+        def predict_distribution(self, t):
+            return np.exp(-0.5 * ((np.log(t) + 4.6) / 0.5) ** 2)
+
+    rp = ev.get_model_r_p(FakeModel(), tau)
+    assert rp == pytest.approx(np.sqrt(2 * np.pi) * 0.5, rel=0.01)
+
+    y_reg, peak_tau = ev.process_model_instance(FakeModel(), tau, tau)
+    assert y_reg.shape == tau.shape
+    assert len(peak_tau) == 1
+    assert abs(np.log10(peak_tau[0]) + 2) < 0.1  # exp(-4.6) ~ 1e-2
+
+    d = ev.p2p_distance(np.array([1e-2, 1e-1]), np.array([2e-2]),
+                        np.array([0, -1]))
+    assert d[0] == pytest.approx(np.log(2))
+    assert np.isinf(d[1])
+    assert len(ev.p2p_distance(np.array([]), np.array([1.0]), np.array([]))) == 0
+
+    merged, sing_idx = ev.merge_singular_peaks(
+        tau, np.array([1e-2]), [(0.5, 1e-3)])
+    assert len(merged) == 2 and merged[0] == pytest.approx(1e-3)
+    assert sing_idx.tolist() == [0]

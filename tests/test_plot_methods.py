@@ -114,3 +114,56 @@ def test_discrete_model_plot_methods(fitted_eis):
     assert len(np.atleast_1d(axes)) == 3
     axes = m.plot_eis_residuals()
     assert len(np.atleast_1d(axes)) == 2
+
+
+def test_plot_data_processing_and_helpers():
+    """process_eis_plot_data / process_chrono_plot_data accept containers,
+    tuples, and DataFrames; zoom/shade/tick helpers render
+    (reference plotting.py helper surface)."""
+    import pandas as pd
+    import matplotlib.pyplot as plt
+    from hybdrt_tpu import plotting as hplt
+    from hybdrt_tpu.dataload import ZData, ChronoData
+
+    f = np.logspace(3, 0, 10)
+    z = 1.0 + 1.0 / (1 + 2j * np.pi * f * 1e-2)
+    zd = ZData(f, z)
+    for src in (zd, (f, z), pd.DataFrame({"freq": f, "real": z.real,
+                                          "imag": z.imag})):
+        fo, zo = hplt.process_eis_plot_data(src)
+        assert np.allclose(zo, z)
+    # polar DataFrame form
+    fo, zo = hplt.process_eis_plot_data(pd.DataFrame(
+        {"freq": f, "modulus": np.abs(z),
+         "phase": np.degrees(np.angle(z))}))
+    assert np.allclose(zo, z)
+    with pytest.raises(ValueError):
+        hplt.process_eis_plot_data(pd.DataFrame({"freq": f}))
+
+    t = np.linspace(0, 1, 20)
+    cd = ChronoData(t, np.ones(20), np.zeros(20))
+    for src in (cd, (t, np.ones(20), np.zeros(20)),
+                pd.DataFrame({"time": t, "i": np.ones(20),
+                              "v": np.zeros(20)})):
+        to, io, vo = hplt.process_chrono_plot_data(src)
+        assert np.allclose(to, t)
+
+    # Containers plug directly into the plot functions
+    ax = hplt.plot_nyquist(zd)
+    hplt.zoom_nyquist_x(ax, (0.9, 2.1))
+    hplt.zoom_nyquist_y(ax, (0, 0.6))
+    ax2 = hplt.plot_chrono(cd)
+
+    fig, ax3 = plt.subplots()
+    ax3.semilogx([1e-4, 1e2], [0, 1])
+    hplt.shade_extrap_regions(ax3, 1e-3, 1e1)
+
+    from hybdrt_tpu.utils.chrono import get_time_transforms
+    times = np.concatenate([np.linspace(-0.01, -0.001, 5),
+                            np.logspace(-5, 0, 50),
+                            1.0 + np.logspace(-5, 0, 50)])
+    trans = get_time_transforms(times, np.array([0.0, 1.0]))
+    fig, ax4 = plt.subplots()
+    ax4.plot(trans[1](times), np.ones(len(times)))
+    hplt.display_linear_time_ticks(ax4, times, np.array([0.0, 1.0]), trans)
+    plt.close("all")
