@@ -41,7 +41,7 @@ def nearest_index(x_array, x_val, constraint=None):
 
     :param constraint: if -1, require x_array[idx] <= x_val; if 1, require >=.
     """
-    x_array = np.asarray(x_array)
+    x_array = np.asarray(x_array, dtype=float)
     if constraint is None:
         return int(np.argmin(np.abs(x_array - x_val)))
     elif constraint in (-1, 1):
