@@ -27,6 +27,19 @@ def _domain_masks(nr, nc):
     return bt, wt, bc, wc
 
 
+def decompose_domain(img):
+    """Four-color checkerboard domain decomposition as meshgrid index sets
+    (bt, wt, bc, wc), enabling parallel red-black curvature updates
+    (reference curvreg.py decompose_domain; the jitted filter here uses the
+    equivalent boolean masks from _domain_masks)."""
+    nr, nc = np.shape(img)
+    t_rows, c_rows = np.arange(0, nr, 2), np.arange(1, nr, 2)
+    return (np.meshgrid(t_rows, np.arange(0, nc, 2)),
+            np.meshgrid(t_rows, np.arange(1, nc, 2)),
+            np.meshgrid(c_rows, np.arange(1, nc, 2)),
+            np.meshgrid(c_rows, np.arange(0, nc, 2)))
+
+
 def _neighbors(u):
     """Shifted interior views of the padded image: center and 8 neighbors."""
     c = u[1:-1, 1:-1]

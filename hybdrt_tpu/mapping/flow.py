@@ -228,3 +228,38 @@ def blend_frames(reference_image, moving_image, sigma, num=2, replace=False):
         return blended
     output[1:-1] = blended[1:-1]
     return output
+
+
+def solve_flow_field_1d(x, velocity_axis, flow_axes, radius=7,
+                        bidirectional=False, **kwargs):
+    """Frame-to-frame flows along an arbitrary velocity axis of an N-D array
+    (reference flow.py solve_flow_field_1d): moves velocity_axis to the
+    front and delegates to solve_flow_field. `radius` may be a per-axis
+    sequence (reference style; the window radius used is its maximum) or a
+    scalar."""
+    x = np.asarray(x, dtype=float)
+    if not np.isscalar(radius):
+        radius = int(np.max(radius))
+    frames = np.moveaxis(x, velocity_axis, 0)
+    nd = frames.ndim - 1  # frame dims
+    axes = tuple(ax % x.ndim for ax in np.atleast_1d(flow_axes))
+    v_ax = velocity_axis % x.ndim
+    frame_axes = tuple(ax - 1 if ax > v_ax else ax for ax in axes)
+    return solve_flow_field(frames, flow_axes=tuple(a - nd for a in frame_axes),
+                            bidirectional=bidirectional, radius=radius,
+                            **kwargs)
+
+
+def align_to_reference_1d(x, flow_field, velocity_axis, flow_axes,
+                          reference_index):
+    """Warp every slice along velocity_axis onto the reference slice using a
+    precomputed flow field (reference flow.py align_to_reference_1d)."""
+    x = np.asarray(x, dtype=float)
+    frames = np.moveaxis(x, velocity_axis, 0)
+    axes = tuple(ax % x.ndim for ax in np.atleast_1d(flow_axes))
+    v_ax = velocity_axis % x.ndim
+    nd = frames.ndim - 1
+    frame_axes = tuple((ax - 1 if ax > v_ax else ax) - nd for ax in axes)
+    aligned, _ = align_to_reference(frames, ref_index=reference_index,
+                                    flow_axes=frame_axes, flows=flow_field)
+    return np.moveaxis(aligned, 0, velocity_axis)

@@ -213,3 +213,24 @@ def test_array_and_stats_parity_helpers():
         == pytest.approx(1.0)
     assert us.outer_cdf_chi2(0.0, 1.0, 2) == pytest.approx(1.0)
     assert us.outer_cdf_chi2(1e6, 1.0, 2) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_flow_1d_axis_variants():
+    """solve_flow_field_1d / align_to_reference_1d over an arbitrary
+    velocity axis (reference flow.py)."""
+    from hybdrt_tpu.mapping import flow as fl
+
+    # (tau, frame) layout: velocity axis is 1, features shift along axis 0
+    n_tau, n_frames = 64, 4
+    x_grid = np.arange(n_tau)
+    stack = np.stack([np.exp(-0.5 * ((x_grid - 25 - 3 * k) / 4.0) ** 2)
+                      for k in range(n_frames)], axis=1)
+    flows = fl.solve_flow_field_1d(stack, velocity_axis=1, flow_axes=(0,),
+                                   radius=[7, 0])
+    assert flows.shape[0] == n_frames - 1
+    aligned = fl.align_to_reference_1d(stack, flows, velocity_axis=1,
+                                       flow_axes=(0,), reference_index=0)
+    assert aligned.shape == stack.shape
+    # After alignment every frame's peak sits near the reference peak
+    peaks = np.argmax(aligned, axis=0)
+    assert np.all(np.abs(peaks - 25) <= 2)
