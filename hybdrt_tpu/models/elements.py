@@ -121,6 +121,87 @@ def element_distribution_is_singular(element_type, *args, return_info=False):
     return status
 
 
+def element_distribution_integral_function(element_type):
+    """Cumulative distribution mass M(tau) = integral of gamma d(ln tau) up
+    to tau (reference elements.py). Singular cases use closed forms: RC is
+    a step of height r at tau0; singular RQ reduces to RC; singular HN
+    (beta ~ 1, Davidson-Cole) uses the hypergeometric closed form."""
+    def numeric_integral(el_type, tau, *args):
+        if element_distribution_is_singular(el_type, *args):
+            raise ValueError(f"Element {el_type} with args {args} is "
+                             f"singular; analytical integral required")
+        from scipy.integrate import cumulative_trapezoid
+        gamma_f = element_distribution_function(el_type)
+        gamma = np.asarray(gamma_f(jnp.asarray(tau), *args))
+        cum = cumulative_trapezoid(gamma, x=np.log(np.asarray(tau)), initial=0)
+        return np.minimum(cum, args[0])  # clamp near-singular overshoot
+
+    def rc_integral(tau, r, ln_tau):
+        y = np.log(np.asarray(tau, dtype=float)) - ln_tau
+        return np.where(y >= 0, r, 0.0)
+
+    if element_type == "RC":
+        return rc_integral
+    if element_type == "RQ":
+        def integral(tau, r, ln_tau, beta):
+            if element_distribution_is_singular("RQ", r, ln_tau, beta):
+                return rc_integral(tau, r, ln_tau)
+            return numeric_integral("RQ", tau, r, ln_tau, beta)
+        return integral
+    if element_type == "HN":
+        def integral(tau, r, ln_tau, alpha, beta):
+            if element_distribution_is_singular("HN", r, ln_tau, alpha, beta):
+                # Davidson-Cole: mass below tau0 via 2F1, all mass by tau0
+                from scipy import special
+                y = np.log(np.asarray(tau, dtype=float)) - ln_tau
+                out = np.full(np.shape(y), float(r))
+                pre = y < 0
+                yp = y[pre]
+                factor = -r * np.sin(np.pi * alpha) / (np.pi * alpha)
+                out[pre] = (factor * (np.exp(yp) - 1) * np.exp(alpha * yp)
+                            * np.abs(np.exp(yp) - 1) ** (-alpha)
+                            * special.hyp2f1(1, 1, alpha + 1, np.exp(yp)))
+                return out
+            return numeric_integral("HN", tau, r, ln_tau, alpha, beta)
+        return integral
+
+    def integral(tau, *args):
+        return numeric_integral(element_type, tau, *args)
+    return integral
+
+
+def element_relaxation_mass_function(element_type):
+    """Incremental relaxation mass per tau-grid interval (zero-padded to
+    grid length); robust to singular distributions
+    (reference elements.py)."""
+    integral_func = element_distribution_integral_function(element_type)
+
+    def mass(tau, *args):
+        cum = integral_func(tau, *args)
+        return np.concatenate([[0], np.diff(cum)])
+    return mass
+
+
+def model_mass_function(model_string):
+    """Summed incremental relaxation mass of all elements in a model
+    (reference elements.py)."""
+    funcs, slices = [], []
+    start = 0
+    for name in model_string.split("-"):
+        etype, _ = parse_element_string(name)
+        p_types, _bounds = element_parameters(etype)
+        funcs.append(element_relaxation_mass_function(etype))
+        slices.append((start, start + len(p_types)))
+        start += len(p_types)
+
+    def mass_model(tau, *args):
+        out = np.zeros(len(np.atleast_1d(tau)))
+        for f, (i0, i1) in zip(funcs, slices):
+            out = out + f(tau, *args[i0:i1])
+        return out
+    return mass_model
+
+
 def element_voltage_function(element_type, step_model="ideal"):
     """Unit-current-step response (reference elements.py:2097-2186)."""
     if step_model != "ideal":
@@ -433,6 +514,67 @@ class DiscreteElementModel:
             if t == "R":
                 r_inf += x[self.parameter_indices[i][0]]
         return r_inf
+
+    # -- singularity handling (reference elements.py:512-541,1202) ------
+    def get_element_singular_status_list(self, x=None):
+        """Per-element singular-distribution flags at the given (or fitted)
+        parameter values (reference elements.py:525)."""
+        x = self.get_parameter_values(x)
+        return [element_distribution_is_singular(
+            t, *x[self.parameter_indices[i][0]:self.parameter_indices[i][1]])
+            for i, t in enumerate(self.element_types)]
+
+    @property
+    def is_singular(self):
+        """True if any element's distribution is singular (delta-like)."""
+        return any(self.get_element_singular_status_list())
+
+    def get_singularity_info(self, x=None):
+        """List of (mass R, location tau) for singular distribution
+        elements; None if no singularities (reference elements.py:518)."""
+        x = self.get_parameter_values(x)
+        info = []
+        for i, t in enumerate(self.element_types):
+            i0, i1 = self.parameter_indices[i]
+            singular, si = element_distribution_is_singular(
+                t, *x[i0:i1], return_info=True)
+            if singular:
+                info.append(si)
+        return info if info else None
+
+    @property
+    def singularity_info(self):
+        return self.get_singularity_info()
+
+    def predict_mass(self, tau, x=None):
+        """Incremental relaxation mass per tau interval — the
+        singularity-robust alternative to the distribution for scoring
+        (reference elements.py:1202)."""
+        x = self.get_parameter_values(x)
+        if not hasattr(self, "_mass_function"):
+            self._mass_function = model_mass_function(self.model_string)
+        return self._mass_function(np.asarray(tau), *x)
+
+    def evaluate_eis_residuals(self, x=None):
+        """Complex fit residuals on the fitted spectrum
+        (reference elements.py:1207)."""
+        if self.f_fit is None or self.z_fit is None:
+            raise ValueError("No fitted EIS data")
+        return self.predict_z(self.f_fit, x=x) - self.z_fit
+
+    def plot_mass(self, tau=None, x=None, ax=None, ppd=20, **kw):
+        """Cumulative-interval relaxation mass plot (reference
+        elements.py:1682)."""
+        import matplotlib.pyplot as plt
+        if tau is None:
+            _, tau = self.predict_distribution(x=x, ppd=ppd, return_tau=True)
+        mass = self.predict_mass(tau, x=x)
+        if ax is None:
+            _, ax = plt.subplots(figsize=(4, 3))
+        ax.semilogx(tau, mass, **kw)
+        ax.set_xlabel(r"$\tau$ (s)")
+        ax.set_ylabel(r"mass ($\Omega$)")
+        return ax
 
     # ------------------------------------------------------------------
     def _make_resid_fn(self, freq, z, weights):

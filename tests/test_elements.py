@@ -195,3 +195,52 @@ def test_predict_response_hn_model():
         expected += ss * (np.where(dt > 0, 0.3, 0.0)
                           + np.asarray(v_hn(dt, 1.5, np.log(1e-2), 0.9, 0.85)))
     assert np.allclose(v, expected, rtol=1e-6, atol=1e-8)
+
+
+def test_singularity_and_mass_surface():
+    """Singularity detection + relaxation-mass prediction for delta-like
+    elements (reference elements.py:512-541,1202,1682); total mass conserves
+    Rp and the evaluation scorer's discretize path consumes it."""
+    from hybdrt_tpu.models.elements import (
+        DiscreteElementModel, element_distribution_integral_function)
+
+    # RC is always singular; RQ with beta<1 is not
+    m = DiscreteElementModel("R0-RC1-RQ2")
+    m.set_parameter_values([0.3, 1.0, np.log(1e-3), 0.7, np.log(1e-1), 0.85])
+    assert m.get_element_singular_status_list() == [False, True, False]
+    assert m.is_singular
+    info = m.singularity_info
+    assert len(info) == 1
+    assert info[0][0] == pytest.approx(1.0)
+    assert info[0][1] == pytest.approx(1e-3)
+
+    tau = np.logspace(-6, 2, 400)
+    mass = m.predict_mass(tau)
+    # Total mass = total polarization resistance (RC 1.0 + RQ 0.7)
+    assert np.sum(mass) == pytest.approx(1.7, rel=0.02)
+    # The RC delta's mass lands in the interval containing tau0
+    k = np.searchsorted(tau, 1e-3)
+    assert np.sum(mass[k - 1:k + 2]) > 0.99
+
+    # Singular HN (beta=1, Davidson-Cole) closed form: monotone 0 -> r
+    hn_int = element_distribution_integral_function("HN")
+    cum = hn_int(tau, 1.0, np.log(1e-2), 0.6, 1.0)
+    # Davidson-Cole has a power-law small-tau tail ~ exp(alpha*y)/alpha
+    assert cum[0] < 0.01
+    assert cum[-1] == pytest.approx(1.0, rel=1e-6)
+    assert np.all(np.diff(cum) >= -1e-9)
+    assert cum[np.searchsorted(tau, 1e-2)] == pytest.approx(1.0, rel=1e-3)
+
+    # Scorer integration: process_model_instance uses predict_mass when
+    # discretizing a singular model
+    from hybdrt_tpu import evaluation as ev
+    y_reg, peak_tau = ev.process_model_instance(m, tau, tau, discretize=True)
+    assert np.sum(y_reg) == pytest.approx(1.7, rel=0.02)
+
+    # evaluate_eis_residuals after a fit
+    f = np.logspace(5, -1, 31)
+    z = m.predict_z(f) + 1e-4
+    m.fit_eis(f, z)
+    resid = m.evaluate_eis_residuals()
+    assert np.max(np.abs(resid)) < 1e-2
+    assert m.plot_mass(tau=tau) is not None
