@@ -197,6 +197,76 @@ class DRT:
         n = len(self.basis_tau)
         return 2 * n if self.series_neg else n
 
+    # Reference-compatible accessor pairs (reference drtbase.py:615-1086
+    # manages matrix-recalc flags through these; here the prediction-matrix
+    # cache keys on basis/protocol signatures, so they are attribute views).
+
+    def get_basis_tau(self):
+        return self.basis_tau
+
+    def set_basis_tau(self, value):
+        self.basis_tau = value
+
+    def get_tau_basis_type(self):
+        return self.tau_basis_type
+
+    def set_tau_basis_type(self, value):
+        self.tau_basis_type = value
+
+    def get_tau_epsilon(self):
+        return self.tau_epsilon
+
+    def set_tau_epsilon(self, value):
+        self.tau_epsilon = value
+
+    def get_nu_basis_type(self):
+        return self.nu_basis_type
+
+    def set_nu_basis_type(self, value):
+        self.nu_basis_type = value
+
+    def get_zga_params(self):
+        return self.zga_params
+
+    def set_zga_params(self, value):
+        self.zga_params = value
+
+    def get_step_model(self):
+        return self.step_model
+
+    def set_step_model(self, value):
+        self.step_model = value
+
+    def get_chrono_mode(self):
+        return self.chrono_mode
+
+    def set_chrono_mode(self, value):
+        self.chrono_mode = value
+
+    def get_fit_inductance(self):
+        return self.fit_inductance
+
+    def set_fit_inductance(self, value):
+        self.fit_inductance = value
+
+    def get_f_fit(self):
+        return self.f_fit
+
+    def set_f_fit(self, value):
+        self.f_fit = value
+
+    def get_t_fit(self):
+        return self.t_fit
+
+    def set_t_fit(self, value):
+        self.t_fit = value
+
+    def get_raw_input_signal(self):
+        return self.raw_input_signal
+
+    def set_raw_input_signal(self, value):
+        self.raw_input_signal = value
+
     def get_fit_frequencies(self, return_none=False):
         if len(np.atleast_1d(self.f_fit)) == 0:
             return None if return_none else np.array([])
