@@ -173,4 +173,11 @@ def extract_timestamp(file: FilePath,
         if m is None:
             return None
         pieces.append(m.group(1).strip())
-    return datetime.strptime(" ".join(pieces), spec.timestamp_fmt)
+    stamp = " ".join(pieces)
+    try:
+        return datetime.strptime(stamp, spec.timestamp_fmt)
+    except ValueError:
+        # Vendors emit times with or without fractional seconds
+        alt = spec.timestamp_fmt.replace(".%f", "") if ".%f" in spec.timestamp_fmt \
+            else spec.timestamp_fmt.replace("%S", "%S.%f")
+        return datetime.strptime(stamp, alt)

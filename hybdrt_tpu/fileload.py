@@ -173,3 +173,54 @@ def iv_from_eis(data):
     if i_col is None or v_col is None:
         raise ValueError("EIS data has no Idc/Vdc columns")
     return data[tcol].values, data[i_col].values, data[v_col].values
+
+
+def read_generic(file, source=None, **kwargs):
+    """Raw table DataFrame + source for any supported vendor file
+    (reference fileload.py read_generic; delegates to dataload)."""
+    return _reader._read_generic(file, source, with_timestamp=False, **kwargs)
+
+
+def read_mpr(file):
+    """EC-Lab binary .mpr file as a DataFrame (reference fileload.py)."""
+    import pandas as pd
+    from .dataload.sources.eclab_mpr import read_mpr as _read_mpr
+    return pd.DataFrame(_read_mpr(file, unscale=True).data)
+
+
+def find_time_column(data, source=None):
+    """Name of the elapsed-time column in a raw vendor DataFrame
+    (reference fileload.py)."""
+    candidates = ["Time", "T", "time", "time/s", "elapsed"]
+    for c in candidates:
+        if c in data.columns:
+            return c
+    raise ValueError(f"No time column found among {candidates}")
+
+
+def append_timestamp(file, data, source=None, warn=True):
+    """Add a point-by-point 'timestamp' column (file start + elapsed time)
+    to a raw vendor DataFrame, in place (reference fileload.py)."""
+    from datetime import timedelta
+    dt = get_timestamp(file)
+    col = find_time_column(data, source)
+    data["timestamp"] = [dt + timedelta(seconds=float(t)) for t in data[col]]
+    return data
+
+
+def read_curve(file):
+    """Generic CURVE table from a Gamry DTA file (reference fileload.py)."""
+    import io
+    import pandas as pd
+    txt = read_txt(file)
+    cidx = txt.find("CURVE\tTABLE")
+    if cidx == -1:
+        raise ValueError("No CURVE TABLE found in file")
+    table = txt[cidx:]
+    lines = table.split("\n")
+    # Header and data rows are tab-indented: first field is empty
+    header = [h for h in lines[1].split("\t") if h.strip()]
+    data_txt = "\n".join(l for l in lines[3:] if l.strip())
+    df = pd.read_csv(io.StringIO(data_txt), sep="\t", header=None,
+                     names=["_lead"] + header, engine="python")
+    return df.drop(columns=["_lead", "Pt"], errors="ignore")

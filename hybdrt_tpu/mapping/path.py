@@ -676,3 +676,24 @@ def plot_paths_and_troughs(paths, troughs, shape, slice_index=None,
     ax.pcolormesh(path_mask, cmap="Reds", vmin=0, vmax=1)
     ax.pcolormesh(trough_mask, cmap="Blues", vmin=0, vmax=1)
     return ax
+
+
+def smooth_paths(paths, sigma):
+    """Smooth a list of paths (full-column or tuple form)
+    (reference path.py:474)."""
+    out = []
+    for p in paths:
+        if isinstance(p, tuple):
+            rows, cols = p
+            sm = np.round(ndimage.gaussian_filter1d(
+                np.asarray(cols, dtype=float), sigma, axis=-1,
+                mode="nearest")).astype(int)
+            out.append((rows, sm))
+        else:
+            out.append(smooth_path(p, sigma))
+    return out
+
+
+# Reference-compatible alias: tuple-form paths with per-slice column tracks
+# stamp into an N-D mask the same way (reference path.py:420)
+paths_to_mask_3d = tuple_paths_to_mask

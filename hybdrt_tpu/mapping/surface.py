@@ -230,3 +230,36 @@ def integrate_ridges(x, ridge_mask, trough_mask, num_group_dims=0, **kw):
         out[idx] = integrate_ridges_2d(x[idx], ridge_mask[idx],
                                        trough_mask[idx], **kw)
     return out
+
+
+def ridge_prob(f, fx, fxx, num_group_dims, subtract_troughs=True,
+               std_baseline=0.1, std_size=5, ridge_filter=False,
+               ndx_filter=True, filter_kw=None, hysteresis_threshold=True,
+               thresh_low=0.2, thresh_high=0.75):
+    """End-to-end ridge probability field: peak probability minus trough
+    probability, ndx-filtered, with signed hysteresis cleanup
+    (reference surface.py:403)."""
+    from ..filters import signed_hysteresis_threshold
+    from . import ndx as ndx_mod
+    rp = peak_prob(f, fx, fxx, std_size=std_size, std_baseline=std_baseline)
+    if ndx_filter and filter_kw is None:
+        filter_kw = dict(iterative=True, iter=3, nstd=5, dev_rms_size=5,
+                         adaptive=True, impute=True, impute_groups=True,
+                         max_sigma=(1,) * num_group_dims + (0.5, 0),
+                         k_factor=4, presmooth_sigma=None, mode="nearest")
+    if ridge_filter:
+        rp = ridge_prob_filter(rp, num_group_dims)
+    if subtract_troughs:
+        tp = trough_prob(f, fx, fxx, std_baseline=std_baseline,
+                         std_size=std_size)
+        if ridge_filter:
+            tp = ridge_prob_filter(tp, num_group_dims)
+        rp = rp - tp
+    if ndx_filter:
+        rp = ndx_mod.filter_ndx(rp, num_group_dims, **filter_kw)
+    if hysteresis_threshold:
+        rp = np.where(rp < 0, 0.0, rp)
+        thresh = signed_hysteresis_threshold(rp * np.sign(f), thresh_low,
+                                             thresh_high)
+        rp = np.where(thresh, rp, 0.0)
+    return rp

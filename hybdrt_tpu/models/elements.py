@@ -908,3 +908,15 @@ class DiscreteElementModel:
 
     def __repr__(self):
         return f"DiscreteElementModel({self.model_string!r})"
+
+
+def element_has_distribution(element_type):
+    """True for element types carrying a DRT contribution
+    (reference elements.py)."""
+    return element_type in ("HN", "RQ", "RC")
+
+
+def parse_parameter_string(parameter_string):
+    """'R_RQ1' -> ('R', 'RQ1') (reference elements.py)."""
+    param_type, element_name = parameter_string.split("_")
+    return param_type, element_name

@@ -509,3 +509,18 @@ def get_time_ppd(times, step_times, aggregate=True):
 
 # Reference-compatible alias (reference preprocessing.py:238)
 generate_loguniform_times = generate_log_times
+
+
+def get_signal_scales(times, step_times, input_step_sizes, response_signal,
+                      step_model):
+    """(input_scale, response_scale): mean |step size| and mean per-step
+    response range (reference preprocessing.py; superseded by estimate_rp
+    for Rp-based scaling but kept for parity)."""
+    input_scale = get_input_signal_scale(times, step_times, input_step_sizes,
+                                         step_model)
+    step_index = get_step_indices_from_step_times(times, step_times)
+    bounds = np.append(step_index, len(times))
+    ranges = [np.ptp(response_signal[bounds[i]:bounds[i + 1]])
+              for i in range(len(step_index)) if bounds[i + 1] > bounds[i]]
+    response_scale = np.mean(ranges) if ranges else 1.0
+    return input_scale, response_scale

@@ -290,3 +290,28 @@ def test_fileload_legacy_helpers(tmp_path):
     df1 = pd.DataFrame({"timestamp": pd.to_datetime(["2025-03-14 16:50:03"])})
     df2 = pd.DataFrame({"timestamp": pd.to_datetime(["2025-03-14 16:50:13"])})
     assert fl.get_time_offset(df2, df1) == 10.0
+
+
+def test_fileload_generic_and_curve(tmp_path):
+    """read_generic / read_curve / find_time_column / append_timestamp
+    (reference fileload.py legacy surface)."""
+    from hybdrt_tpu import fileload as fl
+
+    content = (
+        "EXPLAIN\nTAG\tCHRONOP\nTITLE\tLABEL\tChrono\tTest\n"
+        "DATE\tLABEL\t03/14/2025\tDate\nTIME\tLABEL\t16:50:03\tTime\n\n"
+        "CURVE\tTABLE\n\tPt\tT\tVf\tIm\n\t#\ts\tV\tA\n"
+        "\t0\t0.0\t0.1\t0.01\n\t1\t1.0\t0.2\t0.02\n")
+    p = tmp_path / "curve.dta"
+    p.write_text(content)
+
+    df = fl.read_curve(str(p))
+    assert list(df.columns) == ["T", "Vf", "Im"]
+    assert fl.find_time_column(df) == "T"
+    fl.append_timestamp(str(p), df)
+    assert "timestamp" in df.columns
+    assert (df["timestamp"].iloc[1] - df["timestamp"].iloc[0]).total_seconds() \
+        == 1.0
+
+    raw, source = fl.read_generic(str(p))
+    assert str(source) == "gamry_dta"

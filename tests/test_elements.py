@@ -244,3 +244,22 @@ def test_singularity_and_mass_surface():
     resid = m.evaluate_eis_residuals()
     assert np.max(np.abs(resid)) < 1e-2
     assert m.plot_mass(tau=tau) is not None
+
+
+def test_element_helpers_and_signal_scales():
+    """element_has_distribution / parse_parameter_string (reference
+    elements.py) and preprocessing.get_signal_scales."""
+    from hybdrt_tpu.models.elements import (element_has_distribution,
+                                            parse_parameter_string)
+    from hybdrt_tpu import preprocessing as pp
+
+    assert element_has_distribution("HN")
+    assert not element_has_distribution("L")
+    assert parse_parameter_string("lntau_HN2") == ("lntau", "HN2")
+
+    t = np.arange(-0.01, 1.0, 1e-3)
+    i_sig = np.where(t >= 0, 0.1, 0.0)
+    v = 0.3 * i_sig + 0.05 * (1 - np.exp(-np.maximum(t, 0) / 0.01)) * (t >= 0)
+    s_in, s_resp = pp.get_signal_scales(t, [0.0], [0.1], v, "ideal")
+    assert np.isclose(s_in, 0.1)
+    assert 0.04 < s_resp < 0.12

@@ -234,3 +234,29 @@ def test_flow_1d_axis_variants():
     # After alignment every frame's peak sits near the reference peak
     peaks = np.argmax(aligned, axis=0)
     assert np.all(np.abs(peaks - 25) <= 2)
+
+
+def test_ridge_prob_pipeline_and_smooth_paths():
+    """End-to-end ridge_prob (peak-minus-trough + ndx filter + signed
+    hysteresis) and tuple-aware smooth_paths (reference surface.py:403,
+    path.py:474)."""
+    from hybdrt_tpu.mapping import surface as sf
+    from hybdrt_tpu.mapping import path as pth
+
+    x_grid = np.linspace(-3, 3, 80)
+    f = np.stack([np.exp(-0.5 * ((x_grid - 0.5 * np.sin(k / 3)) / 0.4) ** 2)
+                  for k in range(12)])
+    fx = np.gradient(f, axis=1)
+    fxx = np.gradient(fx, axis=1)
+    rp = sf.ridge_prob(f, fx, fxx, num_group_dims=0)
+    assert rp.shape == f.shape
+    assert np.max(rp) > 0.5
+    # Ridge probability concentrates at the moving peak
+    cols = np.argmax(rp, axis=1)
+    truth = np.array([np.argmin(np.abs(x_grid - 0.5 * np.sin(k / 3)))
+                      for k in range(12)])
+    assert np.all(np.abs(cols - truth) <= 3)
+
+    sm = pth.smooth_paths([(np.arange(5), np.array([1, 2, 5, 2, 1]))], 1.0)
+    assert sm[0][1][2] < 5  # spike attenuated
+    assert pth.paths_to_mask_3d is pth.tuple_paths_to_mask
