@@ -286,3 +286,4 @@ def chol_factor_solve_lane(a, b, lanes=128, interpret=False):
             interpret=interpret,
         )(a_t, b_t)
     return jnp.transpose(x_t, (1, 0))[:bsz], jnp.transpose(l_t, (2, 0, 1))[:bsz]
+
