@@ -480,6 +480,28 @@ class DRT:
     @on_host
     def _prep_chrono_fit_matrix(self, times, step_times, step_sizes, tau_rise,
                                 smooth_inf_response):
+        key = ("rm", self._basis_signature(), self.step_model, self.chrono_mode,
+               np.asarray(times).tobytes(),
+               np.atleast_1d(step_times).astype(float).tobytes(),
+               np.atleast_1d(step_sizes).astype(float).tobytes(),
+               None if tau_rise is None
+               else np.atleast_1d(tau_rise).astype(float).tobytes(),
+               None if self.raw_input_signal is None
+               else np.asarray(self.raw_input_signal).tobytes(),
+               bool(smooth_inf_response), self.fit_dop)
+        hit = self._assembly_cache_get(key)
+        if hit is not None:
+            rm, rm_layered, induc_rv, cap_rv, inf_rv, rm_dop, sig = hit
+            self.fit_matrices["response"] = rm.copy()
+            self.fit_matrices["rm_layered"] = rm_layered
+            self.fit_matrices["inductance_response"] = induc_rv
+            self.fit_matrices["capacitance_response"] = cap_rv
+            self.fit_matrices["inf_response"] = inf_rv.copy()
+            self.fit_matrices["rm_dop"] = None if rm_dop is None \
+                else rm_dop.copy()
+            self._fit_rm_signature = sig
+            return (rm.copy(), inf_rv, induc_rv, cap_rv,
+                    None if rm_dop is None else rm_dop.copy())
         rm, rm_layered = mat1d.construct_response_matrix(
             self.basis_tau, times, self.step_model, step_times, step_sizes,
             basis_type=self.tau_basis_type, epsilon=self.tau_epsilon, tau_rise=tau_rise,
@@ -517,11 +539,40 @@ class DRT:
             self.fit_matrices["rm_dop"] = rm_dop.copy()
         else:
             rm_dop = None
+        self._assembly_cache_put(
+            key, (rm.copy(), np.asarray(rm_layered), induc_rv, cap_rv,
+                  inf_rv.copy(), None if rm_dop is None else rm_dop.copy(),
+                  self._fit_rm_signature))
         return rm, inf_rv, induc_rv, cap_rv, rm_dop
+
+    def _assembly_cache_get(self, key):
+        cache = getattr(self, "_assembly_cache", None)
+        return None if cache is None else cache.get(key)
+
+    def _assembly_cache_put(self, key, value):
+        if not hasattr(self, "_assembly_cache"):
+            self._assembly_cache = {}
+        if len(self._assembly_cache) > 32:
+            self._assembly_cache.clear()
+        self._assembly_cache[key] = value
 
     @on_host
     def _prep_impedance_fit_matrix(self, frequencies):
         self.f_fit = np.asarray(frequencies)
+        # Fit-matrix reuse on repeated grids (the reference's matrix-recalc
+        # flags, drtbase.py:615; here keyed by basis signature + grid bytes).
+        # Copies are returned because DCT sign-inverts fit_matrices in place.
+        key = ("zm", self._basis_signature(), self.f_fit.tobytes(),
+               self.fit_dop)
+        hit = self._assembly_cache_get(key)
+        if hit is not None:
+            zm, induc_zv, cap_zv, zm_dop = hit
+            self.fit_matrices["impedance"] = zm.copy()
+            self.fit_matrices["zm_dop"] = None if zm_dop is None \
+                else zm_dop.copy()
+            self._fit_zm_signature = self._basis_signature()
+            return (zm.copy(), induc_zv,
+                    cap_zv, None if zm_dop is None else zm_dop.copy())
         zmr = np.asarray(mat1d.construct_impedance_matrix(
             frequencies, "real", tau=self.basis_tau, basis_type=self.tau_basis_type,
             epsilon=self.tau_epsilon, integrate_method=self.integrate_method,
@@ -544,11 +595,23 @@ class DRT:
         else:
             zm_dop = None
         self.fit_matrices["zm_dop"] = zm_dop
+        self._assembly_cache_put(key, (zm.copy(), induc_zv, cap_zv,
+                                       None if zm_dop is None
+                                       else zm_dop.copy()))
         return zm, induc_zv, cap_zv, zm_dop
 
     @on_host
     def _prep_penalty_matrices(self):
         """Integral penalty matrices for orders 0..2 (reference drt1d.py:5673)."""
+        key = ("pen", self._basis_signature(), self.fit_dop,
+               None if not self.fit_dop
+               else (self.nu_basis_type, float(self.nu_epsilon or 0),
+                     np.asarray(self.basis_nu).tobytes()))
+        hit = self._assembly_cache_get(key)
+        if hit is not None:
+            penalty_matrices = {k: v.copy() for k, v in hit.items()}
+            self.fit_matrices.update(penalty_matrices)
+            return penalty_matrices
         penalty_matrices = {}
         for k in range(3):
             dk = np.asarray(mat1d.construct_integrated_derivative_matrix(
@@ -572,6 +635,8 @@ class DRT:
                         self.basis_nu, basis_type="gaussian", order=1, epsilon=1 / dnu)
                     penalty_matrices[f"gmat{k}_dop"] = np.asarray(gmat)
         self.fit_matrices.update(penalty_matrices)
+        self._assembly_cache_put(key, {k: v.copy()
+                                       for k, v in penalty_matrices.items()})
         return penalty_matrices
 
     def _format_qp_matrices(self, rm_drt, inf_rv, induc_rv, cap_rv, rm_dop, zm_drt, induc_zv,
@@ -1121,13 +1186,29 @@ class DRT:
         nl_cross = system["nl_cross"]
         nl_cross_j = jnp.asarray(nl_cross) if nl_cross is not None else None
 
-        # Variance-estimation matrices
-        chrono_vmm = np.asarray(mat1d.construct_chrono_var_matrix(
-            sample_times, self.nonconsec_step_times, chrono_vmm_epsilon,
-            chrono_error_structure)) if times is not None else None
-        eis_vmm = np.asarray(mat1d.construct_eis_var_matrix(
-            frequencies, eis_vmm_epsilon, eis_reim_cor, eis_error_structure)) \
-            if frequencies is not None else None
+        # Variance-estimation matrices (grid-keyed like the fit matrices)
+        chrono_vmm = None
+        if times is not None:
+            ckey = ("vmm_c", np.asarray(sample_times).tobytes(),
+                    np.atleast_1d(self.nonconsec_step_times).tobytes(),
+                    float(chrono_vmm_epsilon), chrono_error_structure)
+            chrono_vmm = self._assembly_cache_get(ckey)
+            if chrono_vmm is None:
+                chrono_vmm = np.asarray(mat1d.construct_chrono_var_matrix(
+                    sample_times, self.nonconsec_step_times,
+                    chrono_vmm_epsilon, chrono_error_structure))
+                self._assembly_cache_put(ckey, chrono_vmm)
+        eis_vmm = None
+        if frequencies is not None:
+            ekey = ("vmm_e", np.asarray(frequencies).tobytes(),
+                    float(eis_vmm_epsilon), float(eis_reim_cor),
+                    eis_error_structure)
+            eis_vmm = self._assembly_cache_get(ekey)
+            if eis_vmm is None:
+                eis_vmm = np.asarray(mat1d.construct_eis_var_matrix(
+                    frequencies, eis_vmm_epsilon, eis_reim_cor,
+                    eis_error_structure))
+                self._assembly_cache_put(ekey, eis_vmm)
         if chrono_vmm is None:
             vmm = eis_vmm
         elif eis_vmm is None:

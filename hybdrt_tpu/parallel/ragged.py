@@ -119,16 +119,32 @@ class BatchedRaggedFitter:
     # ------------------------------------------------------------------
     def _prep_obs(self, chrono_data, eis_data):
         """Assemble one observation's QP system exactly as the serial fit
-        would (DRT._qphb_fit_core(prep_only=True))."""
+        would (DRT._qphb_fit_core(prep_only=True)).
+
+        One DRT instance is kept per measurement protocol (grids + input
+        signal): its assembly caches make repeat preps on a shared protocol
+        skip all matrix construction, so only the data-dependent scaling is
+        recomputed per observation (the reference re-assembles per obs,
+        drtmd.py:303)."""
+        times, i_sig, v_sig = (chrono_data if chrono_data is not None
+                               and chrono_data[0] is not None
+                               else (None, None, None))
+        freq, z = (eis_data if eis_data is not None
+                   and eis_data[0] is not None else (None, None))
+        key = (None if times is None else np.asarray(times).tobytes(),
+               None if i_sig is None else np.asarray(i_sig).tobytes(),
+               None if freq is None else np.asarray(freq).tobytes())
+        if not hasattr(self, "_drt_cache"):
+            self._drt_cache = {}
+        drt = self._drt_cache.get(key)
         with host_cpu():
-            drt = DRT(interpolate_integrals=False, **self._drt_kw)
-            drt.interpolate_lookups = self.template.interpolate_lookups
-            drt.integrate_method = self.template.integrate_method
-            times, i_sig, v_sig = (chrono_data if chrono_data is not None
-                                   and chrono_data[0] is not None
-                                   else (None, None, None))
-            freq, z = (eis_data if eis_data is not None
-                       and eis_data[0] is not None else (None, None))
+            if drt is None:
+                drt = DRT(interpolate_integrals=False, **self._drt_kw)
+                drt.interpolate_lookups = self.template.interpolate_lookups
+                drt.integrate_method = self.template.integrate_method
+                if len(self._drt_cache) > 64:
+                    self._drt_cache.clear()
+                self._drt_cache[key] = drt
             sys_ = drt._qphb_fit_core(times, i_sig, v_sig, freq, z,
                                       nonneg=self.nonneg, prep_only=True,
                                       **self.fit_kw, **self.hyper_kw)
@@ -318,12 +334,18 @@ class BatchedRaggedFitter:
                 arrays["vz_sign"], arrays["chrono_row_mask"],
                 arrays["row_mask"], arrays["col_mask"],
                 arrays["l1v"], arrays["lb"], arrays["var_floor"]]
+        # Jitted entry points are cached on the instance: rebuilding them per
+        # call would retrace and recompile the whole fit every time
         if self.per_obs_penalty:
-            fit_batch = jax.jit(jax.vmap(
-                lambda *a: self._fit_single(*a[:-1], m_stack=a[-1])))
+            if getattr(self, "_fit_batch_pp", None) is None:
+                self._fit_batch_pp = jax.jit(jax.vmap(
+                    lambda *a: self._fit_single(*a[:-1], m_stack=a[-1])))
+            fit_batch = self._fit_batch_pp
             args.append(arrays["m_stack"])
         else:
-            fit_batch = jax.jit(jax.vmap(self._fit_single))
+            if getattr(self, "_fit_batch", None) is None:
+                self._fit_batch = jax.jit(jax.vmap(self._fit_single))
+            fit_batch = self._fit_batch
         states = fit_batch(*args)
         return self.collect(states, b_orig, return_states=return_states)
 

@@ -184,3 +184,49 @@ def test_ragged_multidevice_mesh():
     for k in range(len(obs)):
         assert np.allclose(res_mesh.x[k], res_plain.x[k], rtol=1e-8, atol=1e-10)
         assert res_mesh.tau_indices[k] == res_plain.tau_indices[k]
+
+
+def test_prep_assembly_cached_across_shared_grids(monkeypatch):
+    """Observations sharing a measurement protocol assemble matrices once:
+    the per-grid DRT instances' assembly caches make _prep_obs skip
+    impedance/penalty/vmm construction after the first hit (the 10x host
+    bottleneck of the ragged path)."""
+    from hybdrt_tpu.ops import mat1d
+    from hybdrt_tpu.parallel.ragged import BatchedRaggedFitter
+
+    calls = {"zm": 0}
+    orig = mat1d.construct_impedance_matrix
+
+    def counting(*a, **k):
+        calls["zm"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(mat1d, "construct_impedance_matrix", counting)
+
+    rng = np.random.default_rng(0)
+    grids = [np.logspace(5, -1, 31), np.logspace(4, -2, 25)]
+    obs = []
+    for k in range(6):
+        f = grids[k % 2]
+        z = 0.4 + 1.2 / (1 + (2j * np.pi * f * 10 ** (-2 + 0.2 * k)) ** 0.9)
+        z = z + rng.normal(0, 1e-3, len(f)) + 1j * rng.normal(0, 1e-3, len(f))
+        obs.append(((None, None, None), (f, z)))
+
+    fitter = BatchedRaggedFitter(TAU_SG, max_iter=8)
+    calls["zm"] = 0  # ignore template-construction calls
+    fitter.prepare(obs)
+    # 2 unique grids x (real + imag) = 4 assemblies for 6 observations
+    assert calls["zm"] == 4
+
+    # A second prepare on the same protocols assembles nothing
+    calls["zm"] = 0
+    fitter.prepare(obs)
+    assert calls["zm"] == 0
+
+    # And the jitted batch entry point is built once and reused
+    res1 = fitter.fit(obs)
+    attr = "_fit_batch_pp" if fitter.per_obs_penalty else "_fit_batch"
+    f1 = getattr(fitter, attr)
+    res2 = fitter.fit(obs)
+    assert getattr(fitter, attr) is f1
+    assert np.allclose(res1.x, res2.x)
