@@ -10,6 +10,7 @@ The block QP is solved by the JAX interior-point solver instead of cvxopt
 from copy import deepcopy
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from scipy.ndimage import gaussian_filter1d, median_filter
 
@@ -263,9 +264,15 @@ def solve_resolve_batch(systems, mesh=None, dtype=None):
     else:
         arrays = tuple(jnp.asarray(a, dtype=dtype) for a in arrays)
 
-    solve = jax.jit(jax.vmap(lambda p, q, lb: solve_qp_box(p, q, lb).x))
-    x_b = np.asarray(solve(*arrays))
+    x_b = np.asarray(_solve_batch_jit(*arrays))
     return [x_b[i, :n] for i, n in enumerate(sizes)]
+
+
+# Module-level jitted solver so repeat resolve calls reuse the compiled
+# executable instead of retracing per call
+@jax.jit
+def _solve_batch_jit(p_b, q_b, lb_b):
+    return jax.vmap(lambda p, q, lb: solve_qp_box(p, q, lb).x)(p_b, q_b, lb_b)
 
 
 def unpack_resolved_x(x, obs_drt_list, special_dict):

@@ -483,8 +483,17 @@ def _pfrt_fit(self, z_batch, factors=None, max_init_iter=20,
     else:
         rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
 
-    sweep = jax.jit(jax.vmap(lambda rv: _pfrt_sweep_single(
-        self, rv, factors, max_init_iter, max_iter_per_step, self.dtype)))
+    # Cache the jitted sweep per configuration (a fresh jit wrapper per call
+    # would retrace and recompile every time)
+    sweep_key = (factors.tobytes(), max_init_iter, max_iter_per_step)
+    cache = getattr(self, "_pfrt_sweeps", None)
+    if cache is None:
+        cache = self._pfrt_sweeps = {}
+    sweep = cache.get(sweep_key)
+    if sweep is None:
+        sweep = jax.jit(jax.vmap(lambda rv: _pfrt_sweep_single(
+            self, rv, factors, max_init_iter, max_iter_per_step, self.dtype)))
+        cache[sweep_key] = sweep
     step_x, step_llh = sweep(rzv_dev)
     return (np.asarray(step_x)[:b_orig], np.asarray(step_llh)[:b_orig],
             np.asarray(scale))
