@@ -391,14 +391,19 @@ class DRTMD:
             if not np.all(types == "eis"):
                 raise ValueError("Batched pfrt fitting supports EIS-only "
                                  "observations")
-            f0 = np.asarray(eiss[0][0])
-            if any(len(np.asarray(e[0])) != len(f0)
-                   or not np.allclose(e[0], f0) for e in eiss[1:]):
-                raise ValueError("Batched pfrt fitting requires a shared "
-                                 "frequency grid")
-            z_batch = np.stack([np.asarray(e[1]) for e in eiss])
-            return self._fit_batched_pfrt(fit_index, f0, z_batch, mesh=mesh,
-                                          dtype=dtype)
+            # Partition by frequency grid: each shared-grid group runs as
+            # one vmapped sweep (mixed-grid maps no longer raise)
+            groups = {}
+            for bi, e in enumerate(eiss):
+                f_k = np.asarray(e[0])
+                groups.setdefault(f_k.tobytes(), []).append(bi)
+            for members in groups.values():
+                f0 = np.asarray(eiss[members[0]][0])
+                z_batch = np.stack([np.asarray(eiss[bi][1])
+                                    for bi in members])
+                self._fit_batched_pfrt(fit_index[members], f0, z_batch,
+                                       mesh=mesh, dtype=dtype)
+            return
 
         for type_name in ("eis", "hybrid", "chrono"):
             sel = types == type_name

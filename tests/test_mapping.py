@@ -334,3 +334,33 @@ def test_load_attributes_roundtrip(tmp_path, fitted_md):
     md2.load_attributes(str(dest))
     assert np.allclose(md2.obs_x, md.obs_x)
     assert md2.num_obs == md.num_obs
+
+
+def test_batched_pfrt_mixed_grids():
+    """fit_type='pfrt' + batched=True partitions observations by frequency
+    grid and runs one vmapped sweep per group (previously raised on mixed
+    grids)."""
+    from hybdrt_tpu import DRTMD as _DRTMD
+
+    def sim(f, tau0, seed):
+        rng = np.random.default_rng(seed)
+        z = 0.4 + 1.5 / (1 + (2j * np.pi * f * tau0) ** 0.9)
+        return z + rng.normal(0, 1e-4, len(f)) + 1j * rng.normal(0, 1e-4, len(f))
+
+    factors = np.logspace(-0.5, 0.5, 3)
+    md = _DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+                print_progress=False, fit_type="pfrt", pfrt_factors=factors)
+    grids = [np.logspace(5, -1, 31), np.logspace(4, -2, 27)]
+    taus = [1e-3, 3e-3, 1e-2, 3e-2]
+    for k, t0 in enumerate(taus):
+        md.add_observation([k * 0.1], None, (grids[k % 2], sim(grids[k % 2], t0, k)))
+    md.fit_all(batched=True)
+    assert md.obs_fit_status.all()
+    # Each observation's best-llh solution peaks at its true tau
+    for k, t0 in enumerate(taus):
+        attr = md.obs_fit_attr[k]
+        assert attr.get("pfrt")
+        best = int(np.argmax(attr["step_llh"]))
+        x_best = md.obs_x[k, best]
+        peak_tau = TAU_SUPER[np.argmax(x_best)]
+        assert abs(np.log10(peak_tau / t0)) < 0.3
