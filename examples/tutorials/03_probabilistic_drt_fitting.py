@@ -93,4 +93,19 @@ savefig(fig, "t03_pfrt.png")
 for t_true in (3e-3, 2e-1):
     k = np.argmin(np.abs(np.log(tau_pf) - np.log(t_true)))
     print(f"PFRT peak probability near tau={t_true:.0e}: {pf[k]:.2f}")
+
+# ----------------------------------------------------------------------
+# 5. Beyond the MAP: posterior sampling. generate_map_samples pins each
+#    coefficient at +-{1,2,3} sigma and re-optimizes the rest (all as one
+#    vmapped batch of QPs); the lp-weighted samples give posterior means
+#    and quantiles for any derived quantity.
+# ----------------------------------------------------------------------
+x_mean = drt.estimate_posterior_mean()
+pm = drt.extract_qphb_parameters(x_mean)
+print(f"R_p: MAP {drt.predict_r_p():.3f}, posterior mean "
+      f"{drt.predict_r_p(x=pm['x']):.3f}")
+q_lo, q_med, q_hi = drt.get_parameter_quantile([0.025, 0.5, 0.975])
+n_drt = len(drt.basis_tau)
+width = np.mean((q_hi - q_lo)[-n_drt:])
+print(f"mean 95% coefficient interval width: {width:.4f} (raw space)")
 print("Tutorial 3 complete.")
