@@ -207,14 +207,17 @@ def merge_singular_peaks(tau_cls, peak_tau, singularity_info):
     from . import peaks as peaks_mod
     if singularity_info is None:
         return peak_tau, None
+    peak_tau = np.atleast_1d(np.asarray(peak_tau, dtype=float))
     dx = np.mean(np.abs(np.diff(np.log(tau_cls))))
     sing_tau = np.array([si[1] for si in singularity_info])
     add = peaks_mod.find_new_peaks(np.log(sing_tau), np.log(peak_tau), dx)
-    peak_tau = np.concatenate([peak_tau, sing_tau[add]])
-    order = np.argsort(peak_tau)
-    n_add = int(np.sum(add)) if np.asarray(add).dtype == bool else len(add)
-    sing_index = order[-n_add:] if n_add else np.array([], dtype=int)
-    return peak_tau[order], sing_index
+    if isinstance(add, tuple):  # np.where form
+        add = add[0]
+    all_tau = np.concatenate([peak_tau, sing_tau[add]])
+    order = np.argsort(all_tau)
+    # Sorted positions of the appended singular peaks
+    sing_index = np.nonzero(order >= len(peak_tau))[0]
+    return all_tau[order], sing_index
 
 
 def p2p_distance(tau_a, tau_b, a2b_index):
@@ -446,7 +449,10 @@ def find_model_peaks(model, tau_cls, normalize=True, find_peaks_kw=None,
     if return_prominence:
         prominences = props.get("prominences")
         if prominences is None:
-            prominences = _sp_find_peaks(-fxx, prominence=0)[1]["prominences"]
+            # Compute prominences for exactly the peaks found above so the
+            # two returned arrays stay aligned
+            from scipy.signal import peak_prominences
+            prominences = peak_prominences(-fxx, peak_index)[0]
         return peak_tau, np.asarray(prominences, dtype=float)
     return peak_tau
 

@@ -208,7 +208,11 @@ def find_bounded_paths_2d(ridge_prob, start_rows, end_rows, offset=2,
     """Tuple-form paths seeded at ridge-probability peaks on each start row
     (reference path.py:79 find_paths_2d). Returns (paths, costs)."""
     energy = energy_from_prob(np.asarray(ridge_prob) + 1e-10)
-    max_energy = np.inf if min_prob == 0 else -np.log(min_prob / (1 - min_prob))
+    # Energy threshold consistent with energy_from_prob (-log p): a path
+    # terminates where probability drops below min_prob. (The reference's
+    # 2-D form used the logit instead, which degenerates for min_prob >=
+    # 0.5 and disagrees with its own 3-D form.)
+    max_energy = np.inf if min_prob == 0 else -np.log(min_prob)
     paths, costs = [], []
     for start_row, end_row in zip(np.atleast_1d(start_rows),
                                   np.atleast_1d(end_rows)):

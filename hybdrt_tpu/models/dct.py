@@ -29,6 +29,21 @@ class DCT(DRT):
     # (reference dct.py:49-66 inverts the prediction matrices)
     _dist_matrix_sign = -1.0
 
+    def _get_impedance_pred_matrix(self, frequencies):
+        """Apply the conditional inversion to prediction matrices: the base
+        getter's contract is 'caller multiplies by _dist_matrix_sign', which
+        is only correct when the matrix was actually inverted at fit time
+        (should_invert). Present the matrix so the product equals the
+        conditionally-inverted matrix (reference dct.py:49-66)."""
+        m = super()._get_impedance_pred_matrix(frequencies)
+        return -invert_mat(-np.asarray(m))
+
+    def _get_response_pred_matrix(self, times, step_times, step_sizes,
+                                  tau_rise):
+        m = super()._get_response_pred_matrix(times, step_times, step_sizes,
+                                              tau_rise)
+        return -invert_mat(-np.asarray(m))
+
     def _prep_for_fit(self, *args, **kwargs):
         data, mat = super()._prep_for_fit(*args, **kwargs)
         (rm_drt, induc_rv, inf_rv, cap_rv, rm_dop, zm_drt, induc_zv, cap_zv, zm_dop,

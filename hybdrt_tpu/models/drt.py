@@ -1839,9 +1839,13 @@ class DRT:
         return idx
 
     def _basis_signature(self):
-        bt = np.asarray(self.basis_tau)
-        return (self.tau_basis_type, float(self.tau_epsilon), len(bt),
-                float(bt[0]), float(bt[-1]))
+        bt = np.asarray(self.basis_tau, dtype=float)
+        zga = None
+        if self.zga_params is not None:
+            zga = tuple(np.asarray(p, dtype=float).tobytes()
+                        for p in self.zga_params)
+        return (self.tau_basis_type, float(self.tau_epsilon), bt.tobytes(),
+                zga, self.integrate_method)
 
     def _get_impedance_pred_matrix(self, frequencies):
         sig = self._basis_signature()
@@ -2188,23 +2192,13 @@ class DRT:
         (reference drt1d.py:4403; see generate_map_samples for the parity
         note). `quantile` may be a scalar or a sequence; returns
         (n_quantiles, n_params) raw-space values."""
+        from ..utils.array import weighted_quantile_2d
         samples = self.generate_map_samples(**sample_kw)
         x_all = np.vstack([samples["x_hat"][None, :], samples["x"]])
         lp_all = np.concatenate([[samples["lp_hat"]], samples["lp"]])
         w = np.exp(lp_all - np.max(lp_all))
-        quantile = np.atleast_1d(np.asarray(quantile, dtype=float))
-
-        # Weighted quantile per column: sort values, accumulate normalized
-        # weights, interpolate at the requested quantiles
-        order = np.argsort(x_all, axis=0)
-        x_sorted = np.take_along_axis(x_all, order, axis=0)
-        w_sorted = w[order]
-        cw = np.cumsum(w_sorted, axis=0)
-        cw = (cw - 0.5 * w_sorted) / cw[-1]
-        out = np.empty((len(quantile), x_all.shape[1]))
-        for j in range(x_all.shape[1]):
-            out[:, j] = np.interp(quantile, cw[:, j], x_sorted[:, j])
-        return out
+        return weighted_quantile_2d(x_all, np.atleast_1d(quantile),
+                                    sample_weight=w)
 
     def estimate_posterior_mean(self, **sample_kw):
         """Posterior-mean coefficient vector from lp-weighted MAP samples

@@ -148,6 +148,31 @@ class BatchedRaggedFitter:
             sys_ = drt._qphb_fit_core(times, i_sig, v_sig, freq, z,
                                       nonneg=self.nonneg, prep_only=True,
                                       **self.fit_kw, **self.hyper_kw)
+            # Resolve host-side hybrid weight factors: explicit kwargs pass
+            # through; method='rp' computes them from the prep state exactly
+            # as the serial path does (drt.py:1311-1319). method='weight'
+            # stays in-device (it needs the initialized weights).
+            ewf = cwf = None
+            if sys_["data_type"] == "hybrid":
+                ewf = sys_.get("eis_weight_factor")
+                cwf = sys_.get("chrono_weight_factor")
+                if sys_.get("hybrid_weight_factor_method") == "rp" \
+                        and (ewf is None or cwf is None):
+                    from .. import preprocessing as pp_mod
+                    rp_eis = pp_mod.estimate_rp(None, None, None, None, None,
+                                                drt.z_fit)
+                    rp_chrono = pp_mod.estimate_rp(
+                        drt.get_fit_times(), drt.step_times, drt.step_sizes,
+                        drt.raw_response_signal, drt.step_model, None)
+                    rp_tot = drt.coefficient_scale * sys_["hypers"]["rp_scale"]
+                    if ewf is None:
+                        ewf = rp_eis ** 0.75 / (rp_chrono ** 0.25
+                                                * rp_tot ** 0.5)
+                    if cwf is None:
+                        cwf = rp_chrono ** 0.75 / (rp_eis ** 0.25
+                                                   * rp_tot ** 0.5)
+            sys_["host_eis_wf"] = ewf
+            sys_["host_chrono_wf"] = cwf
         return sys_
 
     def prepare(self, observations):
@@ -191,6 +216,8 @@ class BatchedRaggedFitter:
             "l1v": np.zeros((b, n_max)),
             "lb": np.zeros((b, n_max)),
             "var_floor": np.zeros(b),
+            # NaN = "use the in-device weight factor" (see _fit_single)
+            "host_row_factors": np.full((b, r_max), np.nan),
         }
         if self.per_obs_penalty:
             batch["m_stack"] = np.zeros((b, 3, n_max, n_max))
@@ -218,6 +245,10 @@ class BatchedRaggedFitter:
             if self.per_obs_penalty:
                 batch["m_stack"][i, :, :n_i, :n_i] = s["m_stack"]
             batch["var_floor"][i] = np.var(s["rzv"]) * 1e-7
+            if s.get("host_chrono_wf") is not None:
+                batch["host_row_factors"][i, :nc_i] = s["host_chrono_wf"]
+            if s.get("host_eis_wf") is not None:
+                batch["host_row_factors"][i, nc_i:r_i] = s["host_eis_wf"]
             left = nearest_index(self.tau_supergrid, s["basis_tau"][0])
             right = nearest_index(self.tau_supergrid, s["basis_tau"][-1]) + 1
             tau_indices.append((int(left), int(right)))
@@ -274,7 +305,7 @@ class BatchedRaggedFitter:
     # ------------------------------------------------------------------
     def _fit_single(self, rzv, rzm, vmm, rzm_vz, vz_strength, vz_sign,
                     chrono_row_mask, row_mask, col_mask, l1v, lb, var_floor,
-                    m_stack=None):
+                    host_row_factors=None, m_stack=None):
         cfg = self.cfg
         n = rzm.shape[1]
         dtype = rzv.dtype
@@ -304,6 +335,12 @@ class BatchedRaggedFitter:
             row_factors = chrono_row_mask * ratio + (1.0 - chrono_row_mask) / ratio
         else:
             row_factors = jnp.ones_like(rzv)
+        if host_row_factors is not None:
+            # Host-resolved factors (explicit eis/chrono_weight_factor kwargs
+            # or method='rp', reference drt1d.py:1303-1325) override the
+            # in-device values row-wise; NaN marks "use the device value"
+            row_factors = jnp.where(jnp.isnan(host_row_factors), row_factors,
+                                    host_row_factors)
 
         x0 = jnp.full(n, 1e-6, dtype=dtype)
         one = jnp.asarray(1.0, dtype=dtype)
@@ -333,7 +370,8 @@ class BatchedRaggedFitter:
                 arrays["rzm_vz"], arrays["vz_strength"],
                 arrays["vz_sign"], arrays["chrono_row_mask"],
                 arrays["row_mask"], arrays["col_mask"],
-                arrays["l1v"], arrays["lb"], arrays["var_floor"]]
+                arrays["l1v"], arrays["lb"], arrays["var_floor"],
+                arrays["host_row_factors"]]
         # Jitted entry points are cached on the instance: rebuilding them per
         # call would retrace and recompile the whole fit every time
         if self.per_obs_penalty:

@@ -161,7 +161,9 @@ def solve_rho(pm, x, sv, alpha, beta, xmx_norm):
 # ------------------------------------------------------------------
 def solve_outlier_t(vmm, resid, outlier_p):
     """Bernoulli outlier posterior: t = 1 - P(outlier)."""
-    tiny = jnp.asarray(1e-150, dtype=resid.dtype)
+    # dtype-aware floor: a fixed 1e-150 underflows to 0 in float32, making
+    # the guard a no-op for f32 fits with zero-residual (padded) rows
+    tiny = jnp.asarray(jnp.finfo(resid.dtype).tiny ** 0.25, dtype=resid.dtype)
     s_bar = jnp.maximum(vmm @ resid ** 2, tiny ** 2)
     sqrt2pi = jnp.sqrt(2 * jnp.pi)
     sd_in = jnp.sqrt(s_bar)

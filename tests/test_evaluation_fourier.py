@@ -171,3 +171,34 @@ def test_evaluation_helper_functions():
         tau, np.array([1e-2]), [(0.5, 1e-3)])
     assert len(merged) == 2 and merged[0] == pytest.approx(1e-3)
     assert sing_idx.tolist() == [0]
+
+
+def test_review_regressions_merge_and_prominence():
+    """Round-2 review regressions: merge_singular_peaks returns the sorted
+    POSITIONS of appended singular peaks, and find_model_peaks keeps
+    peak_tau and prominences aligned when find_peaks_kw omits
+    'prominence'."""
+    from hybdrt_tpu import evaluation as ev
+
+    tau = np.logspace(-4, 0, 81)
+    # Singular peak smaller than all smooth peaks -> sorted position 0
+    merged, sing_idx = ev.merge_singular_peaks(
+        tau, np.array([1e-2, 1e-1, 1.0]), [(1.0, 1e-4)])
+    assert merged.tolist() == [1e-4, 1e-2, 1e-1, 1.0]
+    assert sing_idx.tolist() == [0]
+    # Singularity coinciding with an existing peak: nothing appended
+    merged2, sing_idx2 = ev.merge_singular_peaks(
+        tau, np.array([1e-2, 1e-1]), [(1.0, 1e-2)])
+    assert len(merged2) == 2 and len(sing_idx2) == 0
+
+    class TwoPeaks:
+        def predict_distribution(self, t):
+            x = np.log(t)
+            return (np.exp(-0.5 * ((x + 4.6) / 0.3) ** 2)
+                    + 0.4 * np.exp(-0.5 * ((x + 2.3) / 0.3) ** 2))
+
+    peak_tau, prom = ev.find_model_peaks(
+        TwoPeaks(), tau, normalize=False,
+        find_peaks_kw={"height": 0}, return_prominence=True)
+    assert len(peak_tau) == len(prom)
+    assert np.all(prom >= 0)

@@ -230,3 +230,33 @@ def test_prep_assembly_cached_across_shared_grids(monkeypatch):
     res2 = fitter.fit(obs)
     assert getattr(fitter, attr) is f1
     assert np.allclose(res1.x, res2.x)
+
+
+def test_ragged_hybrid_weight_factors_match_serial():
+    """Explicit eis/chrono weight factors and method='rp' reach the ragged
+    fitter (review regression: they were silently replaced by 1.0)."""
+    from hybdrt_tpu import DRT
+    from hybdrt_tpu.parallel.ragged import BatchedRaggedFitter
+
+    rng = np.random.default_rng(3)
+    times = np.concatenate([np.linspace(-0.005, -0.0005, 8),
+                            np.logspace(-5, 0, 50)])
+    i_sig = np.where(times >= 0, 0.1, 0.0)
+    freq = np.logspace(5, -1, 25)
+    w = 2j * np.pi * freq
+    tau0, r0 = 3e-3, 1.5
+    v = 0.3 * i_sig + 0.1 * r0 * (1 - np.exp(-np.maximum(times, 0) / tau0)) \
+        * (times >= 0) + rng.normal(0, 2e-4, len(times))
+    z = 0.3 + r0 / (1 + w * tau0) \
+        + rng.normal(0, 1e-3, 25) + 1j * rng.normal(0, 1e-3, 25)
+    obs = [((times, i_sig, v), (freq, z))]
+
+    for kw in ({"eis_weight_factor": 2.0, "chrono_weight_factor": 0.5},
+               {"hybrid_weight_factor_method": "rp"}):
+        drt = DRT(warn=False, tau_supergrid=TAU_SG)
+        drt.fit_hybrid(times, i_sig, v, freq, z, **kw)
+        fitter = BatchedRaggedFitter(TAU_SG, fit_kw=dict(kw))
+        res = fitter.fit(obs)
+        x_serial = drt.fit_parameters["x"]
+        assert np.allclose(res.x[0][:len(x_serial)], x_serial,
+                           rtol=1e-5, atol=1e-8), f"mismatch for {kw}"
