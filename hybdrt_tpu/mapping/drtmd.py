@@ -412,10 +412,17 @@ class DRTMD:
             idx = fit_index[sel]
             sub_c = [c for c, s in zip(chronos, sel) if s]
             sub_e = [e for e, s in zip(eiss, sel) if s]
+            # The shared-matrix hybrid fitter implements only the default
+            # (None) weight-factor configuration; other settings route to
+            # the ragged fitter, which resolves them per observation
+            wf_default = (self.fit_kw.get("hybrid_weight_factor_method") is None
+                          and self.fit_kw.get("eis_weight_factor") is None
+                          and self.fit_kw.get("chrono_weight_factor") is None)
             if type_name == "eis" and self._eis_grid_uniform(sub_e):
                 self._fit_batched_eis_uniform(idx, sub_e, mesh=mesh, dtype=dtype,
                                               ignore_errors=ignore_errors)
-            elif type_name == "hybrid" and self._hybrid_protocol_uniform(sub_c, sub_e):
+            elif type_name == "hybrid" and wf_default \
+                    and self._hybrid_protocol_uniform(sub_c, sub_e):
                 self._fit_batched_hybrid_uniform(idx, sub_c, sub_e, mesh=mesh,
                                                  dtype=dtype,
                                                  ignore_errors=ignore_errors)
