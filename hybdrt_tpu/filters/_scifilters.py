@@ -36,23 +36,29 @@ def empty_gaussian_filter1d(input, sigma, axis=-1, order=0, output=None, mode="r
 
 def empty_gaussian_filter(input, sigma, order=0, output=None, mode="reflect", cval=0.0,
                           truncate=4.0):
-    """N-D center-excluded gaussian: the full N-D kernel with the single center
-    tap removed (NOT separable; computed via correlate with an explicit kernel
-    for small radii, falling back to a sequence difference for large ones)."""
+    """N-D center-excluded gaussian as a SEQUENCE of 1-D empty filters
+    (reference _scifilters.py): each axis pass excludes its own center tap,
+    so the composed kernel zeroes the axis-aligned cross through the center.
+    Separable, so cost scales with sum (not product) of kernel sizes."""
     input = np.asarray(input, dtype=float)
     if np.isscalar(sigma):
         sigma = [sigma] * input.ndim
-    radii = [int(float(s) * truncate + 0.5) for s in sigma]
-    # Build separable kernels and form the dense N-D kernel
-    kernels = [np.exp(-0.5 * (np.arange(-r, r + 1) / s) ** 2)
-               for s, r in zip(sigma, radii)]
-    full = kernels[0]
-    for k in kernels[1:]:
-        full = np.multiply.outer(full, k)
-    center = tuple(r for r in radii)
-    full[center] = 0.0
-    full = full / full.sum()
-    return ndimage.correlate(input, full, output=output, mode=mode, cval=cval)
+    if np.isscalar(order):
+        order = [order] * input.ndim
+    out = input
+    applied = False
+    for axis, (s, o) in enumerate(zip(sigma, order)):
+        if s > 1e-15:
+            out = empty_gaussian_filter1d(out, s, axis=axis, order=o,
+                                          mode=mode, cval=cval,
+                                          truncate=truncate)
+            applied = True
+    if not applied:
+        out = input.copy()
+    if output is not None:
+        output[...] = out
+        return output
+    return out
 
 
 def generic_laplace1d(input, derivative2, axis=-1, output=None, mode="reflect",

@@ -472,8 +472,11 @@ class DRTMD:
             dtype=dtype if dtype is not None else jnp.float64, mesh=mesh)
         result = fitter.fit(z_batch)
         self._batch_fitter = fitter
+        self._register_batch_fitter("eis", fitter)
+        rzv_batch, _ = fitter.scale_batch(z_batch)
         self._store_uniform_result(fit_index, fitter, result, z_batch,
-                                   is_hybrid=False, ignore_errors=ignore_errors)
+                                   rzv_batch, is_hybrid=False,
+                                   ignore_errors=ignore_errors)
 
     def _fit_batched_hybrid_uniform(self, fit_index, chronos, eiss, mesh=None,
                                     dtype=None, ignore_errors=False):
@@ -491,11 +494,21 @@ class DRTMD:
             dtype=dtype if dtype is not None else jnp.float64, mesh=mesh)
         result = fitter.fit(v_batch, z_batch)
         self._batch_fitter = fitter
+        self._register_batch_fitter("hybrid", fitter)
+        rzv_batch, _ = fitter.scale_batch(v_batch, z_batch)
         self._store_uniform_result(fit_index, fitter, result, z_batch,
-                                   is_hybrid=True, ignore_errors=ignore_errors)
+                                   rzv_batch, is_hybrid=True,
+                                   ignore_errors=ignore_errors)
 
-    def _store_uniform_result(self, fit_index, fitter, result, z_batch, is_hybrid,
-                              ignore_errors=False):
+    def _register_batch_fitter(self, key, fitter):
+        """Keep one fitter per batched group so multi-group fit_all calls
+        (EIS + hybrid) can each rebuild their own observations."""
+        if not hasattr(self, "_batch_fitters"):
+            self._batch_fitters = {}
+        self._batch_fitters[key] = fitter
+
+    def _store_uniform_result(self, fit_index, fitter, result, z_batch,
+                              rzv_batch, is_hybrid, ignore_errors=False):
         # Locate the shared basis window on the supergrid
         left_index = nearest_index(self.tau_supergrid, fitter.basis_tau[0])
         right_index = nearest_index(self.tau_supergrid, fitter.basis_tau[-1]) + 1
@@ -529,7 +542,8 @@ class DRTMD:
                 "batched": True, "x_raw": result.x_raw[bi],
                 "scale": result.scale[bi], "weights": result.weights[bi],
                 "rho": result.rho[bi], "s_vectors": result.s_vectors[bi],
-                "z": z_batch[bi],
+                "z": z_batch[bi], "rzv": np.asarray(rzv_batch[bi]),
+                "fitter_key": "hybrid" if is_hybrid else "eis",
                 "converged": bool(result.converged[bi]),
                 "n_iter": int(result.n_iter[bi]),
             }
@@ -684,12 +698,16 @@ class DRTMD:
         from ..solver import qphb as qphb_mod
         from ..models.drt import _hypers_to_pytree
 
-        fitter = self._batch_fitter
+        fitter = getattr(self, "_batch_fitters", {}).get(
+            attr.get("fitter_key")) or self._batch_fitter
         template = fitter.template
         qp = template.qphb_params
         m_stack = np.stack([qp["penalty_matrices"][f"m{k}"] for k in range(3)])
         hyp = _hypers_to_pytree(qp["hypers"])
-        rzv = np.concatenate([attr["z"].real, attr["z"].imag]) / attr["scale"]
+        if attr.get("rzv") is not None:
+            rzv = np.asarray(attr["rzv"])  # scaled rows incl. chrono block
+        else:  # attrs stored before rzv was recorded (EIS-only batches)
+            rzv = np.concatenate([attr["z"].real, attr["z"].imag]) / attr["scale"]
         p_matrix, q_vector = qphb_mod.calculate_pq(
             jnp.asarray(qp["rm"]), jnp.asarray(rzv), jnp.asarray(m_stack), hyp,
             jnp.asarray(qp["l1_lambda_vector"]), jnp.asarray(attr["rho"]),

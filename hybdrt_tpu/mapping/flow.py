@@ -112,7 +112,9 @@ def bidirectional_flow(image_a, image_b, flow_axes=(-1,), **ilk_kw):
     """Average of forward and reversed-backward flows (reference flow.py:75-292)."""
     fwd = partial_flow_ilk(image_a, image_b, flow_axes=flow_axes, **ilk_kw)
     bwd = partial_flow_ilk(image_b, image_a, flow_axes=flow_axes, **ilk_kw)
-    return 0.5 * (fwd - reverse_flow(bwd, flow_axes=flow_axes))
+    # reverse_flow(bwd) APPROXIMATES fwd, so the two estimates average with
+    # a plus sign (a minus sign cancels them to ~zero)
+    return 0.5 * (fwd + reverse_flow(bwd, flow_axes=flow_axes))
 
 
 # ------------------------------------------------------------------

@@ -120,7 +120,7 @@ def flag_bad_obs(x_raw, x_filt, std_size=5, thresh=2, test_factor_correction=Fal
             offset = offset_correction(xri, xfi)
             rss = np.minimum(rss, rss_of(xri - np.expand_dims(offset, -1)))
         rss_list.append(rss)
-        bad_flags.append(rss > thresh ** 2)
+        bad_flags.append(rss >= thresh)  # reference threshold semantics
 
     bad_index = bad_flags[0]
     for bf in bad_flags[1:]:

@@ -57,8 +57,14 @@ def mc_anneal(points, n_clusters, n_iter=2000, t_start=1.0, t_end=0.01, scale=No
     if scale is None:
         scale = np.std(points) + 1e-6
 
-    # Initialize by splitting along the principal axis
-    proj = points @ (points - points.mean(0)).T.mean(1) if n > 1 else np.zeros(n)
+    # Initialize by splitting along the principal axis (first right
+    # singular vector of the centered cloud)
+    if n > 1:
+        centered = points - points.mean(0)
+        _, _, vt = np.linalg.svd(centered, full_matrices=False)
+        proj = centered @ vt[0]
+    else:
+        proj = np.zeros(n)
     order = np.argsort(proj)
     assignments = np.zeros(n, dtype=int)
     for k in range(n_clusters):

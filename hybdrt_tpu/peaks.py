@@ -111,8 +111,12 @@ def estimate_peak_weight_distributions(tau, f, fxx, peak_indices, basis_tau,
     if peak_tau is None:
         peak_tau = tau[peak_indices]
     basis_tau = np.asarray(basis_tau)
-    if len(peak_tau) <= 1:
-        return np.ones((max(len(peak_tau), 1), len(basis_tau)))
+    if len(peak_tau) == 0:
+        # No peaks -> no weight rows (reference returns an empty set, not a
+        # phantom all-ones peak)
+        return np.zeros((0, len(basis_tau)))
+    if len(peak_tau) == 1:
+        return np.ones((1, len(basis_tau)))
 
     peak_tau = np.sort(np.asarray(peak_tau))
     rbf = lambda y, eps: np.exp(-(eps * np.asarray(y)) ** 2)

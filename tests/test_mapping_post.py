@@ -260,3 +260,28 @@ def test_ridge_prob_pipeline_and_smooth_paths():
     sm = pth.smooth_paths([(np.arange(5), np.array([1, 2, 5, 2, 1]))], 1.0)
     assert sm[0][1][2] < 5  # spike attenuated
     assert pth.paths_to_mask_3d is pth.tuple_paths_to_mask
+
+
+def test_bidirectional_flow_recovers_shift():
+    """Review regression: bidirectional_flow averages the forward and
+    reversed-backward estimates with a PLUS sign (a minus cancels them)."""
+    from hybdrt_tpu.mapping import flow as fl
+    x_grid = np.arange(96, dtype=float)
+    img_a = np.exp(-0.5 * ((x_grid - 40) / 4.0) ** 2)[None, :].repeat(4, 0)
+    img_b = np.exp(-0.5 * ((x_grid - 43) / 4.0) ** 2)[None, :].repeat(4, 0)
+    flow_bi = fl.bidirectional_flow(img_b, img_a)
+    flow_fwd = fl.partial_flow_ilk(img_b, img_a)
+    core = np.abs(x_grid - 41.5) < 6
+    assert np.median(flow_bi[0][:, core]) == pytest.approx(
+        np.median(flow_fwd[0][:, core]), abs=0.5)
+    assert abs(np.median(flow_bi[0][:, core])) > 1.5  # not cancelled to ~0
+
+
+def test_zero_peaks_weight_decomposition_empty():
+    """Review regression: no peaks -> empty weight set, not a phantom
+    all-ones peak."""
+    from hybdrt_tpu import peaks as pk
+    tau = np.logspace(-4, 0, 50)
+    w = pk.estimate_peak_weight_distributions(tau, np.zeros(50), np.zeros(50),
+                                              np.array([], dtype=int), tau)
+    assert w.shape == (0, 50)
