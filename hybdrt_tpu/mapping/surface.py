@@ -93,15 +93,24 @@ def find_ridges(p_ridge, num_group_dims, **kw):
 
 
 def find_troughs_1d(ridge_mask, f, p_trough):
-    """Place a trough between each adjacent ridge pair at the max trough
-    probability (reference surface.py:54-130)."""
+    """Place a trough between each adjacent ridge pair: at the max trough
+    probability for same-sign ridges, or at the zero crossing of f when the
+    ridges have opposite sign (series_neg / unconstrained fits)
+    (reference surface.py:54-130)."""
+    from ..utils.array import nearest_index
     ridge_mask = np.asarray(ridge_mask, dtype=bool)
+    f = np.asarray(f)
     trough_mask = np.zeros_like(ridge_mask)
     peaks = np.where(ridge_mask)[0]
     for i in range(len(peaks) - 1):
-        lo, hi = peaks[i] + 1, peaks[i + 1]
-        if hi > lo:
-            trough_mask[lo + int(np.argmax(p_trough[lo:hi]))] = True
+        start, end = peaks[i], peaks[i + 1]
+        if end <= start + 1:
+            continue
+        if np.sign(f[start]) == np.sign(f[end]):
+            trough = start + 1 + int(np.argmax(p_trough[start + 1:end]))
+        else:
+            trough = start + nearest_index(f[start:end], 0)
+        trough_mask[trough] = True
     return trough_mask
 
 

@@ -285,3 +285,21 @@ def test_zero_peaks_weight_decomposition_empty():
     w = pk.estimate_peak_weight_distributions(tau, np.zeros(50), np.zeros(50),
                                               np.array([], dtype=int), tau)
     assert w.shape == (0, 50)
+
+
+def test_find_troughs_sign_change_at_zero_crossing():
+    """Opposite-sign ridges place the trough at f's zero crossing, not at
+    the max trough probability (reference surface.py:54-80)."""
+    from hybdrt_tpu.mapping import surface as sf
+    x_grid = np.linspace(-3, 3, 61)
+    f = (np.exp(-0.5 * ((x_grid + 1.5) / 0.4) ** 2)
+         - np.exp(-0.5 * ((x_grid - 1.5) / 0.4) ** 2))
+    ridge_mask = np.zeros(61, dtype=bool)
+    ridge_mask[np.argmin(np.abs(x_grid + 1.5))] = True
+    ridge_mask[np.argmin(np.abs(x_grid - 1.5))] = True
+    # Adversarial p_trough: maximal far from the crossing
+    p_trough = np.exp(-0.5 * ((x_grid + 1.0) / 0.2) ** 2)
+    troughs = sf.find_troughs_1d(ridge_mask, f, p_trough)
+    t_idx = np.where(troughs)[0]
+    assert len(t_idx) == 1
+    assert abs(x_grid[t_idx[0]]) < 0.2  # at the zero crossing
