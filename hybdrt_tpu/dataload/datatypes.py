@@ -82,7 +82,9 @@ class ImmittanceData:
     def timestamps(self):
         if self.time is None or self.timestamp is None:
             return None
-        return self.timestamp + self.time
+        return (pd.Timestamp(self.timestamp)
+                + pd.to_timedelta(np.asarray(self.time, dtype=float),
+                                  unit="s"))
 
     # -- conversion ----------------------------------------------------
     def as_dataframe(self) -> pd.DataFrame:
@@ -189,7 +191,9 @@ class ChronoData:
     def timestamps(self):
         if self.timestamp is None:
             return None
-        return self.timestamp + self.time
+        return (pd.Timestamp(self.timestamp)
+                + pd.to_timedelta(np.asarray(self.time, dtype=float),
+                                  unit="s"))
 
     def as_tuple(self):
         return self.tiv

@@ -75,7 +75,8 @@ def _read_generic(file: FilePath, source=None, with_timestamp=True,
         timestamp = extract_timestamp(file, source)
         time_col = detect_time_column(list(data.columns), source)
         if timestamp is not None and time_col is not None:
-            data.timestamp = timestamp + data[time_col]
+            data["timestamp"] = pd.Timestamp(timestamp) \
+                + pd.to_timedelta(data[time_col].astype(float), unit="s")
         else:
             warnings.warn(f"Could not load timestamps for file {file}")
     return data, source

@@ -1234,6 +1234,7 @@ class DRT:
                 "vz_index": self.special_qp_params.get("vz_offset", {}).get("index", -1),
                 "data_type": data_type, "num_chrono": num_chrono,
                 "num_eis": num_eis, "hypers": qphb_hypers,
+                "dop_gmat": dop_gmat,
                 "outlier_p": qphb_hypers.get("outlier_p"),
                 "basis_tau": np.asarray(self.basis_tau),
                 "special_qp_params": dict(self.special_qp_params),

@@ -346,7 +346,10 @@ def solve_qp(P, q, G, h, tol_gap=1e-12, tol_feas=1e-10, max_iter=60):
         a_p = _max_step(s, ds_a)
         a_d = _max_step(z, dz_a)
         mu_aff = jnp.dot(s + a_p * ds_a, z + a_d * dz_a) / m
-        sigma = (mu_aff / mu) ** 3
+        # Same guards as the box solver: mu -> 0 would blow sigma up to
+        # inf/NaN near complementarity, and sigma > 1 over-centers
+        sigma = (mu_aff / jnp.maximum(mu, 1e-300)) ** 3
+        sigma = jnp.clip(sigma, 0.0, 1.0)
 
         dx, ds, dz = newton(s * z + ds_a * dz_a - sigma * mu)
         eta = 0.99

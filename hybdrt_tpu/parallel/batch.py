@@ -80,6 +80,14 @@ class BatchedEISFitter:
         self.rzm = cast(qp["rm"])
         self.vmm = cast(qp["vmm"])
         self.m_stack = cast(np.stack([qp["penalty_matrices"][f"m{k}"] for k in range(3)]))
+        # DOP order-0 smoothing g-matrix: the serial loop applies it in the
+        # s-vector update (drt.py:1134-1139); omitting it diverges from the
+        # serial path for fit_dop fits
+        self.dop_gmat = None
+        if self.cfg.fit_dop:
+            g0 = np.asarray(template.fit_matrices["gmat0_dop"])
+            self.dop_gmat = cast(np.stack(
+                [g0 if k == 0 else np.zeros_like(g0) for k in range(3)]))
         self.l1v = cast(qp["l1_lambda_vector"])
         self.lb = cast(qp["lb"])
         self.hyp = jax.tree.map(
@@ -124,8 +132,10 @@ class BatchedEISFitter:
             self.rzm, self.vmm, self.lb, cfg, outlier_p=None)
 
         x0 = jnp.full(n, 1e-6, dtype=dtype)
+        dop_gmat = None if self.dop_gmat is None \
+            else jnp.asarray(self.dop_gmat, dtype=dtype)
         state, _ = fitcore.qphb_fit_loop(
-            self.rzm, rzv, self.vmm, self.m_stack, None, self.l1v, self.lb, self.hyp,
+            self.rzm, rzv, self.vmm, self.m_stack, dop_gmat, self.l1v, self.lb, self.hyp,
             x0, s0, rho0, dop_rho0, init_w, est, out_t,
             jnp.zeros_like(self.rzm), jnp.ones(self.rzm.shape[0], dtype=dtype),
             jnp.asarray(1.0, dtype=dtype), jnp.asarray(1.0, dtype=dtype),
@@ -307,6 +317,7 @@ class BatchedHybridFitter:
                                     else np.ones(rzm.shape[0]))
         self.vmm = cast(qp["vmm"])
         self.m_stack = cast(np.stack([qp["penalty_matrices"][f"m{k}"] for k in range(3)]))
+        self.dop_gmat = None  # hybrid fitter does not support fit_dop
         self.l1v = cast(qp["l1_lambda_vector"])
         self.lb = cast(qp["lb"])
         self.hyp = jax.tree.map(
@@ -340,8 +351,10 @@ class BatchedHybridFitter:
             self.iw_hyp, self.m_stack, rho0, dop_rho0, s0, rzv,
             self.rzm, self.vmm, self.lb, cfg, outlier_p=None)
         x0 = jnp.full(n, 1e-6, dtype=dtype)
+        dop_gmat = None if self.dop_gmat is None \
+            else jnp.asarray(self.dop_gmat, dtype=dtype)
         state, _ = fitcore.qphb_fit_loop(
-            self.rzm, rzv, self.vmm, self.m_stack, None, self.l1v, self.lb, self.hyp,
+            self.rzm, rzv, self.vmm, self.m_stack, dop_gmat, self.l1v, self.lb, self.hyp,
             x0, s0, rho0, dop_rho0, init_w, est, out_t,
             self.rzm_vz, self.vz_strength_vec,
             jnp.asarray(1.0, dtype=dtype), jnp.asarray(1.0, dtype=dtype),
@@ -366,7 +379,10 @@ class BatchedHybridFitter:
             scale[i] = rp_est / self.rp_scale
             resp_scale = self.input_signal_scale * scale[i]
             v_s = v_batch[i] / resp_scale
-            v_s = v_s - np.median(v_s[pre])
+            # No pre-step samples (first sample at/after the step): skip the
+            # baseline subtraction instead of taking a NaN median
+            if pre.any():
+                v_s = v_s - np.median(v_s[pre])
             z_s = z_batch[i] / scale[i]
             rzv[i] = np.concatenate([v_s, z_s.real, z_s.imag])
         return rzv, scale
@@ -423,8 +439,10 @@ def _pfrt_sweep_single(fitter, rzv, factors, max_init_iter, max_iter_per_step,
     x0 = jnp.full(n, 1e-6, dtype=dtype)
     ones_row = jnp.ones(fitter.rzm.shape[0], dtype=dtype)
     one = jnp.asarray(1.0, dtype=dtype)
+    dop_gmat = None if getattr(fitter, "dop_gmat", None) is None \
+        else jnp.asarray(fitter.dop_gmat, dtype=dtype)
     state, _ = fitcore.qphb_fit_loop(
-        fitter.rzm, rzv, fitter.vmm, fitter.m_stack, None, fitter.l1v,
+        fitter.rzm, rzv, fitter.vmm, fitter.m_stack, dop_gmat, fitter.l1v,
         fitter.lb, hyp_at(s0_steps[0], l2_steps[0]),
         x0, s_vec0, rho0, dop_rho0, init_w, est, out_t,
         jnp.zeros_like(fitter.rzm), ones_row, one, one, one, fcfg_init)

@@ -273,6 +273,11 @@ class BatchedRaggedFitter:
         self.hybrid_wf_method = ref["hybrid_weight_factor_method"]
         self.weight_factor = float(ref["weight_factor"] or 1.0)
         self.dop_scale_vector = ref["dop_scale_vector"]
+        # DOP order-0 smoothing g-matrix (serial drt.py:1134-1139); the DOP
+        # block sits at the same indices for every observation, so the
+        # reference obs's stack applies batch-wide
+        self.dop_gmat = None if ref.get("dop_gmat") is None \
+            else np.stack([np.asarray(g) for g in ref["dop_gmat"]])
         self.inductance_scale = ref["inductance_scale"]
         self.capacitance_scale = ref["capacitance_scale"]
         self.fcfg = fitcore.FitConfig(
@@ -344,14 +349,19 @@ class BatchedRaggedFitter:
 
         x0 = jnp.full(n, 1e-6, dtype=dtype)
         one = jnp.asarray(1.0, dtype=dtype)
+        dop_gmat = None if self.dop_gmat is None \
+            else jnp.asarray(self.dop_gmat, dtype=dtype)
         state, _ = fitcore.qphb_fit_loop(
-            rzm, rzv, vmm, m_stack, None, l1v, lb, self.hyp,
+            rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, self.hyp,
             x0, s0, rho0, dop_rho0, init_w, est, out_t,
             rzm_vz, vz_strength, one, one,
             jnp.asarray(self.weight_factor, dtype=dtype), self.fcfg,
             col_mask=col_mask, var_floor=var_floor,
             row_factors=row_factors, vz_sign=vz_sign)
-        return state
+        # Return the per-row factors so collect() can store EFFECTIVE weights
+        # (the serial path stores weights * domain factors, drt.py:1400-1403,
+        # and llh/rss are evaluated against those)
+        return state, row_factors
 
     # ------------------------------------------------------------------
     def fit(self, observations, return_states=False):
@@ -372,22 +382,33 @@ class BatchedRaggedFitter:
                 arrays["row_mask"], arrays["col_mask"],
                 arrays["l1v"], arrays["lb"], arrays["var_floor"],
                 arrays["host_row_factors"]]
-        # Jitted entry points are cached on the instance: rebuilding them per
-        # call would retrace and recompile the whole fit every time
-        if self.per_obs_penalty:
-            if getattr(self, "_fit_batch_pp", None) is None:
-                self._fit_batch_pp = jax.jit(jax.vmap(
+        # Jitted entry points are cached on the instance (rebuilding per call
+        # would retrace and recompile the whole fit). The cache key includes
+        # the prepare()-derived configuration the closure captures as
+        # constants: jit's own cache keys only on shapes, so without this a
+        # later batch with coincidentally matching padded shapes would run
+        # under the previous batch's fcfg/data_type/penalty stack.
+        cfg_sig = (self.data_type, self.fcfg, self.weight_factor,
+                   self.hybrid_wf_method, self.per_obs_penalty,
+                   None if self.per_obs_penalty
+                   else np.asarray(self.m_stack).tobytes(),
+                   None if self.dop_gmat is None
+                   else np.asarray(self.dop_gmat).tobytes())
+        if getattr(self, "_fit_batch_sig", None) != cfg_sig:
+            self._fit_batch_sig = cfg_sig
+            if self.per_obs_penalty:
+                self._fit_batch_jit = jax.jit(jax.vmap(
                     lambda *a: self._fit_single(*a[:-1], m_stack=a[-1])))
-            fit_batch = self._fit_batch_pp
+            else:
+                self._fit_batch_jit = jax.jit(jax.vmap(self._fit_single))
+        fit_batch = self._fit_batch_jit
+        if self.per_obs_penalty:
             args.append(arrays["m_stack"])
-        else:
-            if getattr(self, "_fit_batch", None) is None:
-                self._fit_batch = jax.jit(jax.vmap(self._fit_single))
-            fit_batch = self._fit_batch
-        states = fit_batch(*args)
-        return self.collect(states, b_orig, return_states=return_states)
+        states, row_factors = fit_batch(*args)
+        return self.collect(states, b_orig, row_factors=row_factors,
+                            return_states=return_states)
 
-    def collect(self, states, b_orig, return_states=False):
+    def collect(self, states, b_orig, row_factors=None, return_states=False):
         x_full = np.asarray(states.x)[:b_orig]
         scale = self._scales[:b_orig]
         ns = self.cfg.num_special
@@ -412,7 +433,9 @@ class BatchedRaggedFitter:
             c_inv=special("C_inv", self.capacitance_scale or 1.0),
             x_dop=x_dop,
             scale=scale,
-            weights=np.asarray(states.weights)[:b_orig],
+            weights=np.asarray(states.weights)[:b_orig]
+            * (1.0 if row_factors is None
+               else np.asarray(row_factors)[:b_orig]),
             rho=np.asarray(states.rho_vector)[:b_orig],
             s_vectors=np.asarray(states.s_vectors)[:b_orig],
             n_iter=np.asarray(states.it)[:b_orig],

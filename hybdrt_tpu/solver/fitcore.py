@@ -128,6 +128,14 @@ def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weight
     return FitCarry(state=st_new, rzm=rzm)
 
 
+def _check_penalty_type(cfg):
+    if cfg.penalty_type != "integral":
+        raise NotImplementedError(
+            f"penalty_type={cfg.penalty_type!r} is not implemented; the fit "
+            f"loop always applies the integral-penalty updates (the "
+            f"reference's 'discrete' branch is dead in its live paths)")
+
+
 @partial(jax.jit, static_argnames=("fcfg",))
 def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
                   x0, s0, rho0, dop_rho0, init_weights, est_weights, outlier_t0,
@@ -135,6 +143,7 @@ def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
                   weight_factor, fcfg: FitConfig, nl_cross=None, rm_bkg=None,
                   col_mask=None, var_floor=None, row_factors=None, vz_sign=None):
     """Run the full QPHB outer loop; returns (final_state, final_rzm)."""
+    _check_penalty_type(fcfg.cfg)
     k = fcfg.cfg.k_range
     state0 = QPHBState(
         x=x0, s_vectors=s0, rho_vector=rho0, dop_rho_vector=dop_rho0,

@@ -28,7 +28,7 @@ class QPHBConfig(NamedTuple):
     k_range: int = 3
     eff_hp: bool = True
     has_outlier: bool = False
-    penalty_type: str = "integral"
+    penalty_type: str = "integral"  # only 'integral' is implemented; validated in qphb_fit paths
     # Nonlinear (bias-dependent) fits stack two coefficient sets
     # (reference nonlin.py:665-745, qphb.py:84-117)
     nonlin: bool = False

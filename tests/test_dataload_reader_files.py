@@ -315,3 +315,44 @@ def test_fileload_generic_and_curve(tmp_path):
 
     raw, source = fl.read_generic(str(p))
     assert str(source) == "gamry_dta"
+
+
+def test_with_timestamp_column_and_timestamps_property(tmp_path):
+    """Review regression: datetime + float-seconds arithmetic crashed on the
+    with_timestamp path and the .timestamps properties; both now return
+    per-point pandas timestamps."""
+    import pandas as pd
+    from hybdrt_tpu.dataload import read_eis as dl_read_eis, ZData, ChronoData
+
+    content = textwrap.dedent(
+        """
+        EXPLAIN
+        TAG	GALVEIS
+        DATE	LABEL	03/14/2025	Date
+        TIME	LABEL	16:50:03.000000	Time
+
+        ZCURVE	TABLE
+        	Pt	Time	Freq	Zreal	Zimag	Zsig	Zmod	Zphz	Idc	Vdc	IERange
+        	#	s	Hz	ohm	ohm	V	ohm	°	A	V	#
+        	0	0.0	10.0	1.0	0.0	1	1.0	0.0	0.0	0.0	12
+        	1	2.5	1.0	2.0	-1.0	1	2.236	0.1	0.0	0.0	12
+        """
+    ).strip()
+    p = tmp_path / "ts.dta"
+    p.write_text(content)
+
+    df = dl_read_eis(str(p), as_dataframe=True, standardize=False,
+                     with_timestamp=True)
+    assert "timestamp" in df.columns
+    assert (df["timestamp"].iloc[1] - df["timestamp"].iloc[0]).total_seconds() \
+        == 2.5
+
+    from datetime import datetime
+    zd = ZData(np.array([10.0, 1.0]), np.array([1 + 0j, 2 - 1j]),
+               time=np.array([0.0, 2.5]),
+               timestamp=datetime(2025, 3, 14, 16, 50, 3))
+    ts = zd.timestamps
+    assert (ts[1] - ts[0]).total_seconds() == 2.5
+    cd = ChronoData(np.array([0.0, 1.0]), np.zeros(2), np.zeros(2),
+                    timestamp=datetime(2025, 3, 14))
+    assert (cd.timestamps[1] - cd.timestamps[0]).total_seconds() == 1.0

@@ -287,3 +287,21 @@ def test_batched_pfrt_mesh():
     assert np.allclose(x_m, x_p, atol=2e-3)
     assert np.array_equal(np.argmax(llh_m, axis=1), np.argmax(llh_p, axis=1))
     assert np.allclose(scale_m, scale_p)
+
+
+def test_fit_dop_batched_matches_serial():
+    """Review regression: batched fitters now pass the DOP order-0 smoothing
+    g-matrix (dop_gmat) that the serial loop applies, so fit_dop batched
+    fits match serial fits to solver precision."""
+    rng = np.random.default_rng(0)
+    f = np.logspace(5, -2, 51)
+    w = 2j * np.pi * f
+    z = 0.4 + 1.0 / (1 + (w * 1e-2) ** 0.9) + 0.05 * (w ** -0.5)
+    z = z + rng.normal(0, 1e-3, 51) + 1j * rng.normal(0, 1e-3, 51)
+
+    drt = DRT(warn=False, fit_dop=True)
+    drt.fit_eis(f, z)
+    fitter = BatchedEISFitter(f, fit_dop=True)
+    res = fitter.fit(z[None, :])
+    assert np.allclose(res.x[0], drt.fit_parameters["x"], atol=1e-8)
+    assert np.allclose(res.x_dop[0], drt.fit_parameters["x_dop"], atol=1e-8)

@@ -88,29 +88,3 @@ def test_qp_ill_conditioned_still_solves():
     lb = jnp.zeros(50)
     res = solve_qp_box(jnp.asarray(p), jnp.asarray(q), lb)
     _check_kkt(p, q, lb, res.x, tol=1e-5)
-
-
-def test_smallchol_matches_lapack():
-    """Masked column-loop Cholesky (ops/smallchol.py) against LAPACK."""
-    from hybdrt_tpu.ops import smallchol as sc
-    rng = np.random.default_rng(0)
-    n = 93
-    a_ = rng.normal(size=(n, n))
-    a = jnp.asarray(a_ @ a_.T + n * np.eye(n))
-    b = jnp.asarray(rng.normal(size=n))
-    l = sc.cholesky_unblocked(a)
-    assert np.allclose(np.asarray(l), np.linalg.cholesky(np.asarray(a)), atol=1e-12)
-    x = sc.cho_solve_unblocked(l, b)
-    assert np.allclose(np.asarray(x), np.linalg.solve(np.asarray(a), np.asarray(b)),
-                       atol=1e-12)
-    # batched via vmap
-    B = 8
-    ab_ = rng.normal(size=(B, n, n)).astype(np.float32)
-    ab = jnp.asarray(ab_ @ np.transpose(ab_, (0, 2, 1)) + 10 * np.eye(n, dtype=np.float32))
-    bb = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
-    xv = jax.vmap(sc.chol_solve_direct)(ab, bb)
-    xr = np.linalg.solve(np.asarray(ab, dtype=np.float64),
-                         np.asarray(bb, dtype=np.float64)[..., None])[..., 0]
-    assert np.max(np.abs(np.asarray(xv) - xr) / (1 + np.abs(xr))) < 1e-5
-
-

@@ -225,10 +225,9 @@ def test_prep_assembly_cached_across_shared_grids(monkeypatch):
 
     # And the jitted batch entry point is built once and reused
     res1 = fitter.fit(obs)
-    attr = "_fit_batch_pp" if fitter.per_obs_penalty else "_fit_batch"
-    f1 = getattr(fitter, attr)
+    f1 = fitter._fit_batch_jit
     res2 = fitter.fit(obs)
-    assert getattr(fitter, attr) is f1
+    assert fitter._fit_batch_jit is f1  # same config -> cached entry point
     assert np.allclose(res1.x, res2.x)
 
 
