@@ -80,6 +80,14 @@ def kl_divergence(x, p, q, pad=1e-5, normalize=False, discrete=False):
 
 
 def js_div_array(x, p, q, **kl_kw):
+    # Normalize BEFORE forming the mixture: m must be the midpoint of the
+    # normalized densities, else different total masses skew the mixture
+    # toward the heavier distribution and the result is not the JS
+    # divergence (it can exceed ln 2 or go negative)
+    if kl_kw.get("normalize"):
+        p, q = normalize_distributions(x, p, q,
+                                       discrete=kl_kw.get("discrete", False))
+        kl_kw = dict(kl_kw, normalize=False)
     m = 0.5 * (np.asarray(p) + np.asarray(q))
     return 0.5 * kl_div_array(x, p, m, **kl_kw) + 0.5 * kl_div_array(x, q, m, **kl_kw)
 

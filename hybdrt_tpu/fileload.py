@@ -108,15 +108,18 @@ def get_chrono_tuple(df, start_time=None, end_time=None):
     return times, i_signal, v_signal
 
 
-def get_hybrid_tuple(chrono_data, eis_data, **kw):
-    """Assemble the (times, i, v, freq, z) tuple for hybrid fits
-    (reference fileload.py:666)."""
+def get_hybrid_tuple(chrono_data, eis_data, min_freq=None, max_freq=None,
+                     start_time=None, end_time=None):
+    """Assemble the (times, i, v, freq, z) tuple for hybrid fits, with
+    optional frequency/time windows (reference fileload.py:666)."""
     if isinstance(chrono_data, pd.DataFrame):
-        chrono_tuple = get_chrono_tuple(chrono_data)
+        chrono_tuple = get_chrono_tuple(chrono_data, start_time=start_time,
+                                        end_time=end_time)
     else:
         chrono_tuple = chrono_data
     if isinstance(eis_data, pd.DataFrame):
-        eis_tuple = get_eis_tuple(eis_data)
+        eis_tuple = get_eis_tuple(eis_data, min_freq=min_freq,
+                                  max_freq=max_freq)
     else:
         eis_tuple = eis_data
     return (*chrono_tuple, *eis_tuple)
@@ -162,16 +165,17 @@ def read_txt(file):
 
 def iv_from_eis(data):
     """DC current/voltage operating point from an EIS file or frame
-    (reference fileload.py:703)."""
+    (reference fileload.py:703). A file path is read as the RAW vendor
+    table (standardization strips the Idc/Vdc columns this needs)."""
     import pandas as pd
     if not isinstance(data, pd.DataFrame):
-        data = read_eis(data)
-    tcol = "elapsed" if "elapsed" in data.columns else "Time"
+        data, _ = read_generic(data)
     cols = {c.lower(): c for c in data.columns}
+    tcol = next((cols[c] for c in ("elapsed", "time", "t") if c in cols), None)
     i_col = cols.get("idc")
     v_col = cols.get("vdc")
-    if i_col is None or v_col is None:
-        raise ValueError("EIS data has no Idc/Vdc columns")
+    if i_col is None or v_col is None or tcol is None:
+        raise ValueError("EIS data has no Time/Idc/Vdc columns")
     return data[tcol].values, data[i_col].values, data[v_col].values
 
 

@@ -33,16 +33,21 @@ class DCT(DRT):
         """Apply the conditional inversion to prediction matrices: the base
         getter's contract is 'caller multiplies by _dist_matrix_sign', which
         is only correct when the matrix was actually inverted at fit time
-        (should_invert). Present the matrix so the product equals the
-        conditionally-inverted matrix (reference dct.py:49-66)."""
+        (should_invert). A fit-matrix slice already carries the fit-time
+        conditional decision; a freshly built (or cached-build) matrix gets
+        the conditional inversion here (reference dct.py:49-66)."""
         m = super()._get_impedance_pred_matrix(frequencies)
-        return -invert_mat(-np.asarray(m))
+        if getattr(self, "_pred_from_fit_matrices", False):
+            return m
+        return -invert_mat(np.asarray(m))
 
     def _get_response_pred_matrix(self, times, step_times, step_sizes,
                                   tau_rise):
         m = super()._get_response_pred_matrix(times, step_times, step_sizes,
                                               tau_rise)
-        return -invert_mat(-np.asarray(m))
+        if getattr(self, "_pred_from_fit_matrices", False):
+            return m
+        return -invert_mat(np.asarray(m))
 
     def _prep_for_fit(self, *args, **kwargs):
         data, mat = super()._prep_for_fit(*args, **kwargs)

@@ -845,6 +845,11 @@ class DRT:
             validation.check_error_structure(err_struct)
         if series_neg and not nonneg:
             raise ValueError("Only one of series_neg and nonneg may be True")
+        if update_scale:
+            warnings.warn("update_scale (mid-fit data-scale refinement) is "
+                          "not implemented; the scale is set once up front — "
+                          "use solve_rp=True for the refined pre-fit Rp "
+                          "estimate instead")
         if remove_outliers and kw.get("outlier_p") is None:
             raise ValueError("If remove_outliers is True, outlier_p must be specified "
                              "(a good starting value might be 0.01-0.05)")
@@ -903,8 +908,18 @@ class DRT:
                 eis_vmm_epsilon=eis_vmm_epsilon, eis_reim_cor=eis_reim_cor, eff_hp=eff_hp,
                 **kw)
             self.eis_outlier_index = eis_out_idx
-            self.chrono_outlier_index = chrono_out_idx
             step_times = self.step_times
+            if times is not None and chrono_out_idx is not None \
+                    and len(chrono_out_idx) != len(times):
+                # The pre-fit ran on a downsampled grid; map its row mask
+                # back onto the original samples before indexing them
+                t_fit = np.asarray(self.get_fit_times())
+                full_mask = np.zeros(len(times), dtype=bool)
+                idx = self._match_indices(t_fit, np.asarray(times))
+                if idx is not None:
+                    full_mask[np.asarray(idx)[chrono_out_idx]] = True
+                chrono_out_idx = full_mask
+            self.chrono_outlier_index = chrono_out_idx
             if times is not None and chrono_out_idx is not None and chrono_out_idx.any():
                 self.chrono_outliers = (times[chrono_out_idx], i_signal[chrono_out_idx],
                                         v_signal[chrono_out_idx])
@@ -1859,8 +1874,11 @@ class DRT:
             if idx is not None:
                 # Stored fit matrices carry the subclass sign (DCT inverts them
                 # in _prep_for_fit); callers re-apply _dist_matrix_sign, so
-                # un-invert here (sign^2 == 1).
+                # un-invert here (sign^2 == 1). The flag lets sign-conditional
+                # subclasses (DCT) distinguish this branch from fresh builds.
+                self._pred_from_fit_matrices = True
                 return self._dist_matrix_sign * zm_fit[idx]
+        self._pred_from_fit_matrices = False
         entry = getattr(self, "_pred_mat_cache", {}).get("z")
         if entry is not None and entry[0] == sig:
             idx = self._match_indices(f, entry[1])
@@ -1896,7 +1914,9 @@ class DRT:
             if idx is not None:
                 # Un-apply the subclass sign stored in the fit matrix (see
                 # _get_impedance_pred_matrix).
+                self._pred_from_fit_matrices = True
                 return self._dist_matrix_sign * rm_fit[idx]
+        self._pred_from_fit_matrices = False
         entry = getattr(self, "_pred_mat_cache", {}).get("response")
         if entry is not None and entry[0] == sig:
             idx = self._match_indices(times, entry[1])
@@ -1986,6 +2006,16 @@ class DRT:
                 step_times, step_sizes, self.chrono_mode)
             response = response + self._dist_matrix_sign \
                 * (np.asarray(rm_dop) @ fit_parameters["x_dop"])
+
+        # Hybrid cross-domain offset: the solver scales chrono rows by
+        # (1 + vz_offset * strength); predictions must match (reference
+        # predict_response applies it before the baseline)
+        if include_vz_offset and "vz_offset" in self.special_qp_params:
+            vz_strength, _ = self._get_vz_strength_vec(
+                times, None,
+                vz_offset_eps=self.fit_parameters.get("vz_offset_eps"))
+            response = response * (1 + fit_parameters.get("vz_offset", 0)
+                                   * vz_strength)
 
         if v_baseline is None:
             v_baseline = fit_parameters.get("v_baseline", None)
@@ -3545,7 +3575,8 @@ class DRT:
         if max_num_peaks is None:
             max_num_peaks = int(self.discrete_candidate_df["num_peaks"].max())
         _, added_idx, added_tau, _ = self.sort_discrete_by_llh(
-            None if not start_from_best else None)
+            self.get_best_candidate_id("discrete") if start_from_best
+            else None)
         # Aggregate peak taus in ranked order
         ranked_taus = []
         for taus in added_tau:

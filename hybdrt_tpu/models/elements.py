@@ -710,6 +710,16 @@ class DiscreteElementModel:
         self.f_fit = frequencies
         self.z_fit = z_arr
         self.weights = np.asarray(weights)
+        # Gauss-Newton Hessian summed over spectra (each evaluated at its
+        # own fitted parameter row), so llh/bic/lml work after a multi fit
+        hess = np.zeros((self.num_params, self.num_params))
+        for k in range(b):
+            resid_k = self._make_phys_resid(frequencies, z_arr[k],
+                                            self.weights[k])
+            jac = np.asarray(jax.jacfwd(resid_k)(
+                jnp.asarray(self.parameter_values_multi[k])))
+            hess += jac.T @ jac
+        self.hess_ = hess
         return self
 
     # ------------------------------------------------------------------
@@ -717,6 +727,17 @@ class DiscreteElementModel:
     # ------------------------------------------------------------------
     @on_host
     def evaluate_rss(self, x=None):
+        if np.ndim(self.z_fit) == 2:
+            # Multi-spectrum co-fit: sum per-spectrum residuals, each at its
+            # own fitted parameter row (or the supplied shared x)
+            total = 0.0
+            for k in range(self.z_fit.shape[0]):
+                resid_k = self._make_phys_resid(self.f_fit, self.z_fit[k],
+                                                self.weights[k])
+                xk = self.parameter_values_multi[k] if x is None else x
+                r = np.asarray(resid_k(jnp.asarray(xk)))
+                total += float(r @ r)
+            return total
         resid = self._make_phys_resid(self.f_fit, self.z_fit, self.weights)
         r = np.asarray(resid(jnp.asarray(self.get_parameter_values(x))))
         return float(r @ r)
@@ -731,7 +752,8 @@ class DiscreteElementModel:
 
     def evaluate_bic(self, x=None):
         llh = self.evaluate_llh(x)
-        n = 2 * len(self.f_fit)
+        n = 2 * len(self.f_fit) * (self.z_fit.shape[0]
+                                   if np.ndim(self.z_fit) == 2 else 1)
         return self.num_params * np.log(n) - 2 * llh
 
     @on_host

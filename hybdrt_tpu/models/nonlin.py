@@ -17,7 +17,10 @@ from .drt import DRT
 def minmax_normalize(x, percentiles=(1, 99), range_=(0.0, 1.0)):
     x_min = np.percentile(x, percentiles[0])
     x_max = np.percentile(x, percentiles[1])
-    y = np.clip((x - x_min) / (x_max - x_min), 0, 1)
+    span = x_max - x_min
+    if span == 0:  # constant signal: map to the lower end of the range
+        return np.full_like(np.asarray(x, dtype=float), range_[0])
+    y = np.clip((x - x_min) / span, 0, 1)
     return y * (range_[1] - range_[0]) + range_[0]
 
 

@@ -65,7 +65,8 @@ def shift_candidate_pfrt(candidate_pf, tot_pf=None, tot_thresh=None, tot_peak_ra
     starts, ends = tot_peak_ranges
     shift_pf = np.zeros(len(candidate_pf))
     for ti in thresh_index:
-        match = np.where((starts <= ti) & (ends >= ti))[0]
+        # ranges are half-open [start, end): end itself is outside
+        match = np.where((starts <= ti) & (ends > ti))[0]
         target = tot_peak_indices[match[0]] if len(match) == 1 else ti
         shift_pf[target] = max(shift_pf[target], candidate_pf[ti])
     return shift_pf

@@ -28,8 +28,8 @@ def _build_library():
     src = _NATIVE_DIR / "qp_solver.cpp"
     if not src.exists():
         raise NativeUnavailable(f"native source not found at {src}")
-    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", str(_LIB_PATH),
-           str(src)]
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-fopenmp",
+           "-o", str(_LIB_PATH), str(src)]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError) as err:

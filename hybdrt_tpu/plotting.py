@@ -43,11 +43,16 @@ def process_eis_plot_data(data):
             raise ValueError("DataFrame must contain a 'freq' column")
         if {"real", "imag"} <= cols:
             z = data["real"].to_numpy() + 1j * data["imag"].to_numpy()
+        elif {"z_re", "z_im"} <= cols:  # the library's standardized schema
+            z = data["z_re"].to_numpy() + 1j * data["z_im"].to_numpy()
+        elif {"y_re", "y_im"} <= cols:
+            z = data["y_re"].to_numpy() + 1j * data["y_im"].to_numpy()
         elif {"modulus", "phase"} <= cols:
             z = data["modulus"].to_numpy() * np.exp(
                 1j * np.deg2rad(data["phase"].to_numpy()))
         else:
-            raise ValueError("DataFrame must contain (real, imag) or "
+            raise ValueError("DataFrame must contain (real, imag), "
+                             "(z_re, z_im), (y_re, y_im), or "
                              "(modulus, phase) columns")
         return data["freq"].to_numpy(), z
     return None, np.asarray(data)  # bare complex array

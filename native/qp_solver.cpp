@@ -182,15 +182,25 @@ extern "C" {
 int solve_qp_box_batch(int batch, int n, const double* p, const double* q,
                        const double* lb, double* x, int max_iter, double tol) {
     int worst = 0;
+    int failed = 0;
 #if defined(_OPENMP)
-#pragma omp parallel for schedule(dynamic) reduction(max : worst)
+#pragma omp parallel for schedule(dynamic) reduction(max : worst) \
+    reduction(| : failed)
 #endif
     for (int b = 0; b < batch; ++b) {
+        double* xb = x + (size_t)b * n;
         const int iters = solve_qp_box(n, p + (size_t)b * n * n, q + (size_t)b * n,
-                                       lb, x + (size_t)b * n, max_iter, tol);
-        if (iters > worst) worst = iters;
+                                       lb, xb, max_iter, tol);
+        if (iters < 0) {
+            // Mark the failed element so the caller cannot mistake the
+            // untouched (zero) output for a solution
+            for (int i = 0; i < n; ++i) xb[i] = std::nan("");
+            failed = 1;
+        } else if (iters > worst) {
+            worst = iters;
+        }
     }
-    return worst;
+    return failed ? -1 : worst;
 }
 
 }  // extern "C"

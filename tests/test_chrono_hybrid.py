@@ -274,3 +274,40 @@ def test_filter_chrono_signal_ramped_sigma():
     fit = pp.fit_signal_steps(times, sig, fixed_tau_rise=1e-4)
     n_steps = len(fit["step_times"])
     assert np.allclose(np.exp(fit["x"][n_steps + 1:]), 1e-4)
+
+
+def test_remove_outliers_with_downsample():
+    """Review regression: the outlier pre-fit's downsampled-grid mask is
+    mapped back onto the original full-length arrays before indexing
+    (previously IndexError)."""
+    times, i_sig, v = _simulate_chrono()
+    v_bad = v.copy()
+    v_bad[60] += 0.5  # gross outlier in the post-step region
+    drt = DRT(warn=False)
+    drt.fit_chrono(times, i_sig, v_bad, downsample=True,
+                   downsample_kw={"prestep_samples": 5, "ppd": 15},
+                   remove_outliers=True, outlier_p=0.05)
+    assert abs(drt.predict_r_p() - 1.8) < 0.15
+    assert drt.chrono_outlier_index is None \
+        or len(drt.chrono_outlier_index) == len(times)
+
+
+def test_predict_response_applies_vz_offset():
+    """Review regression: hybrid chrono predictions apply the fitted
+    vz_offset factor (reference applies (1 + vz*strength) before the
+    baseline), so fit-time predictions match the converged model."""
+    times, i_sig, v = _simulate_chrono()
+    freq, z = _simulate_eis()
+    # Introduce a genuine chrono/EIS inconsistency so vz_offset is nonzero
+    drt = DRT(warn=False)
+    drt.fit_hybrid(times, i_sig, v * 1.05, freq, z)
+    vz = drt.fit_parameters["vz_offset"]
+    assert abs(vz) > 1e-4
+    v_with = drt.predict_response()
+    v_without = drt.predict_response(include_vz_offset=False)
+    assert not np.allclose(v_with, v_without)
+    # With the factor applied, fit-time residuals are at the noise scale
+    resid = v_with - drt.raw_response_signal
+    assert np.std(resid) < 5 * np.std(
+        (v_without - drt.raw_response_signal))
+    assert np.std(resid) < 3e-3

@@ -202,3 +202,17 @@ def test_review_regressions_merge_and_prominence():
         find_peaks_kw={"height": 0}, return_prominence=True)
     assert len(peak_tau) == len(prom)
     assert np.all(prom >= 0)
+
+
+def test_js_divergence_normalizes_before_mixture():
+    """Review regression: JS divergence of differently-scaled but
+    identically-shaped distributions is ~0 and always within [0, ln 2]."""
+    from hybdrt_tpu import evaluation as ev
+    x = np.linspace(-3, 3, 200)
+    p = np.exp(-0.5 * x ** 2)
+    q = 10.0 * p  # same shape, 10x the mass
+    js = ev.js_divergence(x, p, q, normalize=True)
+    assert abs(js) < 1e-3
+    r = np.exp(-0.5 * (x - 2.0) ** 2) * 5.0
+    js2 = ev.js_divergence(x, p, r, normalize=True)
+    assert 0 <= js2 <= np.log(2) + 1e-6
