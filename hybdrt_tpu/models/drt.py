@@ -3042,7 +3042,8 @@ class DRT:
                             **init_kw)
         else:
             self.fit_hybrid(times, i_signal, v_signal, frequencies, z, nonneg=nonneg,
-                            max_iter=max_init_iter, xtol=xtol, **init_kw)
+                            series_neg=series_neg, max_iter=max_init_iter,
+                            xtol=xtol, **init_kw)
 
         qp = self.qphb_params
         cfg = qp["cfg"]

@@ -281,7 +281,8 @@ def plot_kk_results(drt, axes=None, norm="modulus", outlier_index=None, f_lim=No
         for f in f_lim:
             ax.axvline(f, c="k", ls=":")
     axes[0].set_ylabel(f"$Z^{{\\prime}}$ residuals ({unit})")
-    axes[1].set_ylabel(f"$Z^{{\\prime\\prime}}$ residuals ({unit})")
+    # plot_bode's cartesian panel plots -Im; label accordingly
+    axes[1].set_ylabel(f"$-Z^{{\\prime\\prime}}$ residuals ({unit})")
     fig = np.ravel(axes)[0].get_figure()
     fig.tight_layout()
     return axes
