@@ -230,7 +230,7 @@ class DRTMD:
             return x_drt, x_special
         x_drt = np.zeros(len(self.tau_supergrid))
         x_drt[left_index:right_index] = drt.fit_parameters["x"]
-        x_special = {k: drt.fit_parameters.get(k if k != "x_dop" else "x_dop")
+        x_special = {k: drt.fit_parameters.get(k)
                      for k in drt.special_qp_params}
         for k in drt.special_qp_params:
             if k == "v_baseline":
@@ -417,7 +417,11 @@ class DRTMD:
             # the ragged fitter, which resolves them per observation
             wf_default = (self.fit_kw.get("hybrid_weight_factor_method") is None
                           and self.fit_kw.get("eis_weight_factor") is None
-                          and self.fit_kw.get("chrono_weight_factor") is None)
+                          and self.fit_kw.get("chrono_weight_factor") is None
+                          # BatchedHybridFitter supports neither DOP nor
+                          # capacitance; such configs go through the ragged
+                          # fitter, which assembles the full serial system
+                          and not self.fit_dop and not self.fit_capacitance)
             if type_name == "eis" and self._eis_grid_uniform(sub_e):
                 self._fit_batched_eis_uniform(idx, sub_e, mesh=mesh, dtype=dtype,
                                               ignore_errors=ignore_errors)
@@ -548,11 +552,33 @@ class DRTMD:
                 "n_iter": int(result.n_iter[bi]),
             }
             self.obs_fit_status[i] = True
-        if not is_hybrid:
-            z_hat = fitter.predict_z(result)
-            resid = np.abs(z_hat - z_batch)
-            ok = self.obs_fit_status[fit_index]
-            self.obs_rss[fit_index[ok]] = np.sum(resid ** 2, axis=1)[ok]
+
+        # Weighted scaled-space rss/llh, matching what the serial and ragged
+        # paths store (the raw data-space residual is NOT comparable). For
+        # hybrid fits the model response includes the final vz-offset column
+        # rewrite (solver/fitcore.py:119-126).
+        from scipy.special import gammaln as _gammaln
+        rzm = np.asarray(fitter.rzm)
+        x_raw = np.asarray(result.x_raw)
+        y_hat = x_raw @ rzm.T
+        if is_hybrid and getattr(fitter, "vz_index", -1) >= 0:
+            nc = fitter.num_chrono
+            y_sep = x_raw @ np.asarray(fitter.rzm_vz).T
+            y_sep[:, nc:] *= -1.0
+            strength = np.asarray(fitter.vz_strength_vec)
+            y_hat = y_hat + x_raw[:, [fitter.vz_index]] * y_sep                 * strength[None, :]
+        rzv = np.asarray(rzv_batch)
+        wr = np.asarray(result.weights) * (y_hat - rzv)
+        rss = np.sum(wr ** 2, axis=1)
+        n_data = rzv.shape[1]
+        alpha_n = 2.0 - 1 + n_data / 2
+        beta_n = 1.0 + 0.5 * rss
+        llh = (-alpha_n * np.log(beta_n) + _gammaln(alpha_n) - _gammaln(2.0)
+               + np.sum(np.log(np.maximum(np.asarray(result.weights), 1e-300)),
+                        axis=1))
+        ok = self.obs_fit_status[fit_index]
+        self.obs_rss[fit_index[ok]] = rss[ok]
+        self.obs_llh[fit_index[ok]] = llh[ok]
 
     def _fit_batched_ragged(self, fit_index, chronos, eiss, mesh=None, dtype=None,
                             ignore_errors=False):
@@ -638,7 +664,9 @@ class DRTMD:
 
         fitter = BatchedEISFitter(
             f0, tau_supergrid=self.tau_supergrid, fit_ohmic=self.fit_ohmic,
-            fit_inductance=self.fit_inductance, nonneg=self.fit_kw.get("nonneg", True),
+            fit_inductance=self.fit_inductance,
+            fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
+            nonneg=self.fit_kw.get("nonneg", True),
             dtype=dtype if dtype is not None else jnp.float64, mesh=mesh)
         step_x, step_llh, scale = fitter.pfrt_fit(z_batch,
                                                   factors=self.pfrt_factors)
@@ -699,7 +727,28 @@ class DRTMD:
         from ..models.drt import _hypers_to_pytree
 
         fitter = getattr(self, "_batch_fitters", {}).get(
-            attr.get("fitter_key")) or self._batch_fitter
+            attr.get("fitter_key")) or getattr(self, "_batch_fitter", None)
+        if fitter is None:
+            # Reloaded instance: rebuild the shared-grid fitter from the
+            # stored configuration and this observation's measurement grids
+            # (mirrors _rebuild_ragged_fit)
+            import jax.numpy as jnp
+            from ..parallel.batch import BatchedEISFitter, BatchedHybridFitter
+            chrono_data, eis_data = self.get_obs_data(obs_index)
+            if attr.get("fitter_key") == "hybrid":
+                times, i_sig, _ = chrono_data
+                fitter = BatchedHybridFitter(
+                    times, i_sig, eis_data[0], tau_supergrid=self.tau_supergrid,
+                    fit_ohmic=self.fit_ohmic, fit_inductance=self.fit_inductance,
+                    nonneg=self.fit_kw.get("nonneg", True), dtype=jnp.float64)
+            else:
+                fitter = BatchedEISFitter(
+                    eis_data[0], tau_supergrid=self.tau_supergrid,
+                    fit_ohmic=self.fit_ohmic,
+                    fit_inductance=self.fit_inductance,
+                    fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
+                    nonneg=self.fit_kw.get("nonneg", True), dtype=jnp.float64)
+            self._register_batch_fitter(attr.get("fitter_key", "eis"), fitter)
         template = fitter.template
         qp = template.qphb_params
         m_stack = np.stack([qp["penalty_matrices"][f"m{k}"] for k in range(3)])
@@ -804,16 +853,20 @@ class DRTMD:
         include = self.obs_fit_status[obs_index] & ~self.obs_ignore_flag[obs_index]
         obs_index = obs_index[include]
 
-        if psi_sort_dims is not None:
+        # psi_distance_dims is a sort-key fallback, exactly as the reference
+        # treats it (drtmd.py:499-500; distance-WEIGHTED coupling is an
+        # unimplemented TODO in the reference too, resolve.py:208)
+        sort_dims = psi_sort_dims if psi_sort_dims is not None \
+            else psi_distance_dims
+        if sort_dims is not None:
             sort_vals = [self.obs_psi[obs_index, self.psi_dim_names.index(d)]
-                         for d in psi_sort_dims][::-1]
+                         for d in sort_dims][::-1]
             obs_index = obs_index[np.lexsort(sort_vals)]
 
         if len(obs_index) == 0:
             warnings.warn("No valid observations in resolution group")
             return
         if len(obs_index) == 1:
-            ti = self.obs_tau_indices[obs_index[0]]
             self.obs_x_resolved[obs_index] = self.obs_x[obs_index]
             for k, v in (self.obs_special or {}).items():
                 self.obs_special_resolved[k][obs_index] = v[obs_index]
@@ -1127,9 +1180,16 @@ class DRTMD:
                     d[k][:] = 0
 
     def clear_obs(self):
-        """Remove all observations and results."""
+        """Remove all observations and results, keeping the configuration."""
         self.__init__(tau_supergrid=self.tau_supergrid, psi_dim_names=self.psi_dim_names,
                       tau_basis_type=self.tau_basis_type, tau_epsilon=self.tau_epsilon,
+                      step_model=self.step_model, chrono_mode=self.chrono_mode,
+                      fit_inductance=self.fit_inductance, fit_ohmic=self.fit_ohmic,
+                      fit_capacitance=self.fit_capacitance,
+                      fixed_basis_nu=self.fixed_basis_nu, fit_dop=self.fit_dop,
+                      normalize_dop=self.normalize_dop,
+                      nu_basis_type=self.nu_basis_type, nu_epsilon=self.nu_epsilon,
+                      chrono_reader=self.chrono_reader, eis_reader=self.eis_reader,
                       fit_kw=self.fit_kw, fit_type=self.fit_type,
                       pfrt_factors=self.pfrt_factors, warn=self.warn,
                       print_progress=self.print_progress)
@@ -1267,9 +1327,16 @@ class DRTMD:
         x_dop = self.predict_special("x_dop", psi=psi, obs_index=obs_index,
                                      resolved=resolved)
         basis_nu = self.fixed_basis_nu if self.fixed_basis_nu is not None             else np.concatenate([np.linspace(-1, -0.4, 25), np.linspace(0.4, 1, 25)])
+        # nu_epsilon defaults to None in the config; the fitted drt1d resolves
+        # it, so fall back to that (or the grid-spacing default) here
+        nu_epsilon = self.nu_epsilon
+        if nu_epsilon is None:
+            nu_epsilon = getattr(self.drt1d, "nu_epsilon", None)
+        if nu_epsilon is None:
+            nu_epsilon = 1 / np.abs(np.median(np.diff(np.sort(basis_nu))))
         em = np.asarray(basis_mod.construct_func_eval_matrix(
             np.asarray(basis_nu), np.asarray(nu), self.nu_basis_type,
-            self.nu_epsilon, 0))
+            nu_epsilon, 0))
         dop = x_dop @ em.T
         if normalize:
             sv = np.asarray(phasance.phasor_scale_vector(np.asarray(nu),
@@ -1329,6 +1396,8 @@ class DRTMD:
         "fit_type", "pfrt_factors",
         "tau_supergrid", "psi_dim_names", "tau_basis_type", "tau_epsilon",
         "fixed_basis_nu", "nu_basis_type", "nu_epsilon", "fit_dop", "fit_kw",
+        "fit_ohmic", "fit_inductance", "fit_capacitance", "normalize_dop",
+        "step_model", "chrono_mode",
         "obs_psi", "obs_data", "obs_group_id", "obs_data_badness", "obs_ignore_flag",
         "obs_x", "obs_drt_var", "obs_special", "obs_fit_status", "obs_fit_badness",
         "obs_tau_indices", "obs_llh", "obs_rss", "obs_resolve_status",
@@ -1362,7 +1431,9 @@ class DRTMD:
             att_dict = dict(source)
         config_keys = ["tau_supergrid", "psi_dim_names", "tau_basis_type",
                        "tau_epsilon", "fixed_basis_nu", "nu_epsilon", "nu_basis_type",
-                       "fit_dop"]
+                       "fit_dop", "fit_ohmic", "fit_inductance",
+                       "fit_capacitance", "normalize_dop", "step_model",
+                       "chrono_mode"]
         init_kw = {k: att_dict.pop(k) for k in config_keys if k in att_dict}
         drtmd = cls(**init_kw)
         drtmd.set_attributes(att_dict)

@@ -215,9 +215,11 @@ class GPSurfaceModel:
             params_init=None):
         """MAP-fit the surface model. x: (N, D) psi coords; y: (N, M) DRT maps."""
         import optax
-        x = jnp.atleast_2d(jnp.asarray(np.asarray(x, dtype=float)))
-        if x.shape[0] == 1 and np.ndim(np.asarray(x)) == 1:
-            x = x.T
+        x_in = np.asarray(x, dtype=float)
+        if x_in.ndim == 1:
+            # 1-D input means N psi points in one dimension -> column vector
+            x_in = x_in[:, None]
+        x = jnp.asarray(x_in)
         y = jnp.asarray(np.asarray(y, dtype=float))
         rp = jnp.sum(jnp.abs(y), axis=1)
         p = params_init if params_init is not None \

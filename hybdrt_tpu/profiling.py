@@ -12,6 +12,19 @@ from collections import defaultdict
 import jax
 
 
+def _device_sync():
+    """Block until previously dispatched device work completes. A trivial
+    computation enqueued now executes after all pending work on the default
+    device's in-order stream, so blocking on it drains the queue
+    (jax.effects_barrier only waits for ordered side effects, not pure
+    dispatches)."""
+    try:
+        import jax.numpy as jnp
+        (jnp.zeros(()) + 0).block_until_ready()
+    except Exception:
+        pass
+
+
 class Timer:
     """Hierarchical wall-clock timer with jax dispatch synchronization."""
 
@@ -23,9 +36,7 @@ class Timer:
     @contextmanager
     def section(self, name):
         if self.synchronize:
-            # Flush pending async dispatches so the section is attributed
-            # the device time it actually caused
-            jax.effects_barrier()
+            _device_sync()
         self._stack.append(name)
         key = "/".join(self._stack)
         t0 = time.perf_counter()
@@ -33,7 +44,7 @@ class Timer:
             yield
         finally:
             if self.synchronize:
-                jax.effects_barrier()
+                _device_sync()
             self.records[key].append(time.perf_counter() - t0)
             self._stack.pop()
 

@@ -171,6 +171,7 @@ def apply_along_axis_multi(func1d, axis, arrays, *args, **kwargs):
     """np.apply_along_axis generalized to multiple same-shape inputs:
     func1d receives a list of 1-D slices (reference utils/array.py)."""
     arrays = [np.asanyarray(a) for a in arrays]
+    axis = axis % arrays[0].ndim  # normalize negative axes before stacking
     stacked = np.stack(arrays, axis=0)
     moved = np.moveaxis(stacked, axis + 1, -1)  # (n_arrays, ..., L)
     lead_shape = moved.shape[1:-1]

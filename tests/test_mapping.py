@@ -364,3 +364,47 @@ def test_batched_pfrt_mixed_grids():
         x_best = md.obs_x[k, best]
         peak_tau = TAU_SUPER[np.argmax(x_best)]
         assert abs(np.log10(peak_tau / t0)) < 0.3
+
+
+def test_uniform_batched_llh_matches_serial_and_reload_rebuild(tmp_path):
+    """Review regressions: uniform batched fits store the same weighted
+    scaled-space llh/rss as the serial path, and a reloaded DRTMD rebuilds
+    its shared-grid fitter for get_fit/resolve (previously AttributeError)."""
+    z_list = _make_map_data()[:4]
+    md_b = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+                 print_progress=False)
+    md_s = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+                 print_progress=False)
+    for p, z in zip(PSIS[:4], z_list):
+        md_b.add_observation([p], None, (FREQ, z), group_id="g1")
+        md_s.add_observation([p], None, (FREQ, z), group_id="g1")
+    md_b.fit_all(batched=True)
+    md_s.fit_all()
+    assert np.allclose(md_b.obs_llh[:4], md_s.obs_llh[:4], rtol=1e-3, atol=0.5)
+    assert np.allclose(md_b.obs_rss[:4], md_s.obs_rss[:4], rtol=1e-3,
+                       atol=1e-6)
+
+    dest = tmp_path / "md_uniform.pkl"
+    md_b.save_attributes(dest)
+    md2 = DRTMD.from_source(str(dest))
+    drt0 = md2.get_fit(0)  # rebuilds the fitter from stored config
+    cov = drt0.estimate_param_cov()
+    assert cov is not None and np.all(np.isfinite(np.diag(cov)))
+    md2.resolve_group("g1", psi_sort_dims=["T"])
+    assert md2.obs_resolve_status[:4].all()
+
+
+def test_persistence_keeps_model_config(tmp_path):
+    """Review regression: save/load round-trips the full model configuration
+    (fit flags, step model, chrono mode), and clear_obs keeps it."""
+    md = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+               print_progress=False, fit_capacitance=True,
+               step_model="expdecay")
+    dest = tmp_path / "cfg.pkl"
+    md.save_attributes(dest)
+    md2 = DRTMD.from_source(str(dest))
+    assert md2.fit_capacitance is True
+    assert md2.step_model == "expdecay"
+
+    md.clear_obs()
+    assert md.fit_capacitance is True and md.step_model == "expdecay"
