@@ -242,6 +242,29 @@ class DRTMD:
     # ------------------------------------------------------------------
     # Fitting (reference drtmd.py:245-328)
     # ------------------------------------------------------------------
+    def estimate_obs_drt_var(self, obs_index=None, refresh=False):
+        """Fill obs_drt_var for batched-fit observations.
+
+        The serial path stores each observation's DRT variance during the
+        fit (drtmd.py:315); batched fits skip it (the vmapped loop returns
+        only final state). This reconstructs each observation's posterior
+        covariance from its stored (P, q) state via get_fit — host-side,
+        O(n^3) per observation — and records the supergrid-aligned diagonal."""
+        if obs_index is None:
+            obs_index = np.where(self.obs_fit_status)[0]
+        for i in np.atleast_1d(obs_index):
+            if not refresh and np.any(self.obs_drt_var[i] != 0):
+                continue
+            attr = self.obs_fit_attr[i]
+            if not (isinstance(attr, dict) and attr.get("batched")):
+                continue  # serial fits stored it already
+            drt = self.get_fit(i)
+            cov = drt.estimate_distribution_cov(tau=self.tau_supergrid,
+                                                extend_var=True)
+            if cov is not None:
+                self.obs_drt_var[i] = np.diag(cov)
+        return self.obs_drt_var
+
     def fit_convergence_summary(self):
         """Structured convergence telemetry for batched fits.
 
@@ -765,6 +788,9 @@ class DRTMD:
 
         drt = DRT(interpolate_integrals=False)
         drt.set_attributes(template.get_attributes(["config", "fit_core"]))
+        # The template's qphb_params belong to its placeholder fit; drop them
+        # so covariance estimation uses THIS observation's (P, q) below
+        drt.qphb_params = None
         drt.interpolate_lookups = self.drt1d.interpolate_lookups
         drt.integrate_method = "interp"
         drt.coefficient_scale = attr["scale"]

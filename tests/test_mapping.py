@@ -408,3 +408,25 @@ def test_persistence_keeps_model_config(tmp_path):
 
     md.clear_obs()
     assert md.fit_capacitance is True and md.step_model == "expdecay"
+
+
+def test_estimate_obs_drt_var_for_batched(fitted_md):
+    """Batched fits can reconstruct per-observation DRT variance on demand,
+    matching the serially stored values."""
+    md2 = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+                print_progress=False)
+    for p, z in zip(PSIS[:3], _make_map_data()[:3]):
+        md2.add_observation([p], None, (FREQ, z), group_id="g1")
+    md2.fit_all(batched=True)
+    assert np.all(md2.obs_drt_var[:3] == 0)
+    md2.estimate_obs_drt_var()
+    assert np.all(md2.obs_drt_var[:3] >= 0)
+    assert np.any(md2.obs_drt_var[:3] > 0)
+    # Matches the serial path's stored variance inside the basis window
+    # (the extend_var extrapolation beyond it is sensitive to edge values)
+    li, ri = md2.obs_tau_indices[0]
+    interior = slice(li + 2, ri - 2)
+    rel = np.abs(md2.obs_drt_var[0][interior]
+                 - fitted_md.obs_drt_var[0][interior]) \
+        / (np.max(fitted_md.obs_drt_var[0][interior]) + 1e-30)
+    assert np.max(rel) < 1e-2
