@@ -1,13 +1,21 @@
 """hybdrt_tpu quickstart: the main analysis flows on synthetic data.
 
 Run with: python examples/quickstart.py
-(Executes on whatever JAX backend is available; set JAX_PLATFORMS=cpu to
-force CPU.)
+(Pinned to the CPU backend in float64 — the accuracy configuration; see
+examples/tutorials/06_tpu_batch_mapping.py for the TPU performance path.)
 """
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except RuntimeError:
+    pass
 
 import numpy as np
 
