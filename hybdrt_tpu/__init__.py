@@ -31,6 +31,13 @@ _jax.config.update("jax_enable_x64", True)
 _jax.config.update("jax_default_matmul_precision", "float32")
 
 from . import utils  # noqa: E402
+from .utils import device as _device  # noqa: E402
+
+# Default-on persistent compilation cache: a first-session fit costs seconds
+# of XLA compile; subsequent process starts reuse it (opt out with
+# HYBDRT_TPU_NO_COMPILE_CACHE=1)
+_device.init_compilation_cache()
+
 from . import ops  # noqa: E402
 
 __version__ = "0.1.0"
