@@ -373,6 +373,10 @@ class DrtScorer:
         self.sim_function_kw = sim_function_kw or {"epsilon": 1.0, "order": 2}
         self.reg_kw = reg_kw or {}
         self.results_ = None
+        self.exact_model = None
+        self.est_model = None
+        self.rc_curve_args = None
+        self.rc_curve_metrics = None
 
     @staticmethod
     def _gamma_of(model, tau):
@@ -391,24 +395,136 @@ class DrtScorer:
             return np.asarray(model.find_peaks(tau=tau, **find_peaks_kw))
         if hasattr(model, "get_peak_tau"):
             return np.asarray(model.get_peak_tau())
-        raise ValueError("Model must provide find_peaks or get_peak_tau")
+        if callable(model):
+            # Plain gamma(tau) callables: curvature-based peak detection
+            return np.asarray(find_model_peaks(model, tau))
+        raise ValueError("Model must provide find_peaks or get_peak_tau, "
+                         "or be a callable gamma(tau)")
 
     def evaluate_models(self, exact_model, est_model, tau_reg, tau_cls,
                         exact_peak_tau=None):
         """Full scoring: regression over tau_reg + peak classification over
         tau_cls + combined metrics."""
+        self.exact_model = exact_model
+        self.est_model = est_model
         y_exact = self._gamma_of(exact_model, tau_reg)
         y_est = self._gamma_of(est_model, tau_reg)
-        reg = calculate_reg_metrics(tau_reg, y_exact, y_est,
-                                    normalize=self.normalize, **self.reg_kw)
         if exact_peak_tau is None:
             exact_peak_tau = self._peaks_of(exact_model, tau_cls, self.find_peaks_kw)
         est_peak_tau = self._peaks_of(est_model, tau_cls, self.find_peaks_kw)
+        return self.evaluate_data((tau_reg, y_exact, y_est),
+                                  (tau_cls, exact_peak_tau, est_peak_tau))
+
+    def evaluate_data(self, regression_data, classification_data,
+                      is_discretized=False):
+        """Score from raw arrays instead of model instances (reference
+        evaluation.py:153-190): regression_data = (tau_reg, y_exact, y_est),
+        classification_data = (tau_cls, exact_peak_tau, est_peak_tau)."""
+        tau_reg, y_exact, y_est = regression_data
+        tau_cls, exact_peak_tau, est_peak_tau = classification_data
+        reg = calculate_reg_metrics(tau_reg, y_exact, y_est,
+                                    discrete=is_discretized,
+                                    normalize=self.normalize, **self.reg_kw)
         cls = calculate_cls_metrics(est_peak_tau, exact_peak_tau,
                                     self.sim_function_kw)
         combo = calculate_combo_metrics(reg, cls)
-        self.results_ = {"regression": reg, "classification": cls, "combined": combo}
+        self.results_ = {"regression": reg, "classification": cls,
+                         "combined": combo}
+        # Stored inputs power plot_drt_comparison / metric_summary
+        self._last_eval = {
+            "tau_reg": np.asarray(tau_reg, dtype=float),
+            "y_exact": np.asarray(y_exact, dtype=float),
+            "y_est": np.asarray(y_est, dtype=float),
+            "tau_cls": np.asarray(tau_cls, dtype=float),
+            "exact_peak_tau": np.asarray(exact_peak_tau, dtype=float),
+            "est_peak_tau": np.asarray(est_peak_tau, dtype=float),
+        }
         return self.results_
+
+    @property
+    def metric_summary(self):
+        """Flat merged metric dict of the last evaluation (reference
+        evaluation.py metric_summary attribute)."""
+        if self.results_ is None:
+            return None
+        return {**self.results_["regression"], **self.results_["classification"],
+                **self.results_["combined"]}
+
+    def compute_rc_curve(self, exact_model, data_list, fit_function, arg_array,
+                         tau_reg, tau_cls, aggregate_weights=None,
+                         print_progress=False):
+        """Metric curves over an experiment axis (reference
+        evaluation.py:253-302): for each argument vector in ``arg_array``,
+        fit every dataset in ``data_list`` with
+        ``fit_function(data, *args) -> est_model``, score each fit against
+        ``exact_model``, and aggregate the flat metrics across datasets.
+
+        Returns {metric: (len(arg_array),) array}; also stored as
+        ``rc_curve_args`` / ``rc_curve_metrics``."""
+        arg_array = np.asarray(arg_array, dtype=object) \
+            if np.ndim(arg_array) == 1 else np.asarray(arg_array)
+        vec_dict = None
+        for i, arg_vec in enumerate(arg_array):
+            arg_vec = np.atleast_1d(arg_vec)
+            if print_progress:
+                print(f"rc_curve args[{i}] = {arg_vec}")
+            metric_dicts = []
+            for data in data_list:
+                est_model = fit_function(data, *arg_vec)
+                self.evaluate_models(exact_model, est_model, tau_reg, tau_cls)
+                metric_dicts.append(self.metric_summary)
+            agg = aggregate_metrics(metric_dicts, weights=aggregate_weights)
+            if vec_dict is None:
+                vec_dict = {k: np.empty(len(arg_array)) for k in agg}
+            for k, v in agg.items():
+                vec_dict[k][i] = v
+        self.rc_curve_args = np.array(arg_array, copy=True)
+        self.rc_curve_metrics = {k: v.copy() for k, v in vec_dict.items()}
+        return vec_dict
+
+    def plot_drt_comparison(self, tau=None, ax=None, scale_prefix=None,
+                            mark_est_peaks=True, mark_exact_peaks=True,
+                            exact_kw=None, est_kw=None):
+        """Overlay the exact and estimated distributions of the last
+        evaluation, optionally marking each model's detected peaks
+        (reference evaluation.py:304-456)."""
+        from .plotting import plot_distribution, get_scale_prefix
+        last = getattr(self, "_last_eval", None)
+        if last is None:
+            raise ValueError("No evaluation stored; run evaluate_models or "
+                             "evaluate_data first")
+        if tau is None or np.array_equal(np.asarray(tau), last["tau_reg"]):
+            tau = last["tau_reg"]
+            y_exact, y_est = last["y_exact"], last["y_est"]
+        else:
+            if self.exact_model is None or self.est_model is None:
+                raise ValueError("Custom tau requires model instances; "
+                                 "re-run evaluate_models")
+            y_exact = self._gamma_of(self.exact_model, tau)
+            y_est = self._gamma_of(self.est_model, tau)
+        if scale_prefix is None:
+            scale_prefix = get_scale_prefix(
+                np.concatenate([y_exact, y_est]))
+        exact_kw = {"ls": "--", "zorder": -10, "label": "Exact",
+                    **(exact_kw or {})}
+        est_kw = {"c": "k", "label": "Estimate", **(est_kw or {})}
+        ax = plot_distribution(tau, y_exact, ax=ax, scale_prefix=scale_prefix,
+                               **exact_kw)
+        ax = plot_distribution(tau, y_est, ax=ax, scale_prefix=scale_prefix,
+                               **est_kw)
+        if mark_exact_peaks and len(last["exact_peak_tau"]):
+            for pt in last["exact_peak_tau"]:
+                ax.axvline(pt, color=ax.lines[0].get_color(), lw=0.8,
+                           alpha=0.4, ls=":")
+        if mark_est_peaks and len(last["est_peak_tau"]):
+            gamma_pk = np.interp(np.log(last["est_peak_tau"]), np.log(tau),
+                                 y_est)
+            from .plotting import _scale_factor
+            ax.scatter(last["est_peak_tau"],
+                       gamma_pk / _scale_factor(scale_prefix),
+                       marker="x", c=est_kw.get("c", "k"), zorder=5)
+        ax.legend()
+        return ax
 
 
 # ------------------------------------------------------------------

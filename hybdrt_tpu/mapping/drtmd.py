@@ -691,8 +691,8 @@ class DRTMD:
             fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
             nonneg=self.fit_kw.get("nonneg", True),
             dtype=dtype if dtype is not None else jnp.float64, mesh=mesh)
-        step_x, step_llh, scale = fitter.pfrt_fit(z_batch,
-                                                  factors=self.pfrt_factors)
+        step_x, step_llh, scale, step_state = fitter.pfrt_fit(
+            z_batch, factors=self.pfrt_factors, return_step_state=True)
         self._batch_fitter = fitter
 
         left_index = nearest_index(self.tau_supergrid, fitter.basis_tau[0])
@@ -717,6 +717,9 @@ class DRTMD:
             self.obs_fit_attr[i] = {"batched": True, "pfrt": True,
                                     "step_x_raw": step_x[bi],
                                     "step_llh": step_llh[bi],
+                                    "step_rho": step_state["rho"][bi],
+                                    "step_s": step_state["s_vectors"][bi],
+                                    "step_dop_rho": step_state["dop_rho"][bi],
                                     "scale": scale[bi], "z": z_batch[bi]}
             self.obs_fit_status[i] = True
 
@@ -738,13 +741,7 @@ class DRTMD:
         if attr.get("ragged"):
             return self._rebuild_ragged_fit(obs_index, attr)
         if attr.get("pfrt"):
-            # Batched pfrt stores the sweep arrays directly; covariance
-            # reconstruction needs the per-step P matrices, which the
-            # all-device sweep does not materialize
-            raise NotImplementedError(
-                "get_fit/predict_param_cov are not available for batched pfrt "
-                "observations; use predict_x(factor_index=...) on the stored "
-                "sweep, or fit serially for per-step covariances")
+            return self._rebuild_batched_pfrt_fit(obs_index, attr)
         import jax.numpy as jnp
         from ..solver import qphb as qphb_mod
         from ..models.drt import _hypers_to_pytree
@@ -798,6 +795,90 @@ class DRTMD:
         drt.fit_parameters = drt.extract_qphb_parameters(attr["x_raw"])
         drt.fit_parameters["p_matrix"] = np.asarray(p_matrix)
         drt.fit_parameters["q_vector"] = np.asarray(q_vector)
+        return drt
+
+    def _rebuild_batched_pfrt_fit(self, obs_index, attr):
+        """Build a DRT carrying the full pfrt sweep — including per-step
+        posterior precision P, rebuilt on demand — for a batched-pfrt
+        observation.
+
+        The all-device sweep stores only the per-step hyperparameter state
+        (x, llh, rho, s, dop_rho); each step's P is recomputed here exactly
+        as the serial path records it (models/drt.py record_step): weights
+        re-estimated from the step's x, then qphb.calculate_pq under the
+        step's factor-scaled hypers. Parity: the reference can always
+        produce estimate_param_cov from any fit
+        (hybdrt/models/drt1d.py:4116-4146)."""
+        if "step_rho" not in attr:
+            raise ValueError(
+                "This batched-pfrt observation was fitted before per-step "
+                "hyperparameter state was stored; refit with fit_all to "
+                "enable covariance reconstruction")
+        import jax.numpy as jnp
+        from ..solver import qphb as qphb_mod
+        from ..models.drt import _hypers_to_pytree
+
+        chrono_data, eis_data = self.get_obs_data(obs_index)
+        freq = np.asarray(eis_data[0], dtype=float)
+        fitter = getattr(self, "_batch_fitter", None)
+        if fitter is None or len(fitter.frequencies) != len(freq) \
+                or not np.allclose(fitter.frequencies, freq):
+            from ..parallel.batch import BatchedEISFitter
+            fitter = BatchedEISFitter(
+                freq, tau_supergrid=self.tau_supergrid,
+                fit_ohmic=self.fit_ohmic, fit_inductance=self.fit_inductance,
+                fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
+                nonneg=self.fit_kw.get("nonneg", True), dtype=jnp.float64)
+            self._batch_fitter = fitter
+        template = fitter.template
+        qp = template.qphb_params
+        k_range = qp["cfg"].k_range
+        m_stack = np.stack([qp["penalty_matrices"][f"m{k}"]
+                            for k in range(k_range)])
+        rzv = np.concatenate([attr["z"].real, attr["z"].imag]) / attr["scale"]
+        factors = np.asarray(self.pfrt_factors, dtype=float)
+        hypers = qp["hypers"]
+        s0_base = np.asarray(hypers["s_0"], dtype=float)
+        l2_base = float(hypers["l2_lambda_0"])
+
+        step_p, step_hypers = [], []
+        for fi, f in enumerate(factors):
+            x_f = np.asarray(attr["step_x_raw"][fi], dtype=float)
+            weights, _, _ = qphb_mod.estimate_weights(
+                jnp.asarray(x_f), jnp.asarray(rzv), jnp.asarray(qp["vmm"]),
+                jnp.asarray(qp["rm"]))
+            hypers_used = {"s_0": s0_base * f, "l2_lambda_0": l2_base / f}
+            hyp_eval = _hypers_to_pytree(dict(hypers, **hypers_used))
+            p_matrix, _ = qphb_mod.calculate_pq(
+                jnp.asarray(qp["rm"]), jnp.asarray(rzv), jnp.asarray(m_stack),
+                hyp_eval, jnp.asarray(qp["l1_lambda_vector"]),
+                jnp.asarray(np.asarray(attr["step_rho"][fi], dtype=float)),
+                jnp.asarray(np.asarray(attr["step_dop_rho"][fi], dtype=float)),
+                jnp.asarray(np.asarray(attr["step_s"][fi], dtype=float)),
+                jnp.asarray(np.asarray(weights)), qp["cfg"])
+            step_p.append(np.asarray(p_matrix))
+            step_hypers.append(hypers_used)
+
+        drt = DRT(interpolate_integrals=False)
+        drt.set_attributes(template.get_attributes(["config", "fit_core"]))
+        # The template's qphb_params belong to its placeholder fit
+        drt.qphb_params = None
+        drt.interpolate_lookups = self.drt1d.interpolate_lookups
+        drt.integrate_method = "interp"
+        drt.coefficient_scale = attr["scale"]
+        drt.impedance_scale = attr["scale"]
+        best = int(np.argmax(np.asarray(attr["step_llh"])))
+        drt.fit_parameters = drt.extract_qphb_parameters(
+            np.asarray(attr["step_x_raw"][best], dtype=float))
+        drt.fit_parameters["p_matrix"] = step_p[best]
+        drt.pfrt_result = {
+            "factors": factors,
+            "step_x": [np.asarray(x, dtype=float)
+                       for x in attr["step_x_raw"]],
+            "step_llh": np.asarray(attr["step_llh"], dtype=float),
+            "step_p_mat": step_p,
+            "step_hypers": step_hypers,
+        }
         return drt
 
     def _rebuild_ragged_fit(self, obs_index, attr):

@@ -23,12 +23,15 @@ def partial_flow_ilk(reference_image, moving_image, flow_axes=(-1,), radius=7,
     ndim = ref.ndim
     axes = [ax % ndim for ax in np.atleast_1d(flow_axes)]
 
+    # radius may be per-image-axis (anisotropic windows; the blended-flow
+    # driver uses a small radius on its frame axis as flow "momentum")
+    radius = np.broadcast_to(np.asarray(radius, dtype=float), (ndim,))
     if gaussian:
-        sigma = radius / 2.0
+        sigma = tuple(radius / 2.0)
         def window(a):
             return ndimage.gaussian_filter(a, sigma, mode="mirror")
     else:
-        size = 2 * radius + 1
+        size = tuple((2 * radius + 1).astype(int))
         def window(a):
             return ndimage.uniform_filter(a, size, mode="mirror")
 
@@ -59,15 +62,21 @@ def partial_flow_ilk(reference_image, moving_image, flow_axes=(-1,), radius=7,
             for j in range(i, n):
                 g_mat[i, j] = window(grads[i] * grads[j])
                 g_mat[j, i] = g_mat[i, j]
-        # Regularize and solve per pixel
+        # Regularize and solve per pixel; pixels with (near-)zero local
+        # structure get zero update instead of a blow-up (reference
+        # _ilk.py: "Don't consider badly conditioned linear systems")
         eps = 1e-8 * (np.mean([g_mat[i, i] for i in range(n)]) + 1e-30)
         for i in range(n):
             g_mat[i, i] = g_mat[i, i] + eps
         if n == 1:
-            dflow = b_vec / g_mat[0, 0]
+            bad = np.abs(g_mat[0, 0]) < 1e-14
+            dflow = np.where(bad, 0.0, b_vec / np.where(bad, 1.0, g_mat[0, 0]))
         else:
             g_flat = np.moveaxis(g_mat.reshape(n, n, -1), -1, 0)
             b_flat = np.moveaxis(b_vec.reshape(n, -1), -1, 0)
+            bad = np.abs(np.linalg.det(g_flat)) < 1e-14
+            g_flat[bad] = np.eye(n)
+            b_flat[bad] = 0.0
             dflow = np.linalg.solve(g_flat, b_flat).T.reshape(n, *ref.shape)
         flow = flow + dflow
     return flow
@@ -226,10 +235,65 @@ def blend_frames(reference_image, moving_image, sigma, num=2, replace=False):
     weights[-1] = 1
     blended = masked_filter(output, weights, gaussian_filter1d, axis=0,
                             sigma=sigma, mode="nearest")
+    # Frames far from both endpoints underflow the masked filter (0/0 when
+    # both gaussian weights vanish); rebuild them with the numerically
+    # stable two-point blend ratio 1/(1 + exp((d0^2 - d1^2)/(2 sigma^2)))
+    bad = ~np.all(np.isfinite(blended), axis=tuple(range(1, blended.ndim)))
+    if bad.any():
+        n = blended.shape[0]
+        d0 = np.arange(n, dtype=float)
+        d1 = (n - 1) - d0
+        w_mov = 1.0 / (1.0 + np.exp((d1 ** 2 - d0 ** 2) / (2 * sigma ** 2)))
+        shape = (-1,) + (1,) * (blended.ndim - 1)
+        fixed = ((1 - w_mov).reshape(shape) * np.asarray(reference_image)
+                 + w_mov.reshape(shape) * np.asarray(moving_image))
+        blended[bad] = fixed[bad]
     if replace:
         return blended
     output[1:-1] = blended[1:-1]
     return output
+
+
+def partial_flow_blended(reference_image, moving_image, flow_axes=(-1,),
+                         blend_sigma=1, blend_num=2, replace=False,
+                         momentum=True, momentum_radius=1,
+                         post_blend_op=None, op_kwargs=None,
+                         radius=7, **ilk_kw):
+    """Partial flow between two distant frames via interpolated intermediate
+    frames (reference flow.py:93-216 partial_flow_blended).
+
+    Large displacements defeat plain ILK (the true shift exceeds the
+    window's capture range); blending ``blend_num`` intermediate frames
+    between the endpoints splits the displacement into small per-step flows
+    that are summed into the total. With ``momentum=True`` all per-step
+    flows are solved as ONE ILK problem over the frame stack with a small
+    window radius along the frame axis, coupling neighboring steps
+    ("momentum" smoothing); otherwise steps are solved pairwise.
+
+    Returns flow with shape (len(flow_axes), *image.shape), same convention
+    as partial_flow_ilk: ``warp_image(moving_image, flow)`` ~ reference.
+    """
+    blended = blend_frames(reference_image, moving_image, blend_sigma,
+                           blend_num, replace=replace)
+    if post_blend_op is not None:
+        blended = post_blend_op(blended, **(op_kwargs or {}))
+
+    img_ndim = np.ndim(moving_image)
+    axes = [ax % img_ndim for ax in np.atleast_1d(flow_axes)]
+    if momentum:
+        radius = np.broadcast_to(np.asarray(radius, dtype=float), (img_ndim,))
+        stack_radius = np.concatenate([[momentum_radius], radius])
+        shifted = tuple(ax + 1 for ax in axes)
+        # One solve over the whole stack: flow[k, i] maps blended[i+1] back
+        # to blended[i]; the frame-axis window couples neighboring steps
+        step_flow = partial_flow_ilk(blended[:-1], blended[1:],
+                                     flow_axes=shifted, radius=stack_radius,
+                                     **ilk_kw)
+        return step_flow.sum(axis=1)
+    step_flows = [partial_flow_ilk(blended[i], blended[i + 1],
+                                   flow_axes=axes, radius=radius, **ilk_kw)
+                  for i in range(blended.shape[0] - 1)]
+    return np.sum(step_flows, axis=0)
 
 
 def solve_flow_field_1d(x, velocity_axis, flow_axes, radius=7,

@@ -1153,10 +1153,9 @@ class DRT:
             dop_gmat = [np.asarray(g0) if (k == 0 and g0 is not None) else zeros
                         for k in range(k_range)]
 
-        hyp = _hypers_to_pytree(qphb_hypers)
-
         # Optional data-scale refinement from a quick solution (reference drt1d.py:574-607)
         if scale_data and solve_rp:
+            hyp = _hypers_to_pytree(qphb_hypers)
             x_rp = np.asarray(qphb_mod.estimate_x_rp(
                 hyp, jnp.asarray(m_stack), jnp.asarray(rho_vector), jnp.asarray(dop_rho_vector),
                 jnp.asarray(s_vectors), jnp.asarray(rzv), jnp.asarray(rzm), jnp.asarray(lb),
@@ -1272,6 +1271,9 @@ class DRT:
             }
 
         # ---------------- Weight initialization (reference drt1d.py:638-815)
+        # (hyp is built only past the prep_only exit: its device_puts are the
+        # dominant cost of a cache-warm prep-only call, parallel/ragged.py)
+        hyp = _hypers_to_pytree(qphb_hypers)
         iw_hypers = dict(qphb_hypers)
         iw_hypers["l1_lambda_0"] = iw_l1_lambda_0
         iw_hypers["l2_lambda_0"] = iw_l2_lambda_0

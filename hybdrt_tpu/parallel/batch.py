@@ -36,6 +36,7 @@ class BatchFitResult(NamedTuple):
     n_iter: np.ndarray         # (B,)
     converged: np.ndarray      # (B,)
     x_raw: np.ndarray          # (B, N) full scaled parameter vector
+    dop_rho: Optional[np.ndarray] = None  # (B, 3) DOP derivative strengths
 
 
 class BatchedEISFitter:
@@ -51,7 +52,7 @@ class BatchedEISFitter:
                  fit_dop=False, nonneg=True, dtype=jnp.float64,
                  max_iter=50, xtol=1e-2, qp_max_iter=60, qp_max_iter_warm=None,
                  iw_l1_lambda_0=1e-4, iw_l2_lambda_0=1e-4,
-                 mesh=None, **hyper_kw):
+                 mesh=None, pred_stop=False, pred_rtol=1e-2, **hyper_kw):
         self.frequencies = np.asarray(frequencies, dtype=float)
         self.dtype = dtype
         self.mesh = mesh
@@ -103,10 +104,16 @@ class BatchedEISFitter:
             lambda v: v.astype(dtype) if hasattr(v, "astype") else v,
             _hypers_to_pytree(iw_hypers))
 
+        # pred_stop=True adds the opt-in data-space stopping criterion
+        # (prediction settled; see fitcore.FitConfig) on top of the
+        # reference x-space check — a large throughput lever on batches
+        # dominated by benign hyperparameter limit cycles
         self.fcfg = fitcore.FitConfig(cfg=self.cfg, data_type="eis", num_chrono=0,
                                       vz_offset=False, vz_index=-1, max_iter=max_iter,
                                       x_rtol=xtol, max_hp_iter=1, qp_max_iter=qp_max_iter,
-                                      qp_max_iter_warm=qp_max_iter_warm)
+                                      qp_max_iter_warm=qp_max_iter_warm,
+                                      pred_stop=bool(pred_stop),
+                                      pred_rtol=float(pred_rtol))
 
         self._fit_batch = jax.jit(jax.vmap(self._fit_single))
 
@@ -142,6 +149,141 @@ class BatchedEISFitter:
             jnp.asarray(1.0, dtype=dtype), self.fcfg)
         return state
 
+    def _fit_single_history(self, rzv):
+        """Like _fit_single, but records the per-iteration solver state
+        (batched qphb_history; reference hybdrt/models/qphb.py:950-966)."""
+        cfg = self.cfg
+        k = cfg.k_range
+        n = self.rzm.shape[1]
+        dtype = rzv.dtype
+        rho0 = jnp.asarray(self.hypers["rho_0"], dtype=dtype)
+        dop_rho0 = jnp.asarray(self.hypers.get("dop_rho_0", np.ones(3)), dtype=dtype)
+        s0 = jnp.stack([jnp.full(n, float(self.hypers["s_0"][i]), dtype=dtype)
+                        for i in range(k)])
+        est, init_w, _, out_t = qphb_mod.initialize_weights(
+            self.iw_hyp, self.m_stack, rho0, dop_rho0, s0, rzv,
+            self.rzm, self.vmm, self.lb, cfg, outlier_p=None)
+        x0 = jnp.full(n, 1e-6, dtype=dtype)
+        dop_gmat = None if self.dop_gmat is None \
+            else jnp.asarray(self.dop_gmat, dtype=dtype)
+        state, _, history = fitcore.qphb_fit_scan(
+            self.rzm, rzv, self.vmm, self.m_stack, dop_gmat, self.l1v, self.lb, self.hyp,
+            x0, s0, rho0, dop_rho0, init_w, est, out_t,
+            jnp.zeros_like(self.rzm), jnp.ones(self.rzm.shape[0], dtype=dtype),
+            jnp.asarray(1.0, dtype=dtype), jnp.asarray(1.0, dtype=dtype),
+            jnp.asarray(1.0, dtype=dtype), self.fcfg)
+        return state, history
+
+    # ------------------------------------------------------------------
+    # Compacted-continuation ("adaptive") scheduling: a vmapped while_loop
+    # runs the whole batch until its SLOWEST lane finishes, so lanes that
+    # converge early still burn device time. Phase 1 runs the full batch to
+    # a small budget, then only the unconverged tail is gathered into a
+    # small padded batch and continued — the loop body is Markovian in the
+    # solver state, so the trajectory is identical to one uninterrupted run
+    # (fitcore.qphb_fit_loop_from_state). Padded tail sizes are quantized so
+    # each (shape, budget) pair compiles once.
+    def _fit_phase_single(self, rzv, budget):
+        cfg = self.cfg
+        k = cfg.k_range
+        n = self.rzm.shape[1]
+        dtype = rzv.dtype
+        rho0 = jnp.asarray(self.hypers["rho_0"], dtype=dtype)
+        dop_rho0 = jnp.asarray(self.hypers.get("dop_rho_0", np.ones(3)), dtype=dtype)
+        s0 = jnp.stack([jnp.full(n, float(self.hypers["s_0"][i]), dtype=dtype)
+                        for i in range(k)])
+        est, init_w, _, out_t = qphb_mod.initialize_weights(
+            self.iw_hyp, self.m_stack, rho0, dop_rho0, s0, rzv,
+            self.rzm, self.vmm, self.lb, cfg, outlier_p=None)
+        x0 = jnp.full(n, 1e-6, dtype=dtype)
+        dop_gmat = None if self.dop_gmat is None \
+            else jnp.asarray(self.dop_gmat, dtype=dtype)
+        state, _ = fitcore.qphb_fit_loop(
+            self.rzm, rzv, self.vmm, self.m_stack, dop_gmat, self.l1v, self.lb,
+            self.hyp, x0, s0, rho0, dop_rho0, init_w, est, out_t,
+            jnp.zeros_like(self.rzm), jnp.ones(self.rzm.shape[0], dtype=dtype),
+            jnp.asarray(1.0, dtype=dtype), jnp.asarray(1.0, dtype=dtype),
+            jnp.asarray(1.0, dtype=dtype), self.fcfg._replace(max_iter=budget))
+        return state, est
+
+    def _cont_single(self, state, est, rzv, stop_at):
+        dtype = rzv.dtype
+        dop_gmat = None if self.dop_gmat is None \
+            else jnp.asarray(self.dop_gmat, dtype=dtype)
+        one = jnp.asarray(1.0, dtype=dtype)
+        state, _ = fitcore.qphb_fit_loop_from_state(
+            state, self.rzm, rzv, self.vmm, self.m_stack, dop_gmat, self.l1v,
+            self.lb, self.hyp, est, jnp.zeros_like(self.rzm),
+            jnp.ones(self.rzm.shape[0], dtype=dtype), one, one, one,
+            self.fcfg._replace(max_iter=stop_at))
+        return state
+
+    @staticmethod
+    def _quantize_tail(n, n_min=32):
+        m = n_min
+        while m < n:
+            m *= 2
+        return m
+
+    def _fit_adaptive(self, rzv_np, phase_budgets=(12, 24)):
+        """Phased batch fit with tail compaction; returns per-lane states.
+
+        phase_budgets are cumulative iteration checkpoints; after each, the
+        still-unconverged lanes are compacted into a quantized-size padded
+        batch and continued (final phase runs to fcfg.max_iter)."""
+        jits = getattr(self, "_adaptive_jits", None)
+        if jits is None:
+            jits = self._adaptive_jits = {}
+
+        def phase_fn(budget):
+            key = ("phase", budget)
+            if key not in jits:
+                jits[key] = jax.jit(jax.vmap(
+                    lambda rv: self._fit_phase_single(rv, budget)))
+            return jits[key]
+
+        def cont_fn(stop_at):
+            key = ("cont", stop_at)
+            if key not in jits:
+                jits[key] = jax.jit(jax.vmap(
+                    lambda st, e, rv: self._cont_single(st, e, rv, stop_at)))
+            return jits[key]
+
+        max_iter = self.fcfg.max_iter
+        budgets = [b for b in phase_budgets if b < max_iter] + [max_iter]
+
+        rzv_dev = jnp.asarray(rzv_np, dtype=self.dtype)
+        if self.mesh is not None:
+            rzv_dev = sh.shard_batch(rzv_dev, self.mesh)
+        states, est = phase_fn(budgets[0])(rzv_dev)
+
+        # All compaction work stays device-resident: only the tiny
+        # (converged, it) flags are downloaded each round — with a tunneled
+        # chip, pulling the full state pytree to host costs more than the
+        # iterations saved.
+        n_min = 32 if self.mesh is None \
+            else max(32, self.mesh.shape[sh.BATCH_AXIS])
+        for stop_at in budgets[1:]:
+            conv = np.asarray(states.converged)
+            its = np.asarray(states.it)
+            active = ~conv & (its < max_iter)
+            if not active.any():
+                break
+            idx = np.where(active)[0]
+            m = min(self._quantize_tail(len(idx), n_min), rzv_np.shape[0])
+            pad = jnp.asarray(np.concatenate(
+                [idx, np.repeat(idx[:1], m - len(idx))]))
+            take = lambda a: a[pad] if self.mesh is None \
+                else sh.shard_batch(a[pad], self.mesh)
+            sub_state = jax.tree.map(take, states)
+            out = cont_fn(stop_at)(sub_state, take(est), take(rzv_dev))
+            k = len(idx)
+            idx_dev = jnp.asarray(idx)
+            states = jax.tree.map(
+                lambda full, part: full.at[idx_dev].set(part[:k]),
+                states, out)
+        return states
+
     # ------------------------------------------------------------------
     def scale_batch(self, z_batch):
         """Per-spectrum Rp estimate and scaling (reference drtbase.py:439)."""
@@ -152,19 +294,53 @@ class BatchedEISFitter:
         rzv = np.concatenate([z_scaled.real, z_scaled.imag], axis=1)
         return rzv, scale
 
-    def fit(self, z_batch, return_states=False):
-        """Fit a (B, n_freq) batch of complex spectra; returns BatchFitResult."""
+    def fit(self, z_batch, return_states=False, adaptive=False,
+            phase_budgets=(12, 24), return_history=False):
+        """Fit a (B, n_freq) batch of complex spectra; returns BatchFitResult.
+
+        adaptive=True enables compacted-continuation scheduling (see
+        _fit_adaptive): numerically identical lane trajectories, but early
+        whole-batch dispatch cutoffs with only the unconverged tail
+        continued. Combine with pred_stop=True for the full throughput win.
+
+        return_history=True appends a per-iteration history dict of arrays
+        with shape (B, max_iter, ...) — the batched analog of the
+        reference's qphb_history (hybdrt/models/qphb.py:950-966); entries
+        past a lane's convergence repeat its converged state (mask with
+        history['it'])."""
         z_batch = np.asarray(z_batch)
         rzv, scale = self.scale_batch(z_batch)
         b_orig = rzv.shape[0]
 
         if self.mesh is not None:
             rzv, _ = sh.pad_batch(rzv, self.mesh)
-            rzv_dev = sh.shard_batch(jnp.asarray(rzv, dtype=self.dtype), self.mesh)
+
+        if return_history:
+            if adaptive:
+                raise ValueError("return_history is a fixed-length scan; "
+                                 "use it without adaptive scheduling")
+            rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
+            if self.mesh is not None:
+                rzv_dev = sh.shard_batch(rzv_dev, self.mesh)
+            if not hasattr(self, "_fit_batch_history"):
+                self._fit_batch_history = jax.jit(
+                    jax.vmap(self._fit_single_history))
+            states, history = self._fit_batch_history(rzv_dev)
+            history = {k: np.asarray(v)[:b_orig] for k, v in history.items()}
+            # scan stacks iterations on the leading post-vmap axis -> (B, T, ...)
+            result = self.collect(states, scale, b_orig,
+                                  return_states=return_states)
+            if return_states:
+                return (*result, history)
+            return result, history
+
+        if adaptive:
+            states = self._fit_adaptive(rzv, phase_budgets=phase_budgets)
         else:
             rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
-
-        states = self._fit_batch(rzv_dev)
+            if self.mesh is not None:
+                rzv_dev = sh.shard_batch(rzv_dev, self.mesh)
+            states = self._fit_batch(rzv_dev)
         return self.collect(states, scale, b_orig, return_states=return_states)
 
     def collect(self, states, scale, b_orig, return_states=False):
@@ -197,6 +373,7 @@ class BatchedEISFitter:
             n_iter=np.asarray(states.it)[:b_orig],
             converged=np.asarray(states.converged)[:b_orig],
             x_raw=x_full,
+            dop_rho=np.asarray(states.dop_rho_vector)[:b_orig],
         )
         if return_states:
             return result, states
@@ -255,7 +432,8 @@ class BatchedHybridFitter:
                  step_sizes=None, basis_tau=None, tau_supergrid=None,
                  fit_ohmic=True, fit_inductance=True, nonneg=True,
                  vz_offset=True, dtype=jnp.float64, max_iter=50, xtol=1e-2,
-                 qp_max_iter=60, qp_max_iter_warm=None, mesh=None, **hyper_kw):
+                 qp_max_iter=60, qp_max_iter_warm=None, mesh=None,
+                 pred_stop=False, pred_rtol=1e-2, **hyper_kw):
         self.times = np.asarray(times, dtype=float)
         self.i_signal = np.asarray(i_signal, dtype=float)
         self.frequencies = np.asarray(frequencies, dtype=float)
@@ -334,7 +512,8 @@ class BatchedHybridFitter:
             cfg=self.cfg, data_type="hybrid", num_chrono=self.num_chrono,
             vz_offset=self.vz_offset, vz_index=self.vz_index,
             max_iter=max_iter, x_rtol=xtol, max_hp_iter=1,
-            qp_max_iter=qp_max_iter, qp_max_iter_warm=qp_max_iter_warm)
+            qp_max_iter=qp_max_iter, qp_max_iter_warm=qp_max_iter_warm,
+            pred_stop=bool(pred_stop), pred_rtol=float(pred_rtol))
 
         self._fit_batch = jax.jit(jax.vmap(self._fit_single))
 
@@ -387,9 +566,32 @@ class BatchedHybridFitter:
             rzv[i] = np.concatenate([v_s, z_s.real, z_s.imag])
         return rzv, scale
 
-    def fit(self, v_batch, z_batch, return_states=False):
+    def _fit_single_history(self, rzv):
+        """Per-iteration history variant (batched qphb_history)."""
+        cfg = self.cfg
+        n = self.rzm.shape[1]
+        dtype = rzv.dtype
+        rho0 = jnp.asarray(self.hypers["rho_0"], dtype=dtype)
+        dop_rho0 = jnp.ones(3, dtype=dtype)
+        s0 = jnp.stack([jnp.full(n, float(self.hypers["s_0"][i]), dtype=dtype)
+                        for i in range(3)])
+        est, init_w, _, out_t = qphb_mod.initialize_weights(
+            self.iw_hyp, self.m_stack, rho0, dop_rho0, s0, rzv,
+            self.rzm, self.vmm, self.lb, cfg, outlier_p=None)
+        x0 = jnp.full(n, 1e-6, dtype=dtype)
+        state, _, history = fitcore.qphb_fit_scan(
+            self.rzm, rzv, self.vmm, self.m_stack, None, self.l1v, self.lb,
+            self.hyp, x0, s0, rho0, dop_rho0, init_w, est, out_t,
+            self.rzm_vz, self.vz_strength_vec,
+            jnp.asarray(1.0, dtype=dtype), jnp.asarray(1.0, dtype=dtype),
+            jnp.asarray(1.0, dtype=dtype), self.fcfg)
+        return state, history
+
+    def fit(self, v_batch, z_batch, return_states=False, return_history=False):
         """Fit (B, n_times) responses + (B, n_freq) spectra; returns
-        BatchFitResult (x in physical units)."""
+        BatchFitResult (x in physical units). return_history=True appends a
+        (B, max_iter, ...) per-iteration history dict (batched analog of
+        the reference's qphb_history, hybdrt/models/qphb.py:950-966)."""
         rzv, scale = self.scale_batch(v_batch, z_batch)
         b_orig = rzv.shape[0]
         if self.mesh is not None:
@@ -397,6 +599,17 @@ class BatchedHybridFitter:
             rzv_dev = sh.shard_batch(jnp.asarray(rzv, dtype=self.dtype), self.mesh)
         else:
             rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
+        if return_history:
+            if not hasattr(self, "_fit_batch_history"):
+                self._fit_batch_history = jax.jit(
+                    jax.vmap(self._fit_single_history))
+            states, history = self._fit_batch_history(rzv_dev)
+            history = {k: np.asarray(v)[:b_orig] for k, v in history.items()}
+            result = BatchedEISFitter.collect(self, states, scale, b_orig,
+                                              return_states=return_states)
+            if return_states:
+                return (*result, history)
+            return result, history
         states = self._fit_batch(rzv_dev)
         return BatchedEISFitter.collect(self, states, scale, b_orig,
                                         return_states=return_states)
@@ -452,8 +665,11 @@ def _pfrt_sweep_single(fitter, rzv, factors, max_init_iter, max_iter_per_step,
         return qphb_mod.evaluate_llh(x, fitter.rzm, rzv, w,
                                      marginalize_weights=True)
 
+    # pred_stop is disabled for the short warm-continued steps (the manual
+    # while_loop here carries no prediction history)
     fcfg_cont = fitter.fcfg._replace(max_iter=max_iter_per_step,
-                                     continue_mode=True, min_iter=2)
+                                     continue_mode=True, min_iter=2,
+                                     pred_stop=False)
 
     def step(state, inputs):
         s0_k, l2_k = inputs
@@ -472,16 +688,25 @@ def _pfrt_sweep_single(fitter, rzv, factors, max_init_iter, max_iter_per_step,
                 one, one, one, hyp_k, fcfg_cont)
 
         final = jax.lax.while_loop(cond, body, carry)
-        return final.state, (final.state.x, llh_of(final.state.x))
+        st = final.state
+        return st, (st.x, llh_of(st.x), st.rho_vector, st.s_vectors,
+                    st.dop_rho_vector)
 
-    _, (xs, llhs) = jax.lax.scan(step, state, (s0_steps[1:], l2_steps[1:]))
+    _, (xs, llhs, rhos, svs, dop_rhos) = jax.lax.scan(
+        step, state, (s0_steps[1:], l2_steps[1:]))
     step_x = jnp.concatenate([state.x[None], xs])
     step_llh = jnp.concatenate([llh_of(state.x)[None], llhs])
-    return step_x, step_llh
+    # Per-step hyperparameter state: needed to rebuild the per-step posterior
+    # precision P on demand (covariance for batched-pfrt observations,
+    # reference drt1d.py:4116-4146 always has P available)
+    step_rho = jnp.concatenate([state.rho_vector[None], rhos])
+    step_s = jnp.concatenate([state.s_vectors[None], svs])
+    step_dop_rho = jnp.concatenate([state.dop_rho_vector[None], dop_rhos])
+    return step_x, step_llh, step_rho, step_s, step_dop_rho
 
 
 def _pfrt_fit(self, z_batch, factors=None, max_init_iter=20,
-              max_iter_per_step=10):
+              max_iter_per_step=10, return_step_state=False):
     """PFRT regularization sweep over the whole batch: the init fit and the
     warm-continued factor sweep run inside ONE vmapped XLA computation (the
     reference sweeps factors per spectrum in python,
@@ -489,7 +714,10 @@ def _pfrt_fit(self, z_batch, factors=None, max_init_iter=20,
 
     Returns (step_x_raw, step_llh, scale): step_x_raw is (B, n_factors, N)
     raw (scaled-space) solutions; multiply the DRT block by scale to get
-    physical coefficients."""
+    physical coefficients. With return_step_state=True a fourth element is
+    appended: {"rho": (B,F,3), "s_vectors": (B,F,3,N), "dop_rho": (B,F,3)},
+    the per-factor hyperparameter state needed to rebuild each step's
+    posterior precision P (covariance on demand)."""
     if factors is None:
         factors = np.logspace(-0.7, 0.7, 11)
     factors = np.asarray(factors, dtype=float)
@@ -512,9 +740,14 @@ def _pfrt_fit(self, z_batch, factors=None, max_init_iter=20,
         sweep = jax.jit(jax.vmap(lambda rv: _pfrt_sweep_single(
             self, rv, factors, max_init_iter, max_iter_per_step, self.dtype)))
         cache[sweep_key] = sweep
-    step_x, step_llh = sweep(rzv_dev)
-    return (np.asarray(step_x)[:b_orig], np.asarray(step_llh)[:b_orig],
-            np.asarray(scale))
+    step_x, step_llh, step_rho, step_s, step_dop_rho = sweep(rzv_dev)
+    out = (np.asarray(step_x)[:b_orig], np.asarray(step_llh)[:b_orig],
+           np.asarray(scale))
+    if return_step_state:
+        out = out + ({"rho": np.asarray(step_rho)[:b_orig],
+                      "s_vectors": np.asarray(step_s)[:b_orig],
+                      "dop_rho": np.asarray(step_dop_rho)[:b_orig]},)
+    return out
 
 
 BatchedEISFitter.pfrt_fit = _pfrt_fit

@@ -87,7 +87,8 @@ class BatchedRaggedFitter:
                  dtype=jnp.float64, max_iter=50, xtol=1e-2, qp_max_iter=60,
                  qp_max_iter_warm=None, mesh=None, step_model="ideal",
                  chrono_mode="galv", fixed_basis_nu=None, fit_kw=None,
-                 per_obs_penalty=True, **hyper_kw):
+                 per_obs_penalty=True, pred_stop=False, pred_rtol=1e-2,
+                 **hyper_kw):
         self.tau_supergrid = np.asarray(tau_supergrid, dtype=float)
         self.dtype = dtype
         self.mesh = mesh
@@ -96,6 +97,8 @@ class BatchedRaggedFitter:
         self.xtol = xtol
         self.qp_max_iter = qp_max_iter
         self.qp_max_iter_warm = qp_max_iter_warm
+        self.pred_stop = bool(pred_stop)
+        self.pred_rtol = float(pred_rtol)
         self.fit_kw = dict(fit_kw or {})
         self.hyper_kw = hyper_kw
         # per_obs_penalty=True carries each observation's own penalty stack
@@ -117,15 +120,33 @@ class BatchedRaggedFitter:
             self.template = DRT(**self._drt_kw)
 
     # ------------------------------------------------------------------
+    # Fit kwargs that make the QP system matrices or scaling depend on the
+    # DATA (not just the measurement protocol); their presence disables the
+    # shared-system fast path below
+    _DATA_DEPENDENT_KW = frozenset({
+        "solve_rp", "remove_extremes", "remove_outliers",
+        "return_outlier_index", "scale_data", "update_scale",
+        "subtract_background", "series_neg"})
+
+    def _fast_path_ok(self):
+        return not (self._DATA_DEPENDENT_KW & set(self.fit_kw))
+
     def _prep_obs(self, chrono_data, eis_data):
         """Assemble one observation's QP system exactly as the serial fit
         would (DRT._qphb_fit_core(prep_only=True)).
 
-        One DRT instance is kept per measurement protocol (grids + input
-        signal): its assembly caches make repeat preps on a shared protocol
-        skip all matrix construction, so only the data-dependent scaling is
-        recomputed per observation (the reference re-assembles per obs,
-        drtmd.py:303)."""
+        Two levels of reuse across observations sharing a measurement
+        protocol (grids + input signal):
+          * one DRT instance per protocol — its assembly caches make repeat
+            preps skip all matrix construction;
+          * for EIS observations (without data-dependent fit kwargs), the
+            whole prep-only system is cached per protocol and later
+            observations only redo the data scaling (rzv, coefficient
+            scale), skipping the serial prep path entirely. This removes
+            the per-observation host bottleneck of large heterogeneous maps
+            (the reference re-preps every observation serially,
+            reference hybdrt/mapping/drtmd.py:303-319).
+        """
         times, i_sig, v_sig = (chrono_data if chrono_data is not None
                                and chrono_data[0] is not None
                                else (None, None, None))
@@ -136,6 +157,25 @@ class BatchedRaggedFitter:
                None if freq is None else np.asarray(freq).tobytes())
         if not hasattr(self, "_drt_cache"):
             self._drt_cache = {}
+            self._sys_cache = {}
+
+        # EIS fast path: shared-protocol system + per-obs rescale only.
+        # Parity: scale_data computes coefficient_scale = estimate_rp /
+        # rp_scale and divides z by it (models/drt.py:345-391); nothing else
+        # in the prep-only system depends on z.
+        tmpl = self._sys_cache.get(key)
+        if tmpl is not None:
+            from .. import preprocessing as pp_mod
+            z = np.asarray(z, dtype=complex)
+            rp_est = pp_mod.estimate_rp(None, None, None, None, None, z)
+            scale = rp_est / tmpl["hypers"]["rp_scale"]
+            z_scaled = z / scale
+            sys_ = dict(tmpl)
+            sys_["rzv"] = np.concatenate([z_scaled.real, z_scaled.imag])
+            sys_["coefficient_scale"] = scale
+            sys_["impedance_scale"] = scale
+            return sys_
+
         drt = self._drt_cache.get(key)
         with host_cpu():
             if drt is None:
@@ -173,6 +213,10 @@ class BatchedRaggedFitter:
                                                    * rp_tot ** 0.5)
             sys_["host_eis_wf"] = ewf
             sys_["host_chrono_wf"] = cwf
+        if sys_["data_type"] == "eis" and self._fast_path_ok():
+            if len(self._sys_cache) > 64:
+                self._sys_cache.clear()
+            self._sys_cache[key] = sys_
         return sys_
 
     def prepare(self, observations):
@@ -284,7 +328,8 @@ class BatchedRaggedFitter:
             cfg=cfg, data_type=data_type, num_chrono=0,
             vz_offset=ref["vz_offset"], vz_index=ref["vz_index"],
             max_iter=self.max_iter, x_rtol=self.xtol, max_hp_iter=1,
-            qp_max_iter=self.qp_max_iter, qp_max_iter_warm=self.qp_max_iter_warm)
+            qp_max_iter=self.qp_max_iter, qp_max_iter_warm=self.qp_max_iter_warm,
+            pred_stop=self.pred_stop, pred_rtol=self.pred_rtol)
 
         self._tau_indices = tau_indices
         self._scales = np.asarray(scales, dtype=float)
@@ -310,7 +355,7 @@ class BatchedRaggedFitter:
     # ------------------------------------------------------------------
     def _fit_single(self, rzv, rzm, vmm, rzm_vz, vz_strength, vz_sign,
                     chrono_row_mask, row_mask, col_mask, l1v, lb, var_floor,
-                    host_row_factors=None, m_stack=None):
+                    host_row_factors=None, m_stack=None, with_history=False):
         cfg = self.cfg
         n = rzm.shape[1]
         dtype = rzv.dtype
@@ -351,20 +396,29 @@ class BatchedRaggedFitter:
         one = jnp.asarray(1.0, dtype=dtype)
         dop_gmat = None if self.dop_gmat is None \
             else jnp.asarray(self.dop_gmat, dtype=dtype)
-        state, _ = fitcore.qphb_fit_loop(
-            rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, self.hyp,
-            x0, s0, rho0, dop_rho0, init_w, est, out_t,
-            rzm_vz, vz_strength, one, one,
-            jnp.asarray(self.weight_factor, dtype=dtype), self.fcfg,
-            col_mask=col_mask, var_floor=var_floor,
-            row_factors=row_factors, vz_sign=vz_sign)
+        loop_args = (rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, self.hyp,
+                     x0, s0, rho0, dop_rho0, init_w, est, out_t,
+                     rzm_vz, vz_strength, one, one,
+                     jnp.asarray(self.weight_factor, dtype=dtype), self.fcfg)
+        loop_kw = dict(col_mask=col_mask, var_floor=var_floor,
+                       row_factors=row_factors, vz_sign=vz_sign)
+        if with_history:
+            state, _, history = fitcore.qphb_fit_scan(*loop_args, **loop_kw)
+            return state, row_factors, history
+        state, _ = fitcore.qphb_fit_loop(*loop_args, **loop_kw)
         # Return the per-row factors so collect() can store EFFECTIVE weights
         # (the serial path stores weights * domain factors, drt.py:1400-1403,
         # and llh/rss are evaluated against those)
         return state, row_factors
 
     # ------------------------------------------------------------------
-    def fit(self, observations, return_states=False):
+    def fit(self, observations, return_states=False, return_history=False):
+        """Fit heterogeneous observations as one vmapped computation.
+
+        return_history=True appends a (B, max_iter, ...) per-iteration
+        history dict (batched analog of the reference's qphb_history,
+        hybdrt/models/qphb.py:950-966); padded rows/columns behave as in
+        the final state."""
         batch = self.prepare(observations)
         b_orig = batch["rzv"].shape[0]
 
@@ -390,6 +444,7 @@ class BatchedRaggedFitter:
         # under the previous batch's fcfg/data_type/penalty stack.
         cfg_sig = (self.data_type, self.fcfg, self.weight_factor,
                    self.hybrid_wf_method, self.per_obs_penalty,
+                   bool(return_history),
                    None if self.per_obs_penalty
                    else np.asarray(self.m_stack).tobytes(),
                    None if self.dop_gmat is None
@@ -398,12 +453,23 @@ class BatchedRaggedFitter:
             self._fit_batch_sig = cfg_sig
             if self.per_obs_penalty:
                 self._fit_batch_jit = jax.jit(jax.vmap(
-                    lambda *a: self._fit_single(*a[:-1], m_stack=a[-1])))
+                    lambda *a: self._fit_single(*a[:-1], m_stack=a[-1],
+                                                with_history=return_history)))
             else:
-                self._fit_batch_jit = jax.jit(jax.vmap(self._fit_single))
+                self._fit_batch_jit = jax.jit(jax.vmap(
+                    lambda *a: self._fit_single(*a,
+                                                with_history=return_history)))
         fit_batch = self._fit_batch_jit
         if self.per_obs_penalty:
             args.append(arrays["m_stack"])
+        if return_history:
+            states, row_factors, history = fit_batch(*args)
+            history = {k: np.asarray(v)[:b_orig] for k, v in history.items()}
+            result = self.collect(states, b_orig, row_factors=row_factors,
+                                  return_states=return_states)
+            if return_states:
+                return (*result, history)
+            return result, history
         states, row_factors = fit_batch(*args)
         return self.collect(states, b_orig, row_factors=row_factors,
                             return_states=return_states)

@@ -40,18 +40,32 @@ class FitConfig(NamedTuple):
     # min_iter iterations before convergence can stop the loop
     continue_mode: bool = False
     min_iter: int = 2
+    # Opt-in data-space stopping criterion (default OFF for parity with the
+    # reference's x-space check, hybdrt/models/qphb.py:597-604): also accept
+    # "prediction settled" — the weight-scaled RMS change between this
+    # iteration's prediction and the one two iterations back falls below
+    # pred_rtol. Catches the benign period-2 hyperparameter limit cycles
+    # whose predictions stopped moving long before the iteration budget
+    # (proven benign in tests/test_parallel.py) without burning the budget.
+    pred_stop: bool = False
+    pred_rtol: float = 1e-2
 
 
 class FitCarry(NamedTuple):
     state: QPHBState
     rzm: jnp.ndarray
+    # Prediction history for pred_stop (None when disabled): y_prev is the
+    # previous iteration's prediction, y_prev2 the one before it
+    y_prev: Optional[jnp.ndarray] = None
+    y_prev2: Optional[jnp.ndarray] = None
 
 
 def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,
                rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
                weight_factor, hyp, fcfg: FitConfig, nl_cross=None, rm_bkg=None,
                col_mask=None, var_floor=None, row_factors=None, vz_sign=None):
-    st, rzm = carry
+    st, rzm = carry.state, carry.rzm
+    y_prev, y_prev2 = carry.y_prev, carry.y_prev2
     nc = fcfg.num_chrono
 
     weights = st.weights
@@ -114,6 +128,21 @@ def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weight
         y_bkg = rm_bkg @ (rzv - y_hat)[:nc]
         rzm = rzm.at[:nc, fcfg.bkg_index].set(y_bkg)
 
+    # Opt-in data-space early stop: accept "prediction settled" in addition
+    # to the x-space check — the weight-scaled RMS change between this
+    # iteration's prediction and the one two iterations back (period-2 limit
+    # cycles shuffle mass between adjacent basis columns while the
+    # prediction stands still). Default OFF for parity with the reference
+    # convergence formula (hybdrt/models/qphb.py:597-604).
+    if fcfg.pred_stop:
+        y_new = rzm @ st_new.x
+        delta = (y_new - y_prev2) * st_new.weights
+        settled = (st_new.it >= jnp.maximum(fcfg.min_iter, 3)) & \
+            (jnp.sqrt(jnp.mean(delta ** 2)) < fcfg.pred_rtol)
+        st_new = st_new._replace(converged=st_new.converged | settled)
+        y_prev2 = y_prev
+        y_prev = y_new
+
     # vz_offset column rewrite with the updated prediction
     # (reference drt1d.py:972-979)
     if fcfg.data_type == "hybrid" and fcfg.vz_offset:
@@ -125,7 +154,7 @@ def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weight
             vz_sep = y_hat.at[nc:].multiply(-1.0)
         rzm = rzm.at[:, fcfg.vz_index].set(vz_sep * vz_strength_vec)
 
-    return FitCarry(state=st_new, rzm=rzm)
+    return FitCarry(state=st_new, rzm=rzm, y_prev=y_prev, y_prev2=y_prev2)
 
 
 def _check_penalty_type(cfg):
@@ -143,7 +172,6 @@ def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
                   weight_factor, fcfg: FitConfig, nl_cross=None, rm_bkg=None,
                   col_mask=None, var_floor=None, row_factors=None, vz_sign=None):
     """Run the full QPHB outer loop; returns (final_state, final_rzm)."""
-    _check_penalty_type(fcfg.cfg)
     k = fcfg.cfg.k_range
     state0 = QPHBState(
         x=x0, s_vectors=s0, rho_vector=rho0, dop_rho_vector=dop_rho0,
@@ -151,6 +179,29 @@ def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
         xmx_norms=jnp.ones(k, dtype=rzv.dtype), dop_xmx_norms=jnp.ones(k, dtype=rzv.dtype),
         it=jnp.array(0, dtype=jnp.int32), converged=jnp.array(False),
         qp_dual=jnp.zeros_like(x0))
+    return qphb_fit_loop_from_state(
+        state0, rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
+        est_weights, rzm_vz, vz_strength_vec, chrono_weight_factor,
+        eis_weight_factor, weight_factor, fcfg, nl_cross=nl_cross,
+        rm_bkg=rm_bkg, col_mask=col_mask, var_floor=var_floor,
+        row_factors=row_factors, vz_sign=vz_sign)
+
+
+@partial(jax.jit, static_argnames=("fcfg",))
+def qphb_fit_loop_from_state(state0, rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb,
+                             hyp, est_weights, rzm_vz, vz_strength_vec,
+                             chrono_weight_factor, eis_weight_factor,
+                             weight_factor, fcfg: FitConfig, nl_cross=None,
+                             rm_bkg=None, col_mask=None, var_floor=None,
+                             row_factors=None, vz_sign=None):
+    """Run (or resume) the QPHB outer loop from an explicit state.
+
+    The loop body is Markovian in (state, rzm): resuming a fit whose
+    while_loop was cut at max_iter=k with a larger max_iter continues the
+    EXACT single-run trajectory (the basis of the compacted-continuation
+    batch scheduler in parallel/batch.py, which stops whole-batch dispatches
+    early and re-runs only the unconverged tail)."""
+    _check_penalty_type(fcfg.cfg)
 
     def cond(carry):
         return (carry.state.it < fcfg.max_iter) & (~carry.state.converged)
@@ -162,8 +213,61 @@ def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
                           col_mask=col_mask, var_floor=var_floor,
                           row_factors=row_factors, vz_sign=vz_sign)
 
-    final = jax.lax.while_loop(cond, body, FitCarry(state=state0, rzm=rzm))
+    y0 = jnp.zeros_like(rzv) if fcfg.pred_stop else None
+    final = jax.lax.while_loop(
+        cond, body, FitCarry(state=state0, rzm=rzm, y_prev=y0, y_prev2=y0))
     return final.state, final.rzm
+
+
+@partial(jax.jit, static_argnames=("fcfg",))
+def qphb_fit_scan(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
+                  x0, s0, rho0, dop_rho0, init_weights, est_weights, outlier_t0,
+                  rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
+                  weight_factor, fcfg: FitConfig, nl_cross=None, rm_bkg=None,
+                  col_mask=None, var_floor=None, row_factors=None, vz_sign=None):
+    """Fixed-length lax.scan variant of the fit loop that records the
+    per-iteration solver state — the batched analog of the reference's
+    qphb_history (hybdrt/models/qphb.py:950-966), vmappable so a whole
+    batch's diagnostics come out of one XLA computation.
+
+    Returns (final_state, final_rzm, history) with history a dict of arrays
+    whose leading axis is the iteration (length fcfg.max_iter; iterations
+    after convergence repeat the converged state — mask with
+    history['it'])."""
+    _check_penalty_type(fcfg.cfg)
+    k = fcfg.cfg.k_range
+    state0 = QPHBState(
+        x=x0, s_vectors=s0, rho_vector=rho0, dop_rho_vector=dop_rho0,
+        weights=init_weights, outlier_t=outlier_t0,
+        xmx_norms=jnp.ones(k, dtype=rzv.dtype),
+        dop_xmx_norms=jnp.ones(k, dtype=rzv.dtype),
+        it=jnp.array(0, dtype=jnp.int32), converged=jnp.array(False),
+        qp_dual=jnp.zeros_like(x0))
+    y0 = jnp.zeros_like(rzv) if fcfg.pred_stop else None
+    carry0 = FitCarry(state=state0, rzm=rzm, y_prev=y0, y_prev2=y0)
+
+    def step(carry, _):
+        live = (carry.state.it < fcfg.max_iter) & (~carry.state.converged)
+        new = jax.lax.cond(
+            live,
+            lambda c: _loop_body(c, rzv, vmm, m_stack, dop_gmat, l1v, lb,
+                                 est_weights, rzm_vz, vz_strength_vec,
+                                 chrono_weight_factor, eis_weight_factor,
+                                 weight_factor, hyp, fcfg, nl_cross=nl_cross,
+                                 rm_bkg=rm_bkg, col_mask=col_mask,
+                                 var_floor=var_floor, row_factors=row_factors,
+                                 vz_sign=vz_sign),
+            lambda c: c, carry)
+        st = new.state
+        rec = {"x": st.x, "s_vectors": st.s_vectors,
+               "rho_vector": st.rho_vector,
+               "dop_rho_vector": st.dop_rho_vector, "weights": st.weights,
+               "outlier_t": st.outlier_t, "it": st.it,
+               "converged": st.converged}
+        return new, rec
+
+    final, history = jax.lax.scan(step, carry0, None, length=fcfg.max_iter)
+    return final.state, final.rzm, history
 
 
 def qphb_fit_eager(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
@@ -180,7 +284,8 @@ def qphb_fit_eager(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
         xmx_norms=jnp.ones(k, dtype=rzv.dtype), dop_xmx_norms=jnp.ones(k, dtype=rzv.dtype),
         it=jnp.array(0, dtype=jnp.int32), converged=jnp.array(False),
         qp_dual=jnp.zeros_like(jnp.asarray(x0)))
-    carry = FitCarry(state=state, rzm=jnp.asarray(rzm))
+    y0 = jnp.zeros_like(jnp.asarray(rzv)) if fcfg.pred_stop else None
+    carry = FitCarry(state=state, rzm=jnp.asarray(rzm), y_prev=y0, y_prev2=y0)
     history = []
     while int(carry.state.it) < fcfg.max_iter and not bool(carry.state.converged):
         carry = _loop_body(carry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,

@@ -216,3 +216,78 @@ def test_js_divergence_normalizes_before_mixture():
     r = np.exp(-0.5 * (x - 2.0) ** 2) * 5.0
     js2 = ev.js_divergence(x, p, r, normalize=True)
     assert 0 <= js2 <= np.log(2) + 1e-6
+
+
+def test_evaluate_data_and_metric_summary():
+    """evaluate_data scores from raw arrays (reference evaluation.py:153-190)
+    and matches evaluate_models on the same inputs."""
+    tau_reg = np.logspace(-5, 1, 200)
+    tau_cls = np.logspace(-5, 1, 300)
+    exact = lambda t: _zarc_gamma(t, 1e-2, 0.85)
+    est = lambda t: _zarc_gamma(t, 1.3e-2, 0.83)
+
+    scorer = evaluation.DrtScorer()
+    res_models = scorer.evaluate_models(exact, est, tau_reg, tau_cls)
+    summary = scorer.metric_summary
+    assert set(summary) >= {"r2", "f1", "precision", "recall", "f1-js"}
+
+    # Same inputs through evaluate_data give identical results
+    scorer2 = evaluation.DrtScorer()
+    reg_data = (tau_reg, exact(tau_reg), est(tau_reg))
+    cls_data = (tau_cls, evaluation.find_model_peaks(exact, tau_cls),
+                evaluation.find_model_peaks(est, tau_cls))
+    res_data = scorer2.evaluate_data(reg_data, cls_data)
+    for grp in ("regression", "classification", "combined"):
+        for k, v in res_models[grp].items():
+            assert res_data[grp][k] == pytest.approx(v, rel=1e-12), (grp, k)
+
+    # Perfect estimate: all combined metrics ~1
+    scorer3 = evaluation.DrtScorer()
+    scorer3.evaluate_models(exact, exact, tau_reg, tau_cls)
+    s3 = scorer3.metric_summary
+    assert s3["f1"] == pytest.approx(1.0, abs=1e-6)
+    assert s3["r2"] == pytest.approx(1.0)
+
+
+def test_compute_rc_curve():
+    """Metric curves over an experiment axis (reference
+    evaluation.py:253-302): fit quality should degrade monotonically as the
+    fit function's tau-offset argument grows."""
+    tau_reg = np.logspace(-5, 1, 150)
+    tau_cls = np.logspace(-5, 1, 200)
+    exact = lambda t: _zarc_gamma(t, 1e-2, 0.85)
+
+    # "fit function": returns a model whose tau_0 is offset from the truth
+    # by the experiment argument; data_list entries perturb it slightly
+    def fit_function(data, log_offset):
+        return lambda t: _zarc_gamma(t, 1e-2 * 10 ** (log_offset + data),
+                                     0.85)
+
+    data_list = [0.0, 0.02]
+    arg_array = np.array([[0.0], [0.3], [0.8]])
+    scorer = evaluation.DrtScorer()
+    curves = scorer.compute_rc_curve(exact, data_list, fit_function,
+                                     arg_array, tau_reg, tau_cls)
+    assert set(curves) >= {"r2", "f1", "f1-js"}
+    assert all(len(v) == 3 for v in curves.values())
+    # Quality decreases with offset
+    assert curves["js_index"][0] > curves["js_index"][1] > curves["js_index"][2]
+    assert scorer.rc_curve_metrics is not None
+    assert np.array_equal(scorer.rc_curve_args, arg_array)
+
+
+def test_plot_drt_comparison():
+    import matplotlib
+    matplotlib.use("Agg")
+    tau_reg = np.logspace(-5, 1, 150)
+    tau_cls = np.logspace(-5, 1, 200)
+    exact = lambda t: _zarc_gamma(t, 1e-2, 0.85)
+    est = lambda t: _zarc_gamma(t, 2e-2, 0.8)
+    scorer = evaluation.DrtScorer()
+    with pytest.raises(ValueError):
+        scorer.plot_drt_comparison()
+    scorer.evaluate_models(exact, est, tau_reg, tau_cls)
+    ax = scorer.plot_drt_comparison()
+    assert len(ax.lines) >= 2
+    labels = [ln.get_label() for ln in ax.lines]
+    assert "Exact" in labels and "Estimate" in labels

@@ -246,6 +246,58 @@ def test_drtmd_batched_pfrt():
     assert np.all(np.isfinite(md.obs_llh[:3]))
 
 
+def test_batched_pfrt_covariance_matches_serial():
+    """get_fit/predict_param_cov for batched-pfrt observations: the per-step
+    posterior precision P is rebuilt on demand from the stored sweep state
+    and matches a serial pfrt_fit covariance (the reference can always
+    produce estimate_param_cov from any fit, drt1d.py:4116-4146)."""
+    from hybdrt_tpu import DRTMD
+    from hybdrt_tpu.models.drt import DRT as _DRT
+
+    def sim_eis(tau0, seed):
+        rng = np.random.default_rng(seed)
+        f = np.logspace(5, -1, 31)
+        w = 2j * np.pi * f
+        z = 0.4 + 1.5 / (1 + (w * tau0) ** 0.9)
+        return f, z + rng.normal(0, 1e-4, 31) + 1j * rng.normal(0, 1e-4, 31)
+
+    factors = np.logspace(-0.5, 0.5, 3)
+    md = DRTMD(tau_supergrid=np.logspace(-7, 2, 91), psi_dim_names=["T"],
+               fit_type="pfrt", pfrt_factors=factors,
+               print_progress=False, warn=False)
+    obs = [sim_eis(t0, i) for i, t0 in enumerate([1e-3, 3e-3])]
+    for i, (f, z) in enumerate(obs):
+        md.add_observation([700 + 25 * i], None, (f, z))
+    md.fit_all(batched=True)
+    assert md.obs_fit_status.all()
+
+    # get_fit now works for batched-pfrt observations
+    drt_b = md.get_fit(0)
+    assert drt_b.pfrt_result is not None
+    assert len(drt_b.pfrt_result["step_p_mat"]) == len(factors)
+
+    # Serial oracle on the same observation
+    drt_s = _DRT(tau_supergrid=md.tau_supergrid, warn=False)
+    drt_s.pfrt_fit_eis(*obs[0], factors=factors)
+
+    for k in range(len(factors)):
+        cov_b = drt_b.estimate_param_cov(
+            p_matrix=drt_b.pfrt_result["step_p_mat"][k])
+        cov_s = drt_s.estimate_param_cov(
+            p_matrix=drt_s.pfrt_result["step_p_mat"][k])
+        scale = np.max(np.abs(np.diag(cov_s)))
+        assert np.allclose(cov_b, cov_s, atol=1e-6 * scale), k
+
+    # The DRTMD-level accessors work end-to-end
+    covs = md.predict_param_cov([0, 1], factor_index=1)
+    assert covs[0].shape == covs[1].shape
+    assert np.all(np.isfinite(covs[0]))
+    x_cov = md.predict_x_cov([0], factor_index=1)
+    assert x_cov.shape == (1, 91, 91)
+    x_cov_all = md.predict_x_cov([0])
+    assert x_cov_all.shape == (1, len(factors), 91, 91)
+
+
 def test_resolve_group_batched_matches_serial(fitted_md):
     """Device-parallel resolve: all overlapping windows solved as one vmapped
     computation must match the serial per-window path to 1e-8, with and

@@ -305,3 +305,63 @@ def test_fit_dop_batched_matches_serial():
     res = fitter.fit(z[None, :])
     assert np.allclose(res.x[0], drt.fit_parameters["x"], atol=1e-8)
     assert np.allclose(res.x_dop[0], drt.fit_parameters["x_dop"], atol=1e-8)
+
+
+def test_batched_history_matches_serial_eager():
+    """fit(return_history=True): per-iteration (x, s, rho, weights) for every
+    lane from one vmapped scan, matching the serial eager history (the
+    reference's qphb_history, hybdrt/models/qphb.py:950-966, is available
+    for every fit)."""
+    freq, z, rs = _batch(6)
+    fitter = BatchedEISFitter(freq, max_iter=50)
+    res, hist = fitter.fit(z, return_history=True)
+    T = fitter.fcfg.max_iter
+    assert hist["x"].shape == (6, T, fitter.rzm.shape[1])
+    assert hist["s_vectors"].shape[:2] == (6, T)
+    assert hist["rho_vector"].shape == (6, T, 3)
+    assert hist["weights"].shape == (6, T, fitter.rzm.shape[0])
+
+    # After a lane converges, entries repeat the converged state
+    for b in range(6):
+        n_it = int(res.n_iter[b])
+        assert np.array_equal(hist["x"][b, n_it - 1], hist["x"][b, -1])
+        # Final history entry equals the returned state
+        assert np.allclose(hist["x"][b, -1], res.x_raw[b], atol=0)
+
+    # Lane history matches the serial eager path iteration by iteration
+    drt = DRT()
+    drt.fit_eis(freq, z[3], store_history=True)
+    serial = drt.qphb_history
+    lane = hist["x"][3]
+    for t in range(min(len(serial), int(res.n_iter[3]))):
+        assert np.allclose(np.asarray(serial[t]["x"]), lane[t],
+                           rtol=1e-8, atol=1e-10), t
+
+
+def test_adaptive_matches_plain_bitwise():
+    """Compacted-continuation scheduling must reproduce the uninterrupted
+    while_loop trajectory exactly (the loop body is Markovian in state)."""
+    freq, z, rs = _batch(10)
+    fitter = BatchedEISFitter(freq, max_iter=50)
+    r_plain = fitter.fit(z)
+    r_adapt = fitter.fit(z, adaptive=True, phase_budgets=(8, 20))
+    assert np.array_equal(r_plain.x, r_adapt.x)
+    assert np.array_equal(r_plain.n_iter, r_adapt.n_iter)
+    assert np.array_equal(r_plain.converged, r_adapt.converged)
+
+
+def test_pred_stop_early_stop_accuracy():
+    """Opt-in data-space stopping (prediction settled): most lanes stop
+    early and predictions stay within noise of the full-budget fit."""
+    freq, z, rs = _batch(24, seed=7)
+    full = BatchedEISFitter(freq, max_iter=50)
+    es = BatchedEISFitter(freq, max_iter=50, pred_stop=True, pred_rtol=3e-2)
+    r_full = full.fit(z)
+    r_es = es.fit(z, adaptive=True)
+    assert r_es.n_iter.mean() < 0.7 * r_full.n_iter.mean()
+    assert (r_es.n_iter < 50).mean() >= 0.85
+    z_full = full.predict_z(r_full)
+    z_es = es.predict_z(r_es)
+    # Predictions agree within the 0.003*sqrt(2) noise scale
+    assert np.median(np.abs(z_es - z_full)) < 1e-3
+    assert np.percentile(np.abs(z_es - z_full), 99) < 1.2e-2
