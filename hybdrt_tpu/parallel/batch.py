@@ -37,6 +37,8 @@ class BatchFitResult(NamedTuple):
     converged: np.ndarray      # (B,)
     x_raw: np.ndarray          # (B, N) full scaled parameter vector
     dop_rho: Optional[np.ndarray] = None  # (B, 3) DOP derivative strengths
+    xmx_norms: Optional[np.ndarray] = None      # (B, 3) it-0 rho normalizers
+    dop_xmx_norms: Optional[np.ndarray] = None  # (B, 3)
 
 
 class BatchedEISFitter:
@@ -374,10 +376,126 @@ class BatchedEISFitter:
             converged=np.asarray(states.converged)[:b_orig],
             x_raw=x_full,
             dop_rho=np.asarray(states.dop_rho_vector)[:b_orig],
+            xmx_norms=np.asarray(states.xmx_norms)[:b_orig],
+            dop_xmx_norms=np.asarray(states.dop_xmx_norms)[:b_orig],
         )
         if return_states:
             return result, states
         return result
+
+    # ------------------------------------------------------------------
+    @on_host
+    def param_cov(self, result: BatchFitResult, z_batch, scaled=False,
+                  refine_iters=0):
+        """Laplace parameter covariance per spectrum: the posterior
+        precision P rebuilt (in float64) from each lane's final solver
+        state, then inverted (reference drt1d.py:4116-4146 — always
+        available from any fit).
+
+        refine_iters > 0 is the float64-refinement fallback for the f32 TPU
+        path: each lane's final state is cast to float64 and continued for
+        exactly refine_iters outer iterations on the host backend before P
+        is rebuilt, washing single-precision drift out of the
+        conditioning-sensitive (weights, s, rho) state. For fits parked in
+        a benign hyperparameter limit cycle the covariance — like x itself —
+        is only defined up to the cycle; refinement makes the f32 and f64
+        paths sample it the same way.
+
+        Returns (B, N, N); physical units unless scaled=True (the DRT block
+        of the scaled-space covariance is multiplied by scale**2)."""
+        from ..models.drt import _hypers_to_pytree
+        from ..solver import fitcore
+        from ..solver.qphb import QPHBState
+        qp = self.template.qphb_params
+        k_range = self.cfg.k_range
+        m_stack = jnp.asarray(np.stack(
+            [np.asarray(qp["penalty_matrices"][f"m{k}"], dtype=float)
+             for k in range(k_range)]))
+        rzm = jnp.asarray(np.asarray(qp["rm"], dtype=float))
+        l1v = jnp.asarray(np.asarray(qp["l1_lambda_vector"], dtype=float))
+        hyp = _hypers_to_pytree(self.hypers)
+        rzv, scale = self.scale_batch(z_batch)
+        cfg = self.cfg
+
+        dop_rho = result.dop_rho if result.dop_rho is not None \
+            else np.ones((len(scale), k_range))
+        rho64 = np.asarray(result.rho, dtype=float)
+        s64 = np.asarray(result.s_vectors, dtype=float)
+        w64 = np.asarray(result.weights, dtype=float)
+        dr64 = np.asarray(dop_rho, dtype=float)
+        rzv64 = np.asarray(rzv, dtype=float)
+
+        if refine_iters > 0:
+            x64 = np.asarray(result.x_raw, dtype=float)
+            vmm64 = jnp.asarray(np.asarray(qp["vmm"], dtype=float))
+            lb64 = jnp.asarray(np.asarray(qp["lb"], dtype=float))
+            xmx = np.asarray(
+                result.xmx_norms if result.xmx_norms is not None
+                else np.ones((len(scale), k_range)), dtype=float)
+            dop_xmx = np.asarray(
+                result.dop_xmx_norms if result.dop_xmx_norms is not None
+                else np.ones((len(scale), k_range)), dtype=float)
+            fcfg = self.fcfg._replace(
+                max_iter=1 + refine_iters, continue_mode=True,
+                min_iter=1 + refine_iters, pred_stop=False,
+                qp_max_iter_warm=None)
+
+            def cont(x, s, rho, dr, w, rv, xn, dxn):
+                st = QPHBState(
+                    x=x, s_vectors=s, rho_vector=rho, dop_rho_vector=dr,
+                    weights=w, outlier_t=jnp.ones_like(rv),
+                    xmx_norms=xn, dop_xmx_norms=dxn,
+                    it=jnp.array(1, dtype=jnp.int32),
+                    converged=jnp.array(False), qp_dual=jnp.zeros_like(x))
+                # Undamped weight re-estimation during refinement (the same
+                # choice the serial pfrt record_step makes): anchor to the
+                # current weights
+                st_out, _ = fitcore.qphb_fit_loop_from_state(
+                    st, rzm, rv, vmm64, m_stack, None, l1v, lb64, hyp,
+                    w, jnp.zeros_like(rzm), jnp.ones(rzm.shape[0]),
+                    jnp.asarray(1.0), jnp.asarray(1.0), jnp.asarray(1.0),
+                    fcfg)
+                return (st_out.rho_vector, st_out.dop_rho_vector,
+                        st_out.s_vectors, st_out.weights)
+
+            key = ("cov_refine", refine_iters)
+            jits = getattr(self, "_cov_jits", None)
+            if jits is None:
+                jits = self._cov_jits = {}
+            if key not in jits:
+                jits[key] = jax.jit(jax.vmap(cont))
+            rho_r, dr_r, s_r, w_r = jits[key](
+                jnp.asarray(x64), jnp.asarray(s64), jnp.asarray(rho64),
+                jnp.asarray(dr64), jnp.asarray(w64), jnp.asarray(rzv64),
+                jnp.asarray(xmx), jnp.asarray(dop_xmx))
+            rho64, dr64 = np.asarray(rho_r), np.asarray(dr_r)
+            s64, w64 = np.asarray(s_r), np.asarray(w_r)
+
+        def one(rv, rho, dop_rho_v, s, w):
+            p, _ = qphb_mod.calculate_pq(rzm, rv, m_stack, hyp, l1v, rho,
+                                         dop_rho_v, s, w, cfg)
+            return p
+
+        p_all = jax.vmap(one)(
+            jnp.asarray(rzv64), jnp.asarray(rho64), jnp.asarray(dr64),
+            jnp.asarray(s64), jnp.asarray(w64))
+        cov = np.linalg.inv(np.asarray(p_all))
+        if not scaled:
+            # Physical units: per-lane scale vector with the same special-
+            # column factors as DRT.estimate_param_cov (models/drt.py:2098)
+            t = self.template
+            col = np.ones(cov.shape[-1])
+            for name, info in t.special_qp_params.items():
+                s0, s1 = t.get_special_indices(name)
+                if name == "inductance":
+                    col[s0:s1] = t.inductance_scale
+                elif name == "C_inv":
+                    col[s0:s1] = t.capacitance_scale
+                elif name == "x_dop":
+                    col[s0:s1] = np.asarray(t.dop_scale_vector)
+            sv = np.asarray(scale, dtype=float)[:, None] * col[None, :]
+            cov = cov * sv[:, :, None] * sv[:, None, :]
+        return cov
 
     # ------------------------------------------------------------------
     def predict_r_p(self, result: BatchFitResult):

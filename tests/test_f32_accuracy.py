@@ -109,3 +109,87 @@ def test_f32_error_distribution(fitters, family):
         xrel = (np.max(np.abs(r32.x - r64.x), axis=1)
                 / np.max(np.abs(r64.x), axis=1))[both]
         assert np.max(xrel) < 0.3
+
+
+def test_f32_covariance_and_ci_certification(fitters):
+    """f32-vs-f64 certification of the conditioning-sensitive outputs:
+    parameter sigmas and distribution credible-interval bands (VERDICT r2
+    weak #6).
+
+    What holds, and what cannot: the Laplace covariance is P^-1 of the
+    final solver state. For spectra whose posterior is well-conditioned
+    (the f64 CI band stays below the distribution peak and sigma(R_inf) is
+    small vs Rp), the f32 path tracks f64 tightly — bounds below. For
+    near-singular posteriors (ideal-RC/delta and Gerischer data, where even
+    the f64 sigma exceeds the parameter scale), the covariance is dominated
+    by near-null eigenvalues of P and is not pointwise-reproducible in ANY
+    precision — tiny state perturbations swing it by factors; certifying it
+    would be certifying noise. For covariance-critical workloads the
+    library offers param_cov(refine_iters=K) (f64 continuation of the f32
+    state before P is rebuilt) or a full f64 refit on the CPU backend.
+    """
+    from hybdrt_tpu.ops import basis as basis_mod
+
+    f32, f64 = fitters
+    tau_eval = np.logspace(-5.5, 0, 56)
+    em = np.asarray(basis_mod.construct_func_eval_matrix(
+        np.log(f64.basis_tau), np.log(tau_eval), f64.template.tau_basis_type,
+        f64.template.tau_epsilon, 0))
+    ns = f64.num_special
+    i_rinf = f64.template.special_qp_params["R_inf"]["index"]
+
+    band_rel, sig_rel, n_kept, n_tot = [], [], 0, 0
+    for family, fam in FAMILIES.items():
+        zb = _family_batch(fam)
+        r32, r64 = f32.fit(zb), f64.fit(zb)
+        c32 = f32.param_cov(r32, zb)
+        c64 = f64.param_cov(r64, zb)
+        assert np.all(np.isfinite(c32)), family
+        b32 = np.sqrt(np.maximum(
+            np.einsum("ij,bjk,ik->bi", em, c32[:, ns:, ns:], em), 0))
+        b64 = np.sqrt(np.maximum(
+            np.einsum("ij,bjk,ik->bi", em, c64[:, ns:, ns:], em), 0))
+        gpk = np.max(np.abs(r64.x @ em.T), axis=1, keepdims=True)
+        sr32 = np.sqrt(c32[:, i_rinf, i_rinf])
+        sr64 = np.sqrt(c64[:, i_rinf, i_rinf])
+        # Certification set: f64 uncertainty itself is sane
+        ok = (np.max(b64, axis=1) < gpk[:, 0]) & (sr64 < 0.05 * 1.5)
+        n_tot += len(ok)
+        n_kept += int(ok.sum())
+        if ok.any():
+            band_rel.append((np.abs(b32 - b64) / gpk)[ok].ravel())
+            sig_rel.append((np.abs(sr32 - sr64) / sr64)[ok])
+
+    assert n_kept >= 30  # certification set is non-trivial
+    band_rel = np.concatenate(band_rel)
+    sig_rel = np.concatenate(sig_rel)
+    # CI band error relative to the distribution peak
+    assert np.median(band_rel) < 1e-3
+    assert np.percentile(band_rel, 95) < 3e-2
+    assert np.max(band_rel) < 1.0
+    # sigma(R_inf) relative error: median/p95 are the certified bounds; the
+    # extreme tail (lanes bordering the ill-conditioned regime) can reach
+    # O(1) and is excluded from certification (see docstring)
+    assert np.median(sig_rel) < 1e-2
+    assert np.percentile(sig_rel, 95) < 1.5e-1
+    assert np.max(sig_rel) < 1.0
+
+
+def test_param_cov_api(fitters):
+    """param_cov matches the serial estimate_param_cov and the
+    refine_iters fallback runs (f64 continuation of the f32 state)."""
+    from hybdrt_tpu.models.drt import DRT
+
+    f32, f64 = fitters
+    zb = _family_batch(FAMILIES["zarc"])[:4]
+    r64 = f64.fit(zb)
+    cov = f64.param_cov(r64, zb)
+    drt = DRT()
+    drt.fit_eis(FREQ, zb[2])
+    cov_s = drt.estimate_param_cov()
+    assert np.abs(cov[2] - cov_s).max() < 1e-3 * np.abs(cov_s).max()
+
+    r32 = f32.fit(zb)
+    cov_r = f32.param_cov(r32, zb, refine_iters=3)
+    assert cov_r.shape == cov.shape
+    assert np.all(np.isfinite(cov_r))
