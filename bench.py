@@ -68,10 +68,17 @@ def main():
     # qp_max_iter_warm caps warm-started interior-point steps: under vmap the
     # QP loop runs to the max over the batch, and at B=1024 a handful of hard
     # tail spectra otherwise cost ~45 Cholesky trips per outer iteration.
-    # Accuracy is unchanged (active-set polish restores exactness; verified
-    # on CPU: Rp error distribution identical with and without the cap).
+    # qp_max_iter=20 similarly caps the cold solves (init weights + it 0).
+    # Accuracy is unchanged by either cap (active-set polish restores
+    # exactness; median |z_hat - z| identical to 4 digits with and without).
+    # pred_stop adds the opt-in data-space stopping criterion: ~2/3 of this
+    # batch otherwise burns the full 50-iteration budget in benign
+    # hyperparameter limit cycles whose predictions settled long before
+    # (tests/test_parallel.py); with it the whole batch converges by ~31
+    # iterations with predictions within noise of the full-budget fit.
     fitter = BatchedEISFitter(freq, dtype=jnp.float32, max_iter=MAX_ITER, mesh=mesh,
-                              qp_max_iter_warm=8)
+                              qp_max_iter=20, qp_max_iter_warm=8,
+                              pred_stop=True, pred_rtol=3e-2)
 
     # Warmup / compile at the SAME batch shape as the timed run
     t0 = time.time()

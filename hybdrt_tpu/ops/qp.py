@@ -146,9 +146,85 @@ def _max_step(v, dv):
     return jnp.minimum(1.0, jnp.min(ratio))
 
 
-@partial(jax.jit, static_argnames=("polish",))
+# ---------------------------------------------------------------------------
+# Fused fixed-count Mehrotra steps. The warm-started QP solves inside the
+# QPHB outer loop run a small capped number of steps (qp_max_iter_warm);
+# running them as ONE pallas kernel per 128-lane block keeps P resident in
+# VMEM across all steps instead of materializing H and L to HBM every step
+# (ops/pallas_ip_lane.py). custom_vmap keeps the unbatched/CPU path on the
+# plain jnp loop below (identical math).
+# ---------------------------------------------------------------------------
+def _ip_steps_single(P, q, lb, x, s, z, n_steps):
+    n = q.shape[0]
+
+    def body(_, carry):
+        x, s, z, done = carry
+        d = z / s
+        r_d = P @ x + q - z
+        r_p = s - (x - lb)
+        mu = jnp.dot(s, z) / n
+        H = P + jnp.diag(d)
+        rhs_aff = -r_d - z + d * r_p
+        dx_aff, l_f = spd_factor_solve(H, rhs_aff)
+        ds_aff = dx_aff - r_p
+        dz_aff = -z - d * ds_aff
+        a_p = _max_step(s, ds_aff)
+        a_d = _max_step(z, dz_aff)
+        mu_aff = jnp.dot(s + a_p * ds_aff, z + a_d * dz_aff) / n
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+        r_c = s * z + ds_aff * dz_aff - sigma * mu
+        dx = spd_solve_factored(l_f, -r_d - r_c / s + d * r_p)
+        ds = dx - r_p
+        dz = -r_c / s - d * ds
+        a_p = jnp.minimum(1.0, 0.99 * _max_step(s, ds))
+        a_d = jnp.minimum(1.0, 0.99 * _max_step(z, dz))
+        x_new = x + a_p * dx
+        tiny = jnp.asarray(1e-30 if q.dtype == jnp.float64 else 1e-25, q.dtype)
+        s_new = jnp.maximum(s + a_p * ds, tiny)
+        z_new = jnp.maximum(z + a_d * dz, tiny)
+        bad = ~(jnp.all(jnp.isfinite(x_new)) & jnp.all(jnp.isfinite(z_new)))
+        frozen = done | bad
+        return (jnp.where(frozen, x, x_new), jnp.where(frozen, s, s_new),
+                jnp.where(frozen, z, z_new), frozen)
+
+    x, s, z, _ = jax.lax.fori_loop(0, n_steps, body,
+                                   (x, s, z, jnp.array(False)))
+    return x, s, z
+
+
+_IP_STEPS_CACHE = {}
+
+
+def _get_ip_steps(n_steps):
+    fn = _IP_STEPS_CACHE.get(n_steps)
+    if fn is not None:
+        return fn
+
+    @custom_batching.custom_vmap
+    def ip_steps(P, q, lb, x, s, z):
+        return _ip_steps_single(P, q, lb, x, s, z, n_steps)
+
+    @ip_steps.def_vmap
+    def _ip_steps_vmap(axis_size, in_batched, P, q, lb, x, s, z):
+        args = []
+        for a, batched in zip((P, q, lb, x, s, z), in_batched):
+            if not batched:
+                a = jnp.broadcast_to(a, (axis_size, *a.shape))
+            args.append(a)
+        if _use_lane_kernel(args[0].dtype):
+            from .pallas_ip_lane import ip_steps_lane
+            out = ip_steps_lane(*args, n_steps=n_steps)
+        else:
+            out = jax.vmap(lambda *a: _ip_steps_single(*a, n_steps))(*args)
+        return out, (True, True, True)
+
+    _IP_STEPS_CACHE[n_steps] = ip_steps
+    return ip_steps
+
+
+@partial(jax.jit, static_argnames=("polish", "fused_steps"))
 def solve_qp_box(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, polish=True,
-                 x_init=None, z_init=None):
+                 x_init=None, z_init=None, fused_steps=None):
     """Solve min 1/2 x'Px + q'x s.t. x >= lb. P must be symmetric PD.
 
     The problem is Jacobi-equilibrated (x = D x~ with D = diag(P)^-1/2) before
@@ -159,6 +235,12 @@ def solve_qp_box(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, polish=Tr
     x_init/z_init warm-start the interior point (e.g. from the previous QPHB
     outer iteration); the converged optimum is unaffected, only the iteration
     count.
+
+    fused_steps (static int): run exactly that many Mehrotra steps with no
+    convergence check, dispatching batched float32 TPU calls to the fused
+    pallas loop kernel (P stays VMEM-resident across steps). Intended for
+    warm-started solves whose step count is already capped; the active-set
+    polish restores exactness afterwards as usual.
     """
     d_eq = 1.0 / jnp.sqrt(jnp.clip(jnp.diagonal(P), 1e-300, None))
     P_orig, q_orig, lb_orig = P, q, lb
@@ -171,7 +253,8 @@ def solve_qp_box(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, polish=Tr
         z_init = z_init * d_eq
 
     res = _solve_qp_box_core(P, q, lb, tol_gap, tol_feas, max_iter, polish,
-                             x_init=x_init, z_init=z_init)
+                             x_init=x_init, z_init=z_init,
+                             fused_steps=fused_steps)
     x = res.x * d_eq
     z = res.z / d_eq
     s = x - lb_orig
@@ -181,7 +264,7 @@ def solve_qp_box(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, polish=Tr
 
 
 def _solve_qp_box_core(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, polish=True,
-                       x_init=None, z_init=None):
+                       x_init=None, z_init=None, fused_steps=None):
     n = q.shape[0]
     dtype = q.dtype
     # Precision-aware tolerances: float32 cannot reach 1e-12 relative gap
@@ -270,9 +353,13 @@ def _solve_qp_box_core(P, q, lb, tol_gap=1e-12, tol_feas=1e-10, max_iter=60, pol
         _, _, _, it, done = carry
         return (it < max_iter) & (~done)
 
-    max_iter = jnp.asarray(max_iter, dtype=jnp.int32)
-    x, s, z, it, _ = jax.lax.while_loop(
-        cond, body, (x0, s0, z0, jnp.array(0, dtype=jnp.int32), jnp.array(False)))
+    if fused_steps is not None:
+        x, s, z = _get_ip_steps(int(fused_steps))(P, q, lb, x0, s0, z0)
+        it = jnp.asarray(fused_steps, dtype=jnp.int32)
+    else:
+        max_iter = jnp.asarray(max_iter, dtype=jnp.int32)
+        x, s, z, it, _ = jax.lax.while_loop(
+            cond, body, (x0, s0, z0, jnp.array(0, dtype=jnp.int32), jnp.array(False)))
 
     if polish:
         # Active-set polish: clamp near-active bounds and solve the reduced

@@ -54,7 +54,8 @@ class BatchedEISFitter:
                  fit_dop=False, nonneg=True, dtype=jnp.float64,
                  max_iter=50, xtol=1e-2, qp_max_iter=60, qp_max_iter_warm=None,
                  iw_l1_lambda_0=1e-4, iw_l2_lambda_0=1e-4,
-                 mesh=None, pred_stop=False, pred_rtol=1e-2, **hyper_kw):
+                 mesh=None, pred_stop=False, pred_rtol=1e-2,
+                 qp_fused=False, **hyper_kw):
         self.frequencies = np.asarray(frequencies, dtype=float)
         self.dtype = dtype
         self.mesh = mesh
@@ -115,7 +116,8 @@ class BatchedEISFitter:
                                       x_rtol=xtol, max_hp_iter=1, qp_max_iter=qp_max_iter,
                                       qp_max_iter_warm=qp_max_iter_warm,
                                       pred_stop=bool(pred_stop),
-                                      pred_rtol=float(pred_rtol))
+                                      pred_rtol=float(pred_rtol),
+                                      qp_fused=bool(qp_fused))
 
         self._fit_batch = jax.jit(jax.vmap(self._fit_single))
 
@@ -551,7 +553,8 @@ class BatchedHybridFitter:
                  fit_ohmic=True, fit_inductance=True, nonneg=True,
                  vz_offset=True, dtype=jnp.float64, max_iter=50, xtol=1e-2,
                  qp_max_iter=60, qp_max_iter_warm=None, mesh=None,
-                 pred_stop=False, pred_rtol=1e-2, **hyper_kw):
+                 pred_stop=False, pred_rtol=1e-2, qp_fused=False,
+                 **hyper_kw):
         self.times = np.asarray(times, dtype=float)
         self.i_signal = np.asarray(i_signal, dtype=float)
         self.frequencies = np.asarray(frequencies, dtype=float)
@@ -631,7 +634,8 @@ class BatchedHybridFitter:
             vz_offset=self.vz_offset, vz_index=self.vz_index,
             max_iter=max_iter, x_rtol=xtol, max_hp_iter=1,
             qp_max_iter=qp_max_iter, qp_max_iter_warm=qp_max_iter_warm,
-            pred_stop=bool(pred_stop), pred_rtol=float(pred_rtol))
+            pred_stop=bool(pred_stop), pred_rtol=float(pred_rtol),
+            qp_fused=bool(qp_fused))
 
         self._fit_batch = jax.jit(jax.vmap(self._fit_single))
 

@@ -88,7 +88,7 @@ class BatchedRaggedFitter:
                  qp_max_iter_warm=None, mesh=None, step_model="ideal",
                  chrono_mode="galv", fixed_basis_nu=None, fit_kw=None,
                  per_obs_penalty=True, pred_stop=False, pred_rtol=1e-2,
-                 **hyper_kw):
+                 qp_fused=False, **hyper_kw):
         self.tau_supergrid = np.asarray(tau_supergrid, dtype=float)
         self.dtype = dtype
         self.mesh = mesh
@@ -99,6 +99,7 @@ class BatchedRaggedFitter:
         self.qp_max_iter_warm = qp_max_iter_warm
         self.pred_stop = bool(pred_stop)
         self.pred_rtol = float(pred_rtol)
+        self.qp_fused = bool(qp_fused)
         self.fit_kw = dict(fit_kw or {})
         self.hyper_kw = hyper_kw
         # per_obs_penalty=True carries each observation's own penalty stack
@@ -329,7 +330,8 @@ class BatchedRaggedFitter:
             vz_offset=ref["vz_offset"], vz_index=ref["vz_index"],
             max_iter=self.max_iter, x_rtol=self.xtol, max_hp_iter=1,
             qp_max_iter=self.qp_max_iter, qp_max_iter_warm=self.qp_max_iter_warm,
-            pred_stop=self.pred_stop, pred_rtol=self.pred_rtol)
+            pred_stop=self.pred_stop, pred_rtol=self.pred_rtol,
+            qp_fused=self.qp_fused)
 
         self._tau_indices = tau_indices
         self._scales = np.asarray(scales, dtype=float)

@@ -49,6 +49,12 @@ class FitConfig(NamedTuple):
     # (proven benign in tests/test_parallel.py) without burning the budget.
     pred_stop: bool = False
     pred_rtol: float = 1e-2
+    # Fused warm QP path: peel iteration 0 out of the while_loop (cold solve)
+    # and run every later iteration's warm QP as qp_max_iter_warm FIXED
+    # Mehrotra steps in one pallas kernel per 128-lane block
+    # (ops/pallas_ip_lane.py). Opt-in; default OFF keeps the adaptive
+    # while_loop solver bit-for-bit.
+    qp_fused: bool = False
 
 
 class FitCarry(NamedTuple):
@@ -63,7 +69,8 @@ class FitCarry(NamedTuple):
 def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,
                rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
                weight_factor, hyp, fcfg: FitConfig, nl_cross=None, rm_bkg=None,
-               col_mask=None, var_floor=None, row_factors=None, vz_sign=None):
+               col_mask=None, var_floor=None, row_factors=None, vz_sign=None,
+               warm_mode="auto"):
     st, rzm = carry.state, carry.rzm
     y_prev, y_prev2 = carry.y_prev, carry.y_prev2
     nc = fcfg.num_chrono
@@ -93,7 +100,11 @@ def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weight
                                   qp_max_iter=fcfg.qp_max_iter,
                                   qp_max_iter_warm=fcfg.qp_max_iter_warm,
                                   nl_cross=nl_cross, col_mask=col_mask,
-                                  var_floor=var_floor)
+                                  var_floor=var_floor, warm_mode=warm_mode,
+                                  qp_fused_steps=(fcfg.qp_max_iter_warm
+                                                  if fcfg.qp_fused
+                                                  and warm_mode == "warm"
+                                                  else None))
 
     # Normalize rho update scale to the iteration-0 ridge solution
     # (reference drt1d.py:946-962)
@@ -184,38 +195,51 @@ def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
         est_weights, rzm_vz, vz_strength_vec, chrono_weight_factor,
         eis_weight_factor, weight_factor, fcfg, nl_cross=nl_cross,
         rm_bkg=rm_bkg, col_mask=col_mask, var_floor=var_floor,
-        row_factors=row_factors, vz_sign=vz_sign)
+        row_factors=row_factors, vz_sign=vz_sign,
+        peel_cold_start=fcfg.qp_fused)
 
 
-@partial(jax.jit, static_argnames=("fcfg",))
+@partial(jax.jit, static_argnames=("fcfg", "peel_cold_start"))
 def qphb_fit_loop_from_state(state0, rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb,
                              hyp, est_weights, rzm_vz, vz_strength_vec,
                              chrono_weight_factor, eis_weight_factor,
                              weight_factor, fcfg: FitConfig, nl_cross=None,
                              rm_bkg=None, col_mask=None, var_floor=None,
-                             row_factors=None, vz_sign=None):
+                             row_factors=None, vz_sign=None,
+                             peel_cold_start=False):
     """Run (or resume) the QPHB outer loop from an explicit state.
 
     The loop body is Markovian in (state, rzm): resuming a fit whose
     while_loop was cut at max_iter=k with a larger max_iter continues the
     EXACT single-run trajectory (the basis of the compacted-continuation
     batch scheduler in parallel/batch.py, which stops whole-batch dispatches
-    early and re-runs only the unconverged tail)."""
+    early and re-runs only the unconverged tail).
+
+    With fcfg.qp_fused, iteration 0 is peeled out of the while_loop
+    (peel_cold_start=True for fresh fits) so the in-loop iterations are
+    STATICALLY warm-started and their capped QP solves run through the
+    fused pallas Mehrotra-loop kernel."""
     _check_penalty_type(fcfg.cfg)
+    loop_mode = "warm" if fcfg.qp_fused else "auto"
 
     def cond(carry):
         return (carry.state.it < fcfg.max_iter) & (~carry.state.converged)
 
-    def body(carry):
-        return _loop_body(carry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,
-                          rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
-                          weight_factor, hyp, fcfg, nl_cross=nl_cross, rm_bkg=rm_bkg,
-                          col_mask=col_mask, var_floor=var_floor,
-                          row_factors=row_factors, vz_sign=vz_sign)
+    def make_body(warm_mode):
+        def body(carry):
+            return _loop_body(carry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weights,
+                              rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
+                              weight_factor, hyp, fcfg, nl_cross=nl_cross, rm_bkg=rm_bkg,
+                              col_mask=col_mask, var_floor=var_floor,
+                              row_factors=row_factors, vz_sign=vz_sign,
+                              warm_mode=warm_mode)
+        return body
 
     y0 = jnp.zeros_like(rzv) if fcfg.pred_stop else None
-    final = jax.lax.while_loop(
-        cond, body, FitCarry(state=state0, rzm=rzm, y_prev=y0, y_prev2=y0))
+    carry = FitCarry(state=state0, rzm=rzm, y_prev=y0, y_prev2=y0)
+    if peel_cold_start:
+        carry = make_body("cold")(carry)
+    final = jax.lax.while_loop(cond, make_body(loop_mode), carry)
     return final.state, final.rzm
 
 

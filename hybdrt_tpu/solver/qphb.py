@@ -405,7 +405,8 @@ def is_converged(x_in, x_out, x_atol, x_rtol):
 def iterate_qphb(state: QPHBState, rv, rm, vmm, m_stack, m1_gmat_source, dop_gmat,
                  l1_lambda_vector, lb, est_weights, hyp, cfg: QPHBConfig,
                  x_rtol=1e-2, max_hp_iter=1, qp_max_iter=60, nl_cross=None,
-                 qp_max_iter_warm=None, col_mask=None, var_floor=None):
+                 qp_max_iter_warm=None, col_mask=None, var_floor=None,
+                 warm_mode="auto", qp_fused_steps=None):
     """One outer QPHB iteration: weighted QP for x, closed-form s/rho updates
     on the DRT (and DOP) blocks, then data-weight re-estimation.
 
@@ -428,9 +429,26 @@ def iterate_qphb(state: QPHBState, rv, rm, vmm, m_stack, m1_gmat_source, dop_gma
     p_matrix = wrm.T @ wrm + l2_matrix
     q_vector = -wrm.T @ wrv + l1_lambda_vector
     # Warm-start the interior point from the previous iteration's primal/dual
-    # point. Branchless (lax.cond under vmap would execute BOTH branches):
-    # iteration 0 falls back to a generic strictly-interior point.
-    if state.qp_dual is not None:
+    # point. warm_mode='auto' decides per-element at runtime (branchless:
+    # lax.cond under vmap would execute BOTH branches); 'warm'/'cold' are
+    # STATIC (the fitcore loop peels iteration 0 when the fused kernel is
+    # on, so in-loop iterations are statically warm).
+    if warm_mode == "cold" or state.qp_dual is None:
+        qp_res = solve_qp_box(p_matrix, q_vector, lb, max_iter=qp_max_iter)
+    elif warm_mode == "warm":
+        x_ws = state.x
+        z_ws = jnp.maximum(state.qp_dual, 1e-6)
+        if qp_fused_steps is not None:
+            # Fixed-count fused Mehrotra steps (pallas loop kernel when
+            # batched f32 on TPU); polish restores exactness
+            qp_res = solve_qp_box(p_matrix, q_vector, lb,
+                                  x_init=x_ws, z_init=z_ws,
+                                  fused_steps=int(qp_fused_steps))
+        else:
+            cap = qp_max_iter if qp_max_iter_warm is None else qp_max_iter_warm
+            qp_res = solve_qp_box(p_matrix, q_vector, lb, max_iter=cap,
+                                  x_init=x_ws, z_init=z_ws)
+    else:
         warm = state.it > 0
         x_ws = jnp.where(warm, state.x, lb + 1.0)
         z_ws = jnp.where(warm, jnp.maximum(state.qp_dual, 1e-6),
@@ -442,8 +460,6 @@ def iterate_qphb(state: QPHBState, rv, rm, vmm, m_stack, m1_gmat_source, dop_gma
             else jnp.where(warm, qp_max_iter_warm, qp_max_iter)
         qp_res = solve_qp_box(p_matrix, q_vector, lb, max_iter=qp_iter_cap,
                               x_init=x_ws, z_init=z_ws)
-    else:
-        qp_res = solve_qp_box(p_matrix, q_vector, lb, max_iter=qp_max_iter)
     x = qp_res.x
     if col_mask is not None:
         # Pin padded columns to exact zero so downstream updates and the

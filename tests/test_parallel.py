@@ -365,3 +365,29 @@ def test_pred_stop_early_stop_accuracy():
     # Predictions agree within the 0.003*sqrt(2) noise scale
     assert np.median(np.abs(z_es - z_full)) < 1e-3
     assert np.percentile(np.abs(z_es - z_full), 99) < 1.2e-2
+
+
+def test_qp_fused_matches_plain():
+    """Fused fixed-count warm QP path (fcfg.qp_fused: iteration-0 peel +
+    static warm mode + fused Mehrotra steps): runs exactly
+    qp_max_iter_warm steps where the plain path may early-exit its QP
+    while_loop, so trajectories are not bitwise — but the active-set polish
+    lands both on the same KKT points and fit-level outputs must agree to
+    solver tolerance (the pallas loop kernel is dispatched only on TPU;
+    this exercises the reference custom_vmap path)."""
+    freq, z, rs = _batch(12, seed=5)
+    plain = BatchedEISFitter(freq, qp_max_iter=20, qp_max_iter_warm=8,
+                             pred_stop=True, pred_rtol=3e-2)
+    fused = BatchedEISFitter(freq, qp_max_iter=20, qp_max_iter_warm=8,
+                             pred_stop=True, pred_rtol=3e-2, qp_fused=True)
+    r_p = plain.fit(z)
+    r_f = fused.fit(z)
+    assert np.all(np.isfinite(r_f.x))
+    # Recovered physics agrees to well below the data-noise scale
+    rp_p = plain.predict_r_p(r_p)
+    rp_f = fused.predict_r_p(r_f)
+    assert np.max(np.abs(rp_p - rp_f)) < 2e-3
+    assert np.max(np.abs(r_p.r_inf - r_f.r_inf)) < 1e-3
+    z_p = plain.predict_z(r_p)
+    z_f = fused.predict_z(r_f)
+    assert np.max(np.abs(z_p - z_f)) < 2e-3
