@@ -633,15 +633,17 @@ class DRTMD:
         # serial path stores drt1d.evaluate_llh()/evaluate_rss())
         from scipy.special import gammaln as _gammaln
         batch = fitter._last_batch
-        rzm_final = fitter.final_design_matrices(result)
-        y_hat = np.einsum("brn,bn->br", rzm_final, result.x_raw)
-        wr = result.weights * (y_hat - batch["rzv"]) * batch["row_mask"]
+        # Per-protocol prediction: avoids gathering the (B, R, N) design
+        # stack on the host (parallel/ragged.py:final_predictions)
+        y_hat = fitter.final_predictions(result)
+        row_mask = fitter.full("row_mask")
+        wr = result.weights * (y_hat - batch["rzv"]) * row_mask
         rss = np.sum(wr ** 2, axis=1)
-        n_data = batch["row_mask"].sum(axis=1)
+        n_data = row_mask.sum(axis=1)
         alpha_n = 2.0 - 1 + n_data / 2
         beta_n = 1.0 + 0.5 * rss
         llh = (-alpha_n * np.log(beta_n) + _gammaln(alpha_n) - _gammaln(2.0)
-               + np.sum(batch["row_mask"] * np.log(np.maximum(result.weights, 1e-300)),
+               + np.sum(row_mask * np.log(np.maximum(result.weights, 1e-300)),
                         axis=1))
 
         for bi, i in enumerate(fit_index):

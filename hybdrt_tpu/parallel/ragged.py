@@ -248,57 +248,93 @@ class BatchedRaggedFitter:
         l1_wide[:len(systems[wide]["l1_lambda_vector"])] = \
             systems[wide]["l1_lambda_vector"]
 
+        # Only the small data-dependent per-observation vectors are stored
+        # batch-wide; the O(R*N) matrix stacks live per-PROTOCOL in `uniq`
+        # below and are gathered to the full batch ON DEVICE (fit()). Never
+        # materialize the (B, R, N) stacks on the host: beyond the transfer
+        # cost, first-touch page faults on fresh 100MB+ host allocations run
+        # at ~20 MB/s on the single-vCPU VM this targets.
         batch = {
             "rzv": np.zeros((b, r_max)),
-            "rzm": np.zeros((b, r_max, n_max)),
-            "vmm": np.zeros((b, r_max, r_max)),
-            "rzm_vz": np.zeros((b, r_max, n_max)),
-            "vz_strength": np.zeros((b, r_max)),
-            "vz_sign": np.zeros((b, r_max)),
-            "chrono_row_mask": np.zeros((b, r_max)),
-            "row_mask": np.zeros((b, r_max)),
-            "col_mask": np.zeros((b, n_max)),
-            "l1v": np.zeros((b, n_max)),
-            "lb": np.zeros((b, n_max)),
             "var_floor": np.zeros(b),
             # NaN = "use the in-device weight factor" (see _fit_single)
             "host_row_factors": np.full((b, r_max), np.nan),
         }
+
+        # Protocol identity per observation: observations sharing a
+        # measurement protocol reference the SAME numpy design matrix
+        # through the prep caches, so array identity partitions the batch.
+        # Matrix padding is done once per protocol, leaving only the small
+        # data-dependent vectors in the per-obs loop.
+        proto_of = {}
+        proto_index = np.array(
+            [proto_of.setdefault(id(s["rzm"]), len(proto_of))
+             for s in systems], dtype=np.int32)
+        first_of_proto = np.array(
+            [int(np.argmax(proto_index == p)) for p in range(len(proto_of))])
+        n_proto = len(first_of_proto)
+        uniq = {
+            "rzm": np.zeros((n_proto, r_max, n_max)),
+            "vmm": np.zeros((n_proto, r_max, r_max)),
+            "rzm_vz": np.zeros((n_proto, r_max, n_max)),
+            "vz_strength": np.zeros((n_proto, r_max)),
+            "vz_sign": np.zeros((n_proto, r_max)),
+            "chrono_row_mask": np.zeros((n_proto, r_max)),
+            "row_mask": np.zeros((n_proto, r_max)),
+            "col_mask": np.zeros((n_proto, n_max)),
+            "l1v": np.zeros((n_proto, n_max)),
+            "lb": np.zeros((n_proto, n_max)),
+        }
         if self.per_obs_penalty:
-            batch["m_stack"] = np.zeros((b, 3, n_max, n_max))
-        tau_indices, scales, extras = [], [], []
-        for i, s in enumerate(systems):
+            uniq["m_stack"] = np.zeros((n_proto, 3, n_max, n_max))
+        for p, i in enumerate(first_of_proto):
+            s = systems[i]
             r_i, n_i = s["rzv"].shape[0], s["rzm"].shape[1]
             nc_i = s["num_chrono"]
-            batch["rzv"][i, :r_i] = s["rzv"]
-            batch["rzm"][i, :r_i, :n_i] = s["rzm"]
-            batch["vmm"][i, :r_i, :r_i] = s["vmm"]
-            batch["rzm_vz"][i, :r_i, :n_i] = s["rzm_vz"]
-            batch["vz_strength"][i, :r_i] = s["vz_strength_vec"]
-            batch["vz_sign"][i, :nc_i] = 1.0
-            batch["vz_sign"][i, nc_i:r_i] = -1.0
-            batch["chrono_row_mask"][i, :nc_i] = 1.0
-            batch["row_mask"][i, :r_i] = 1.0
-            batch["col_mask"][i, :n_i] = 1.0
+            uniq["rzm"][p, :r_i, :n_i] = s["rzm"]
+            uniq["vmm"][p, :r_i, :r_i] = s["vmm"]
+            uniq["rzm_vz"][p, :r_i, :n_i] = s["rzm_vz"]
+            uniq["vz_strength"][p, :r_i] = s["vz_strength_vec"]
+            uniq["vz_sign"][p, :nc_i] = 1.0
+            uniq["vz_sign"][p, nc_i:r_i] = -1.0
+            uniq["chrono_row_mask"][p, :nc_i] = 1.0
+            uniq["row_mask"][p, :r_i] = 1.0
+            uniq["col_mask"][p, :n_i] = 1.0
             # Padded columns get unit linear cost (with lb=0) so the QP pins
             # them at zero non-degenerately (x=0, dual=1)
-            batch["l1v"][i] = (l1_wide * batch["col_mask"][i]
-                               + (1.0 - batch["col_mask"][i]))
+            uniq["l1v"][p] = (l1_wide * uniq["col_mask"][p]
+                              + (1.0 - uniq["col_mask"][p]))
             # lb must be 0 (not e.g. -1e5) at padded columns so the unit
             # linear cost pins them at the bound
-            batch["lb"][i] = np.where(batch["col_mask"][i] > 0, self.lb, 0.0)
+            uniq["lb"][p] = np.where(uniq["col_mask"][p] > 0, self.lb, 0.0)
             if self.per_obs_penalty:
-                batch["m_stack"][i, :, :n_i, :n_i] = s["m_stack"]
+                uniq["m_stack"][p, :, :n_i, :n_i] = s["m_stack"]
+
+        tau_indices, scales, extras = [], [], []
+        hrf_protocol = True
+        for i, s in enumerate(systems):
+            r_i = s["rzv"].shape[0]
+            nc_i = s["num_chrono"]
+            batch["rzv"][i, :r_i] = s["rzv"]
             batch["var_floor"][i] = np.var(s["rzv"]) * 1e-7
             if s.get("host_chrono_wf") is not None:
                 batch["host_row_factors"][i, :nc_i] = s["host_chrono_wf"]
+                hrf_protocol = False
             if s.get("host_eis_wf") is not None:
                 batch["host_row_factors"][i, nc_i:r_i] = s["host_eis_wf"]
+                hrf_protocol = False
             left = nearest_index(self.tau_supergrid, s["basis_tau"][0])
             right = nearest_index(self.tau_supergrid, s["basis_tau"][-1]) + 1
             tau_indices.append((int(left), int(right)))
             scales.append(s["coefficient_scale"])
             extras.append(s)
+        self._proto_index = proto_index
+        self._first_of_proto = first_of_proto
+        self._uniq = uniq
+        # host_row_factors is a constant NaN row ("use device factors") when
+        # no obs set data-dependent factors ('rp' method / explicit kwargs),
+        # so it can skip the full-batch transfer too
+        self._hrf_protocol = hrf_protocol
 
         self.cfg = cfg
         self.data_type = data_type
@@ -341,17 +377,53 @@ class BatchedRaggedFitter:
         self._last_batch = batch
         return batch
 
+    def full(self, key):
+        """Materialize one per-observation batch array (B, ...) by gathering
+        the per-protocol stack. Cheap for the vector keys; for the O(R*N)
+        matrix keys prefer per-protocol computation (``final_predictions``) —
+        a fresh 100MB+ host allocation is first-touch bound on the
+        single-vCPU target VM."""
+        u = self._uniq[key]
+        flat = np.take(u.reshape(u.shape[0], -1), self._proto_index, axis=0)
+        return flat.reshape(len(self._proto_index), *u.shape[1:])
+
+    def _per_proto_matvec(self, key, x):
+        """y[i] = uniq[key][proto(i)] @ x[i], without gathering (B, R, N)."""
+        u = self._uniq[key]
+        pidx = self._proto_index[:x.shape[0]]
+        y = np.zeros((x.shape[0], u.shape[1]))
+        for p in range(u.shape[0]):
+            m = pidx == p
+            if m.any():
+                y[m] = x[m] @ u[p].T
+        return y
+
+    def final_predictions(self, result):
+        """Model predictions y_hat (B, R) at the final iterate, computed one
+        protocol at a time. For hybrid fits the vz-offset column of the
+        design matrix is rewritten each outer iteration from the current
+        prediction (reference drt1d.py:972-979), so the stored protocol
+        matrix's vz column is swapped for the final-solution one here."""
+        x = np.asarray(result.x_raw)
+        y = self._per_proto_matvec("rzm", x)
+        ci = self.fcfg.vz_index
+        if self.fcfg.vz_offset and ci >= 0:
+            y_vz = self._per_proto_matvec("rzm_vz", x)
+            newcol = y_vz * self.full("vz_sign") * self.full("vz_strength")
+            oldcol = self._uniq["rzm"][self._proto_index[:len(x)], :, ci]
+            y = y + x[:, ci:ci + 1] * (newcol - oldcol)
+        return y
+
     def final_design_matrices(self, result):
         """Reconstruct the per-observation design matrices as they stood at
-        the last outer iteration: for hybrid fits the vz-offset column is
-        rewritten each iteration from the current prediction, so it must be
-        rebuilt from the final solution (reference drt1d.py:972-979)."""
-        batch = self._last_batch
-        rzm = np.array(batch["rzm"])
+        the last outer iteration (see final_predictions). Materializes the
+        full (B, R, N) stack — use only when the matrices themselves are
+        needed; the fit/llh path uses final_predictions."""
+        rzm = self.full("rzm")
         if self.fcfg.vz_offset and self.fcfg.vz_index >= 0:
-            y_hat = np.einsum("brn,bn->br", batch["rzm_vz"], result.x_raw)
-            rzm[:, :, self.fcfg.vz_index] = (y_hat * batch["vz_sign"]
-                                             * batch["vz_strength"])
+            y_vz = self._per_proto_matvec("rzm_vz", result.x_raw)
+            rzm[:, :, self.fcfg.vz_index] = (y_vz * self.full("vz_sign")
+                                             * self.full("vz_strength"))
         return rzm
 
     # ------------------------------------------------------------------
@@ -424,13 +496,37 @@ class BatchedRaggedFitter:
         batch = self.prepare(observations)
         b_orig = batch["rzv"].shape[0]
 
+        # Protocol-deduplicated transfer: the per-observation matrix stacks
+        # (design, variance, penalty, masks) are IDENTICAL for observations
+        # sharing a measurement protocol. prepare() never materializes the
+        # full (B, R, R)+(B, 3, N, N) batch on the host (first-touch-bound
+        # there, and host->device transfer of it dominates wall-clock on a
+        # tunneled chip): upload one copy per protocol and gather to the
+        # full batch on device.
+        uniq = self._uniq
+        proto_idx = self._proto_index
         if self.mesh is not None:
-            arrays = {k: sh.shard_batch(jnp.asarray(
+            idx_pad, _ = sh.pad_batch(proto_idx, self.mesh)
+            idx_dev = sh.shard_batch(jnp.asarray(idx_pad), self.mesh)
+            rep = sh.replicated_sharding(self.mesh)
+            arrays = {k: jnp.take(
+                jax.device_put(jnp.asarray(u, dtype=self.dtype), rep),
+                idx_dev, axis=0) for k, u in uniq.items()}
+            arrays.update({k: sh.shard_batch(jnp.asarray(
                 sh.pad_batch(np.asarray(v), self.mesh)[0], dtype=self.dtype),
-                self.mesh) for k, v in batch.items()}
+                self.mesh) for k, v in batch.items()})
         else:
-            arrays = {k: jnp.asarray(v, dtype=self.dtype)
-                      for k, v in batch.items()}
+            idx_dev = jnp.asarray(proto_idx)
+            arrays = {k: jnp.take(jnp.asarray(u, dtype=self.dtype),
+                                  idx_dev, axis=0)
+                      for k, u in uniq.items()}
+            for k, v in batch.items():
+                if k == "host_row_factors" and self._hrf_protocol:
+                    arrays[k] = jnp.broadcast_to(
+                        jnp.full(v.shape[1:], jnp.nan, dtype=self.dtype),
+                        (b_orig, *v.shape[1:]))
+                else:
+                    arrays[k] = jnp.asarray(v, dtype=self.dtype)
 
         args = [arrays["rzv"], arrays["rzm"], arrays["vmm"],
                 arrays["rzm_vz"], arrays["vz_strength"],
