@@ -492,11 +492,16 @@ class DRTMD:
         from ..parallel.batch import BatchedEISFitter
         f0 = np.asarray(eiss[0][0])
         z_batch = np.stack([np.asarray(e[1]) for e in eiss])
-        fitter = BatchedEISFitter(
-            f0, tau_supergrid=self.tau_supergrid, fit_ohmic=self.fit_ohmic,
-            fit_inductance=self.fit_inductance, fit_capacitance=self.fit_capacitance,
-            fit_dop=self.fit_dop, nonneg=self.fit_kw.get("nonneg", True),
-            dtype=dtype if dtype is not None else jnp.float64, mesh=mesh)
+        fitter = self._cached_fitter(
+            ("eis", f0.tobytes(), None if dtype is None else str(dtype),
+             id(mesh) if mesh is not None else None,
+             bool(self.fit_kw.get("nonneg", True))),
+            lambda: BatchedEISFitter(
+                f0, tau_supergrid=self.tau_supergrid, fit_ohmic=self.fit_ohmic,
+                fit_inductance=self.fit_inductance,
+                fit_capacitance=self.fit_capacitance,
+                fit_dop=self.fit_dop, nonneg=self.fit_kw.get("nonneg", True),
+                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh))
         result = fitter.fit(z_batch)
         self._batch_fitter = fitter
         self._register_batch_fitter("eis", fitter)
@@ -514,11 +519,16 @@ class DRTMD:
         t0 = np.asarray(chronos[0][0])
         i0 = np.asarray(chronos[0][1])
         v_batch = np.stack([np.asarray(c[2]) for c in chronos])
-        fitter = BatchedHybridFitter(
-            t0, i0, f0, tau_supergrid=self.tau_supergrid,
-            fit_ohmic=self.fit_ohmic, fit_inductance=self.fit_inductance,
-            nonneg=self.fit_kw.get("nonneg", True),
-            dtype=dtype if dtype is not None else jnp.float64, mesh=mesh)
+        fitter = self._cached_fitter(
+            ("hybrid", t0.tobytes(), i0.tobytes(), f0.tobytes(),
+             None if dtype is None else str(dtype),
+             id(mesh) if mesh is not None else None,
+             bool(self.fit_kw.get("nonneg", True))),
+            lambda: BatchedHybridFitter(
+                t0, i0, f0, tau_supergrid=self.tau_supergrid,
+                fit_ohmic=self.fit_ohmic, fit_inductance=self.fit_inductance,
+                nonneg=self.fit_kw.get("nonneg", True),
+                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh))
         result = fitter.fit(v_batch, z_batch)
         self._batch_fitter = fitter
         self._register_batch_fitter("hybrid", fitter)
@@ -533,6 +543,22 @@ class DRTMD:
         if not hasattr(self, "_batch_fitters"):
             self._batch_fitters = {}
         self._batch_fitters[key] = fitter
+
+    def _cached_fitter(self, key, factory):
+        """Reuse batched-fitter instances across fit_all calls.
+
+        Each fitter caches its jitted entry point and per-protocol prep
+        systems on the instance; a fresh instance per call would re-trace
+        and re-load the compiled executable (~10 s on a 1-vCPU host even
+        with the persistent compile cache) on every incremental fit_all of
+        a growing map. Not persisted (see _persist_attrs)."""
+        cache = getattr(self, "_fitter_cache", None)
+        if cache is None:
+            cache = self._fitter_cache = {}
+        fitter = cache.get(key)
+        if fitter is None:
+            fitter = cache[key] = factory()
+        return fitter
 
     def _store_uniform_result(self, fit_index, fitter, result, z_batch,
                               rzv_batch, is_hybrid, ignore_errors=False):
@@ -612,14 +638,23 @@ class DRTMD:
         from ..solver import qphb as qphb_mod
 
         fit_kw = {k: v for k, v in self.fit_kw.items() if k != "nonneg"}
-        fitter = BatchedRaggedFitter(
-            self.tau_supergrid, fit_ohmic=self.fit_ohmic,
-            fit_inductance=self.fit_inductance,
-            fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
-            nonneg=self.fit_kw.get("nonneg", True),
-            dtype=dtype if dtype is not None else jnp.float64, mesh=mesh,
-            step_model=self.step_model, chrono_mode=self.chrono_mode,
-            fixed_basis_nu=self.fixed_basis_nu, fit_kw=fit_kw)
+        fitter = self._cached_fitter(
+            ("ragged", None if dtype is None else str(dtype),
+             id(mesh) if mesh is not None else None,
+             bool(self.fit_kw.get("nonneg", True)),
+             # Non-primitive fit_kw values can't be keyed: a unique sentinel
+             # makes the entry unreusable (fresh fitter per call), never wrong
+             tuple(sorted(fit_kw.items(), key=lambda kv: kv[0]))
+             if all(isinstance(v, (str, int, float, bool, type(None)))
+                    for v in fit_kw.values()) else object()),
+            lambda: BatchedRaggedFitter(
+                self.tau_supergrid, fit_ohmic=self.fit_ohmic,
+                fit_inductance=self.fit_inductance,
+                fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
+                nonneg=self.fit_kw.get("nonneg", True),
+                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh,
+                step_model=self.step_model, chrono_mode=self.chrono_mode,
+                fixed_basis_nu=self.fixed_basis_nu, fit_kw=fit_kw))
         observations = list(zip(chronos, eiss))
         result = fitter.fit(observations)
         self._ragged_fitter = fitter
@@ -687,12 +722,17 @@ class DRTMD:
         import jax.numpy as jnp
         from ..parallel.batch import BatchedEISFitter
 
-        fitter = BatchedEISFitter(
-            f0, tau_supergrid=self.tau_supergrid, fit_ohmic=self.fit_ohmic,
-            fit_inductance=self.fit_inductance,
-            fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
-            nonneg=self.fit_kw.get("nonneg", True),
-            dtype=dtype if dtype is not None else jnp.float64, mesh=mesh)
+        fitter = self._cached_fitter(
+            ("pfrt", np.asarray(f0).tobytes(),
+             None if dtype is None else str(dtype),
+             id(mesh) if mesh is not None else None,
+             bool(self.fit_kw.get("nonneg", True))),
+            lambda: BatchedEISFitter(
+                f0, tau_supergrid=self.tau_supergrid, fit_ohmic=self.fit_ohmic,
+                fit_inductance=self.fit_inductance,
+                fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
+                nonneg=self.fit_kw.get("nonneg", True),
+                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh))
         step_x, step_llh, scale, step_state = fitter.pfrt_fit(
             z_batch, factors=self.pfrt_factors, return_step_state=True)
         self._batch_fitter = fitter

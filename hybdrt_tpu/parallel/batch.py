@@ -22,6 +22,19 @@ from . import sharding as sh
 from ..utils.device import host_cpu, on_host
 
 
+def _bucket_pad(rzv, b_orig):
+    """Pad the batch axis to the next power of two by repeating row 0.
+
+    Incremental mapping workloads fit a different batch size each
+    acquisition; without bucketing every new size re-traces and re-compiles
+    the jitted batch entry. Duplicate lanes converge like the real lane (no
+    stragglers added) and collect() slices them off via b_orig."""
+    b_pad = 1 << (b_orig - 1).bit_length()
+    if b_pad > b_orig:
+        rzv = np.concatenate([rzv, np.repeat(rzv[:1], b_pad - b_orig, axis=0)])
+    return rzv
+
+
 class BatchFitResult(NamedTuple):
     """Physical-units results for a batch of spectra (leading axis = batch)."""
     x: np.ndarray              # (B, n_tau) DRT coefficients
@@ -55,10 +68,11 @@ class BatchedEISFitter:
                  max_iter=50, xtol=1e-2, qp_max_iter=60, qp_max_iter_warm=None,
                  iw_l1_lambda_0=1e-4, iw_l2_lambda_0=1e-4,
                  mesh=None, pred_stop=False, pred_rtol=1e-2,
-                 qp_fused=False, **hyper_kw):
+                 qp_fused=False, batch_bucket=True, **hyper_kw):
         self.frequencies = np.asarray(frequencies, dtype=float)
         self.dtype = dtype
         self.mesh = mesh
+        self.batch_bucket = bool(batch_bucket)
         self.rp_scale = hyper_kw.get("rp_scale", 14.0)
 
         # Build the shared problem structure with a template DRT fit on a
@@ -318,6 +332,11 @@ class BatchedEISFitter:
 
         if self.mesh is not None:
             rzv, _ = sh.pad_batch(rzv, self.mesh)
+        elif self.batch_bucket and b_orig > 1 and not return_history:
+            # (the diagnostic history path keeps the exact batch shape:
+            # padding changes XLA's shape-dependent rounding, which the
+            # iteration-by-iteration serial-parity guarantee can't absorb)
+            rzv = _bucket_pad(rzv, b_orig)
 
         if return_history:
             if adaptive:
@@ -554,12 +573,13 @@ class BatchedHybridFitter:
                  vz_offset=True, dtype=jnp.float64, max_iter=50, xtol=1e-2,
                  qp_max_iter=60, qp_max_iter_warm=None, mesh=None,
                  pred_stop=False, pred_rtol=1e-2, qp_fused=False,
-                 **hyper_kw):
+                 batch_bucket=True, **hyper_kw):
         self.times = np.asarray(times, dtype=float)
         self.i_signal = np.asarray(i_signal, dtype=float)
         self.frequencies = np.asarray(frequencies, dtype=float)
         self.dtype = dtype
         self.mesh = mesh
+        self.batch_bucket = bool(batch_bucket)
         self.rp_scale = hyper_kw.get("rp_scale", 14.0)
 
         with host_cpu():
@@ -720,6 +740,8 @@ class BatchedHybridFitter:
             rzv, _ = sh.pad_batch(rzv, self.mesh)
             rzv_dev = sh.shard_batch(jnp.asarray(rzv, dtype=self.dtype), self.mesh)
         else:
+            if self.batch_bucket and b_orig > 1 and not return_history:
+                rzv = _bucket_pad(rzv, b_orig)
             rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
         if return_history:
             if not hasattr(self, "_fit_batch_history"):
@@ -849,6 +871,8 @@ def _pfrt_fit(self, z_batch, factors=None, max_init_iter=20,
         rzv, _ = sh.pad_batch(rzv, self.mesh)
         rzv_dev = sh.shard_batch(jnp.asarray(rzv, dtype=self.dtype), self.mesh)
     else:
+        if self.batch_bucket and b_orig > 1:
+            rzv = _bucket_pad(rzv, b_orig)
         rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
 
     # Cache the jitted sweep per configuration (a fresh jit wrapper per call

@@ -88,7 +88,7 @@ class BatchedRaggedFitter:
                  qp_max_iter_warm=None, mesh=None, step_model="ideal",
                  chrono_mode="galv", fixed_basis_nu=None, fit_kw=None,
                  per_obs_penalty=True, pred_stop=False, pred_rtol=1e-2,
-                 qp_fused=False, **hyper_kw):
+                 qp_fused=False, batch_bucket=True, **hyper_kw):
         self.tau_supergrid = np.asarray(tau_supergrid, dtype=float)
         self.dtype = dtype
         self.mesh = mesh
@@ -100,6 +100,9 @@ class BatchedRaggedFitter:
         self.pred_stop = bool(pred_stop)
         self.pred_rtol = float(pred_rtol)
         self.qp_fused = bool(qp_fused)
+        # Pad the batch axis to the next power of two (repeating obs 0) so
+        # incremental workloads reuse compiled shapes; see fit()
+        self.batch_bucket = bool(batch_bucket)
         self.fit_kw = dict(fit_kw or {})
         self.hyper_kw = hyper_kw
         # per_obs_penalty=True carries each observation's own penalty stack
@@ -496,6 +499,23 @@ class BatchedRaggedFitter:
         batch = self.prepare(observations)
         b_orig = batch["rzv"].shape[0]
 
+        # Batch bucketing: pad the batch axis up to the next power of two by
+        # REPEATING observation 0 (duplicate lanes converge like the real
+        # lane — no stragglers — and collect() discards them). Incremental
+        # mapping workloads call fit() with a different batch size each
+        # acquisition; without bucketing every new size re-traces and
+        # re-compiles the jitted entry (~minutes on a 1-vCPU host).
+        proto_idx = self._proto_index
+        if self.batch_bucket and self.mesh is None and b_orig > 1 \
+                and not return_history:
+            b_pad = 1 << (b_orig - 1).bit_length()
+            if b_pad > b_orig:
+                pad = b_pad - b_orig
+                batch = {k: np.concatenate(
+                    [v, np.repeat(v[:1], pad, axis=0)]) for k, v in batch.items()}
+                proto_idx = np.concatenate(
+                    [proto_idx, np.repeat(proto_idx[:1], pad)])
+
         # Protocol-deduplicated transfer: the per-observation matrix stacks
         # (design, variance, penalty, masks) are IDENTICAL for observations
         # sharing a measurement protocol. prepare() never materializes the
@@ -504,7 +524,6 @@ class BatchedRaggedFitter:
         # tunneled chip): upload one copy per protocol and gather to the
         # full batch on device.
         uniq = self._uniq
-        proto_idx = self._proto_index
         if self.mesh is not None:
             idx_pad, _ = sh.pad_batch(proto_idx, self.mesh)
             idx_dev = sh.shard_batch(jnp.asarray(idx_pad), self.mesh)
@@ -524,7 +543,7 @@ class BatchedRaggedFitter:
                 if k == "host_row_factors" and self._hrf_protocol:
                     arrays[k] = jnp.broadcast_to(
                         jnp.full(v.shape[1:], jnp.nan, dtype=self.dtype),
-                        (b_orig, *v.shape[1:]))
+                        (v.shape[0], *v.shape[1:]))
                 else:
                     arrays[k] = jnp.asarray(v, dtype=self.dtype)
 

@@ -482,3 +482,41 @@ def test_estimate_obs_drt_var_for_batched(fitted_md):
                  - fitted_md.obs_drt_var[0][interior]) \
         / (np.max(fitted_md.obs_drt_var[0][interior]) + 1e-30)
     assert np.max(rel) < 1e-2
+
+
+def test_incremental_batched_fit_all_reuses_fitter():
+    """Incremental mapping: add observations, fit_all(batched=True), add
+    more (on a NEW grid), fit_all again. The second call must reuse the
+    cached ragged fitter (no fresh jit entry per call — that costs ~10 s
+    per call on a 1-vCPU host) and still produce fits matching a
+    fresh-instance fit of the same observations."""
+    rng = np.random.default_rng(3)
+    grids = [np.logspace(5, -1, 31), np.logspace(4, -2, 25)]
+
+    def obs_for(k):
+        f = grids[k % 2]
+        z = 0.35 + _zarc(f, 1.0 + 0.1 * k, 10 ** (-2 + 0.3 * k))
+        return f, z + (rng.normal(size=len(f))
+                       + 1j * rng.normal(size=len(f))) * 1e-3
+
+    md = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+               print_progress=False)
+    all_obs = [obs_for(k) for k in range(7)]
+    for k in range(4):
+        md.add_observation([float(k)], None, all_obs[k])
+    md.fit_all(batched=True)
+    fitter1 = md._fitter_cache[next(iter(md._fitter_cache))]
+    for k in range(4, 7):
+        md.add_observation([float(k)], None, all_obs[k])
+    md.fit_all(batched=True)  # only fits the 3 new obs
+    assert md.obs_fit_status.all()
+    assert len(md._fitter_cache) == 1
+    assert next(iter(md._fitter_cache.values())) is fitter1
+
+    md_fresh = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+                     print_progress=False)
+    for k in range(7):
+        md_fresh.add_observation([float(k)], None, all_obs[k])
+    md_fresh.fit_all(batched=True)
+    assert np.allclose(md.obs_x, md_fresh.obs_x, rtol=1e-6, atol=1e-9)
+    assert np.allclose(md.obs_llh, md_fresh.obs_llh, rtol=1e-6, atol=1e-8)
