@@ -65,6 +65,11 @@ print(f"mesh: {mesh.devices.size} device(s) ({mesh.devices.ravel()[0].platform})
 md.fit_all(batched=True, mesh=mesh if mesh.devices.size > 1 else None)
 print(f"fitted {md.num_obs} mixed-grid observations in one batched call")
 
+# Incremental acquisition is cheap: later fit_all calls reuse the cached
+# batched fitter (jitted entry + per-protocol matrix caches), and batch
+# sizes are bucketed to powers of two so a growing map re-uses compiled
+# shapes instead of re-tracing every acquisition.
+
 # ----------------------------------------------------------------------
 # 4. Telemetry: per-observation convergence without per-obs Python loops.
 # ----------------------------------------------------------------------

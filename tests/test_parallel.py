@@ -391,3 +391,25 @@ def test_qp_fused_matches_plain():
     z_p = plain.predict_z(r_p)
     z_f = fused.predict_z(r_f)
     assert np.max(np.abs(z_p - z_f)) < 2e-3
+
+
+def test_batch_bucket_pads_and_matches_unbucketed():
+    """batch_bucket pads the batch axis to the next power of two by
+    repeating lane 0 (so incremental batch sizes reuse compiled shapes);
+    results are sliced back to the true size and match the unbucketed fit
+    within XLA's shape-dependent rounding."""
+    freq, z, rs = _batch(6, seed=4)
+    on = BatchedEISFitter(freq, max_iter=12)
+    off = BatchedEISFitter(freq, max_iter=12, batch_bucket=False)
+    r_on = on.fit(z)
+    r_off = off.fit(z)
+    assert r_on.x.shape[0] == 6
+    assert np.allclose(r_on.x, r_off.x, rtol=1e-6, atol=1e-9)
+    assert np.allclose(r_on.r_inf, r_off.r_inf, rtol=1e-6)
+
+    # Power-of-two batch is untouched; different sizes in the same bucket
+    # share one compiled shape (no retrace between B=5 and B=6)
+    n_traces = on._fit_batch._cache_size()
+    r5 = on.fit(z[:5])
+    assert on._fit_batch._cache_size() == n_traces
+    assert np.allclose(r5.x, r_on.x[:5], rtol=1e-6, atol=1e-9)
