@@ -329,3 +329,62 @@ def align_to_reference_1d(x, flow_field, velocity_axis, flow_axes,
     aligned, _ = align_to_reference(frames, ref_index=reference_index,
                                     flow_axes=frame_axes, flows=flow_field)
     return np.moveaxis(aligned, 0, velocity_axis)
+
+
+# ------------------------------------------------------------------
+# Warp-order planning over sparse occupancy grids
+# (reference flow.py:294-364: warp_step_cost / warp_path_cost /
+# solve_warp_axis_order). When warping through psi-space with missing
+# observations, the cost of a unit step along an axis depends on whether
+# the destination cell (or, failing that, the cell one step beyond it)
+# holds a fitted group; the total cost of an axis-ordered Manhattan path
+# ranks candidate warp orders.
+# ------------------------------------------------------------------
+def warp_step_cost(group_exists, start, direction, axis):
+    """Cost of one unit step along ``axis`` from ``start``: 1 if the
+    destination cell is occupied, 2 if it is empty but the next cell in the
+    same direction is occupied (hop over a gap), inf otherwise."""
+    group_exists = np.asarray(group_exists, dtype=bool)
+    start = tuple(int(c) for c in start)
+    dest = start[axis] + int(direction)
+    if not (0 <= dest < group_exists.shape[axis]):
+        return np.inf
+    dest_coords = start[:axis] + (dest,) + start[axis + 1:]
+    if group_exists[dest_coords]:
+        return 1.0
+    beyond = dest + int(direction)
+    if 0 <= beyond < group_exists.shape[axis]:
+        beyond_coords = start[:axis] + (beyond,) + start[axis + 1:]
+        if group_exists[beyond_coords]:
+            return 2.0
+    return np.inf
+
+
+def warp_path_cost(group_exists, start_coords, end_coords, axis_order):
+    """Total step cost of the Manhattan path from start to end that
+    exhausts each axis fully in the order given; returns
+    (cost, step_start_coords)."""
+    pos = [int(c) for c in start_coords]
+    cost = 0.0
+    steps = []
+    for axis in axis_order:
+        end = int(end_coords[axis])
+        direction = int(np.sign(end - pos[axis]))
+        while pos[axis] != end:
+            steps.append(list(pos))
+            cost += warp_step_cost(group_exists, tuple(pos), direction, axis)
+            pos[axis] += direction
+    return cost, steps
+
+
+def solve_warp_axis_order(group_exists, start_coords, end_coords):
+    """Brute-force the axis permutation with the cheapest Manhattan warp
+    path; returns (best_axis_order, cost, step_start_coords)."""
+    from itertools import permutations
+    best = None
+    for order in permutations(range(np.ndim(group_exists))):
+        cost, steps = warp_path_cost(group_exists, start_coords, end_coords,
+                                     order)
+        if best is None or cost < best[1]:
+            best = (order, cost, steps)
+    return best

@@ -352,3 +352,33 @@ def test_partial_flow_blended_beats_plain_ilk():
     fl16 = flow.partial_flow_blended(ref_n, mov_n, flow_axes=(-1,),
                                      blend_num=16, radius=8)
     assert np.all(np.isfinite(fl16))
+
+
+def test_warp_order_planning_picks_occupied_path():
+    """solve_warp_axis_order ranks axis-ordered Manhattan paths by
+    occupancy: stepping into fitted cells costs 1, hopping a single gap
+    costs 2, dead ends cost inf (reference flow.py:294-364)."""
+    from hybdrt_tpu.mapping.flow import (warp_step_cost, warp_path_cost,
+                                         solve_warp_axis_order)
+    # 3x3 grid: column 0 and row 2 fully fitted; interior cell (1,1) empty
+    occ = np.array([[1, 0, 0],
+                    [1, 1, 0],
+                    [1, 1, 1]], dtype=bool)
+    # Stepping from (0,0) down into (1,0): occupied -> 1
+    assert warp_step_cost(occ, (0, 0), 1, 0) == 1.0
+    # Stepping right from (0,0) into empty (0,1) with empty (0,2) beyond -> inf
+    assert warp_step_cost(occ, (0, 0), 1, 1) == np.inf
+    # Hop: from (1,1) right into empty (1,2)? beyond is out of bounds -> inf
+    assert warp_step_cost(occ, (1, 1), 1, 1) == np.inf
+    # Hop over a gap: row 0 of [[1,0,1]]
+    occ2 = np.array([[1, 0, 1]], dtype=bool)
+    assert warp_step_cost(occ2, (0, 0), 1, 1) == 2.0
+
+    # From (0,0) to (2,2): going rows-first stays on occupied cells
+    # (cost 4); columns-first crosses the empty top row (inf)
+    c_rows, steps = warp_path_cost(occ, (0, 0), (2, 2), (0, 1))
+    c_cols, _ = warp_path_cost(occ, (0, 0), (2, 2), (1, 0))
+    assert c_rows == 4.0 and np.isinf(c_cols)
+    assert len(steps) == 4
+    order, cost, steps = solve_warp_axis_order(occ, (0, 0), (2, 2))
+    assert order == (0, 1) and cost == 4.0
