@@ -33,7 +33,7 @@ class DRTMD:
                  fit_dop=False, normalize_dop=True, nu_basis_type="gaussian",
                  nu_epsilon=None, chrono_reader: Optional[Callable] = None,
                  eis_reader: Optional[Callable] = None, fit_kw=None, fit_type="drt",
-                 pfrt_factors=None,
+                 pfrt_factors=None, batch_fit_kw=None,
                  print_diagnostics=False, print_progress=True, warn=False):
         self.drt1d = DRT(tau_supergrid=tau_supergrid, tau_epsilon=tau_epsilon,
                          tau_basis_type=tau_basis_type, fixed_basis_nu=fixed_basis_nu,
@@ -66,6 +66,12 @@ class DRTMD:
         self.normalize_dop = normalize_dop
         self.step_model = step_model
         self.chrono_mode = chrono_mode
+        # Extra constructor kwargs forwarded to every batched fitter
+        # (parallel/batch.py, parallel/ragged.py): the throughput knobs —
+        # qp_max_iter / qp_max_iter_warm, pred_stop / pred_rtol, qp_fused,
+        # batch_bucket, max_iter, xtol. Defaults (empty) keep reference
+        # convergence semantics.
+        self.batch_fit_kw = dict(batch_fit_kw or {})
 
         if chrono_reader is None:
             def chrono_reader(file):
@@ -495,13 +501,14 @@ class DRTMD:
         fitter = self._cached_fitter(
             ("eis", f0.tobytes(), None if dtype is None else str(dtype),
              id(mesh) if mesh is not None else None,
-             bool(self.fit_kw.get("nonneg", True))),
+             bool(self.fit_kw.get("nonneg", True)), self._batch_kw_sig()),
             lambda: BatchedEISFitter(
                 f0, tau_supergrid=self.tau_supergrid, fit_ohmic=self.fit_ohmic,
                 fit_inductance=self.fit_inductance,
                 fit_capacitance=self.fit_capacitance,
                 fit_dop=self.fit_dop, nonneg=self.fit_kw.get("nonneg", True),
-                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh))
+                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh,
+                **self.batch_fit_kw))
         result = fitter.fit(z_batch)
         self._batch_fitter = fitter
         self._register_batch_fitter("eis", fitter)
@@ -523,12 +530,13 @@ class DRTMD:
             ("hybrid", t0.tobytes(), i0.tobytes(), f0.tobytes(),
              None if dtype is None else str(dtype),
              id(mesh) if mesh is not None else None,
-             bool(self.fit_kw.get("nonneg", True))),
+             bool(self.fit_kw.get("nonneg", True)), self._batch_kw_sig()),
             lambda: BatchedHybridFitter(
                 t0, i0, f0, tau_supergrid=self.tau_supergrid,
                 fit_ohmic=self.fit_ohmic, fit_inductance=self.fit_inductance,
                 nonneg=self.fit_kw.get("nonneg", True),
-                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh))
+                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh,
+                **self.batch_fit_kw))
         result = fitter.fit(v_batch, z_batch)
         self._batch_fitter = fitter
         self._register_batch_fitter("hybrid", fitter)
@@ -543,6 +551,14 @@ class DRTMD:
         if not hasattr(self, "_batch_fitters"):
             self._batch_fitters = {}
         self._batch_fitters[key] = fitter
+
+    def _batch_kw_sig(self):
+        """Hashable signature of batch_fit_kw for the fitter cache key."""
+        kw = self.batch_fit_kw
+        if all(isinstance(v, (str, int, float, bool, type(None)))
+               for v in kw.values()):
+            return tuple(sorted(kw.items(), key=lambda kv: kv[0]))
+        return object()  # unreusable sentinel, never wrong
 
     def _cached_fitter(self, key, factory):
         """Reuse batched-fitter instances across fit_all calls.
@@ -641,7 +657,7 @@ class DRTMD:
         fitter = self._cached_fitter(
             ("ragged", None if dtype is None else str(dtype),
              id(mesh) if mesh is not None else None,
-             bool(self.fit_kw.get("nonneg", True)),
+             bool(self.fit_kw.get("nonneg", True)), self._batch_kw_sig(),
              # Non-primitive fit_kw values can't be keyed: a unique sentinel
              # makes the entry unreusable (fresh fitter per call), never wrong
              tuple(sorted(fit_kw.items(), key=lambda kv: kv[0]))
@@ -654,7 +670,8 @@ class DRTMD:
                 nonneg=self.fit_kw.get("nonneg", True),
                 dtype=dtype if dtype is not None else jnp.float64, mesh=mesh,
                 step_model=self.step_model, chrono_mode=self.chrono_mode,
-                fixed_basis_nu=self.fixed_basis_nu, fit_kw=fit_kw))
+                fixed_basis_nu=self.fixed_basis_nu, fit_kw=fit_kw,
+                **self.batch_fit_kw))
         observations = list(zip(chronos, eiss))
         result = fitter.fit(observations)
         self._ragged_fitter = fitter
@@ -726,13 +743,14 @@ class DRTMD:
             ("pfrt", np.asarray(f0).tobytes(),
              None if dtype is None else str(dtype),
              id(mesh) if mesh is not None else None,
-             bool(self.fit_kw.get("nonneg", True))),
+             bool(self.fit_kw.get("nonneg", True)), self._batch_kw_sig()),
             lambda: BatchedEISFitter(
                 f0, tau_supergrid=self.tau_supergrid, fit_ohmic=self.fit_ohmic,
                 fit_inductance=self.fit_inductance,
                 fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
                 nonneg=self.fit_kw.get("nonneg", True),
-                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh))
+                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh,
+                **self.batch_fit_kw))
         step_x, step_llh, scale, step_state = fitter.pfrt_fit(
             z_batch, factors=self.pfrt_factors, return_step_state=True)
         self._batch_fitter = fitter

@@ -520,3 +520,35 @@ def test_incremental_batched_fit_all_reuses_fitter():
     md_fresh.fit_all(batched=True)
     assert np.allclose(md.obs_x, md_fresh.obs_x, rtol=1e-6, atol=1e-9)
     assert np.allclose(md.obs_llh, md_fresh.obs_llh, rtol=1e-6, atol=1e-8)
+
+
+def test_batch_fit_kw_forwards_throughput_knobs():
+    """DRTMD(batch_fit_kw=...) forwards the throughput knobs (QP straggler
+    caps, data-space early stop) to every batched fitter; results stay
+    within the documented accuracy envelope of the default solver."""
+    rng = np.random.default_rng(9)
+    grids = [np.logspace(5, -1, 31), np.logspace(4, -2, 25)]
+
+    def build(**kw):
+        md = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+                   print_progress=False, **kw)
+        for k in range(4):
+            f = grids[k % 2]
+            z = 0.35 + _zarc(f, 1.0 + 0.1 * k, 10 ** (-2 + 0.3 * k))
+            z = z + (rng.normal(size=len(f))
+                     + 1j * rng.normal(size=len(f))) * 1e-3
+            md.add_observation([float(k)], None, (f, z))
+        return md
+
+    rng = np.random.default_rng(9)
+    md_fast = build(batch_fit_kw=dict(qp_max_iter=20, qp_max_iter_warm=8,
+                                      pred_stop=True))
+    md_fast.fit_all(batched=True)
+    rng = np.random.default_rng(9)
+    md_ref = build()
+    md_ref.fit_all(batched=True)
+    assert md_fast.obs_fit_status.all()
+    fitter = next(iter(md_fast._fitter_cache.values()))
+    assert fitter.qp_max_iter == 20 and fitter.pred_stop
+    assert np.allclose(md_fast.predict_r_p(), md_ref.predict_r_p(),
+                       rtol=2e-3)
