@@ -58,11 +58,11 @@ def main():
     mesh = make_mesh(devices) if n_dev > 1 else None
     print(f"devices: {devices}", file=sys.stderr)
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    # Persistent compilation cache: the hybdrt_tpu import above already
+    # enabled it at a machine-fingerprinted location (utils/device.py), so
+    # repeat runs on the same host skip the cold compile. No override here —
+    # a fixed dir shared across VM migrations can serve CPU executables
+    # compiled for a different ISA (XLA warns "could lead to ... SIGILL").
 
     freq, z = make_batch(BATCH, N_FREQ)
     # qp_max_iter_warm caps warm-started interior-point steps: under vmap the

@@ -11,6 +11,31 @@ from functools import wraps
 import jax
 
 
+def _machine_fingerprint():
+    """Short hash of the host CPU model + feature flags.
+
+    XLA:CPU caches AOT-compiled executables specialized to the compile
+    machine's ISA extensions; loading them on a host with different features
+    (e.g. after a VM migration) triggers "Machine type used for XLA:CPU
+    compilation doesn't match ... could lead to execution errors such as
+    SIGILL" and has crashed test runs here. Keying the cache directory on the
+    fingerprint makes each machine type get its own cache.
+    """
+    import hashlib
+    import platform
+    desc = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    desc.append(line.strip())
+                    if len(desc) >= 3:
+                        break
+    except OSError:
+        desc.append(platform.processor())
+    return hashlib.sha1("|".join(desc).encode()).hexdigest()[:10]
+
+
 def init_compilation_cache(cache_dir=None, min_compile_secs=0.2):
     """Enable JAX's persistent compilation cache for the library.
 
@@ -20,13 +45,18 @@ def init_compilation_cache(cache_dir=None, min_compile_secs=0.2):
     to execution. Called automatically at package import (default-on);
     set ``HYBDRT_TPU_NO_COMPILE_CACHE=1`` to opt out or
     ``HYBDRT_TPU_COMPILE_CACHE_DIR`` to relocate the cache.
+
+    The default location is keyed by a host-machine fingerprint so cached
+    CPU executables are never reused across machines with different ISA
+    features (see ``_machine_fingerprint``).
     """
     if os.environ.get("HYBDRT_TPU_NO_COMPILE_CACHE"):
         return False
     if cache_dir is None:
         cache_dir = os.environ.get(
             "HYBDRT_TPU_COMPILE_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache", "hybdrt_tpu", "jax_cache"))
+            os.path.join(os.path.expanduser("~"), ".cache", "hybdrt_tpu",
+                         "jax_cache-" + _machine_fingerprint()))
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

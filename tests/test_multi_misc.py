@@ -261,3 +261,30 @@ def test_get_parameter_quantile():
     x_hat = drt.map_samples["x_hat"]
     big = np.abs(x_hat) > 0.05  # well-identified coordinates
     assert np.all(np.abs(qs[1][big] - x_hat[big]) / np.abs(x_hat[big]) < 0.5)
+
+
+def test_compilation_cache_dir_is_machine_keyed(tmp_path, monkeypatch):
+    # Cached XLA:CPU executables are ISA-specialized; reusing them across VM
+    # migrations with different CPU features can SIGILL. The default cache
+    # location must therefore embed a stable machine fingerprint.
+    from hybdrt_tpu.utils import device as dev
+
+    fp1, fp2 = dev._machine_fingerprint(), dev._machine_fingerprint()
+    assert fp1 == fp2 and len(fp1) == 10
+
+    import jax
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.delenv("HYBDRT_TPU_COMPILE_CACHE_DIR", raising=False)
+        monkeypatch.setenv("HOME", str(tmp_path))
+        assert dev.init_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir.endswith("jax_cache-" + fp1)
+
+        # Explicit relocation and full opt-out still honored
+        monkeypatch.setenv("HYBDRT_TPU_COMPILE_CACHE_DIR", str(tmp_path / "x"))
+        assert dev.init_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "x")
+        monkeypatch.setenv("HYBDRT_TPU_NO_COMPILE_CACHE", "1")
+        assert not dev.init_compilation_cache()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
