@@ -108,7 +108,6 @@ def main():
               f"({attempt + 1}/2)", file=sys.stderr)
         time.sleep(120)
         times = min(times), *timed_reps()
-    res = fitter.fit(z)
     elapsed = min(times)
     spectra_per_sec = BATCH / elapsed
     print(f"batch {BATCH} reps {[f'{t:.2f}s' for t in times]} -> best "

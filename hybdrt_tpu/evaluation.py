@@ -396,8 +396,12 @@ class DrtScorer:
         if hasattr(model, "get_peak_tau"):
             return np.asarray(model.get_peak_tau())
         if callable(model):
-            # Plain gamma(tau) callables: curvature-based peak detection
-            return np.asarray(find_model_peaks(model, tau))
+            # Plain gamma(tau) callables: curvature-based peak detection.
+            # An empty dict means "unconfigured" -> let find_model_peaks
+            # derive its automatic prominence threshold
+            return np.asarray(find_model_peaks(model, tau,
+                                               find_peaks_kw=find_peaks_kw
+                                               or None))
         raise ValueError("Model must provide find_peaks or get_peak_tau, "
                          "or be a callable gamma(tau)")
 

@@ -24,6 +24,10 @@ from ..models.drt import DRT
 from ..utils.array import nearest_index
 from . import resolve as resolve_mod
 
+# Marks a fitter cache key component that cannot be reliably hashed
+# (non-primitive fit kwargs): the fitter is built fresh and never cached
+_UNCACHEABLE = object()
+
 
 class DRTMD:
     def __init__(self, tau_supergrid, psi_dim_names=None, store_attr_categories=None,
@@ -494,21 +498,9 @@ class DRTMD:
 
     def _fit_batched_eis_uniform(self, fit_index, eiss, mesh=None, dtype=None,
                                  ignore_errors=False):
-        import jax.numpy as jnp
-        from ..parallel.batch import BatchedEISFitter
         f0 = np.asarray(eiss[0][0])
         z_batch = np.stack([np.asarray(e[1]) for e in eiss])
-        fitter = self._cached_fitter(
-            ("eis", f0.tobytes(), None if dtype is None else str(dtype),
-             id(mesh) if mesh is not None else None,
-             bool(self.fit_kw.get("nonneg", True)), self._batch_kw_sig()),
-            lambda: BatchedEISFitter(
-                f0, tau_supergrid=self.tau_supergrid, fit_ohmic=self.fit_ohmic,
-                fit_inductance=self.fit_inductance,
-                fit_capacitance=self.fit_capacitance,
-                fit_dop=self.fit_dop, nonneg=self.fit_kw.get("nonneg", True),
-                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh,
-                **self.batch_fit_kw))
+        fitter = self._eis_fitter(f0, dtype=dtype, mesh=mesh)
         result = fitter.fit(z_batch)
         self._batch_fitter = fitter
         self._register_batch_fitter("eis", fitter)
@@ -530,7 +522,8 @@ class DRTMD:
             ("hybrid", t0.tobytes(), i0.tobytes(), f0.tobytes(),
              None if dtype is None else str(dtype),
              id(mesh) if mesh is not None else None,
-             bool(self.fit_kw.get("nonneg", True)), self._batch_kw_sig()),
+             bool(self.fit_kw.get("nonneg", True)), self._batch_kw_sig(),
+             self._struct_sig()),
             lambda: BatchedHybridFitter(
                 t0, i0, f0, tau_supergrid=self.tau_supergrid,
                 fit_ohmic=self.fit_ohmic, fit_inductance=self.fit_inductance,
@@ -558,7 +551,20 @@ class DRTMD:
         if all(isinstance(v, (str, int, float, bool, type(None)))
                for v in kw.values()):
             return tuple(sorted(kw.items(), key=lambda kv: kv[0]))
-        return object()  # unreusable sentinel, never wrong
+        return _UNCACHEABLE  # non-primitive values: opt the key out of caching
+
+    def _struct_sig(self):
+        """Structural model configuration consumed by the batched-fitter
+        constructors. Part of every fitter cache key: mutating e.g. fit_dop
+        between fit_all calls must invalidate the cached fitters, which were
+        assembled from the old attributes."""
+        return (self.tau_supergrid is not None
+                and np.asarray(self.tau_supergrid, dtype=float).tobytes(),
+                bool(self.fit_ohmic), bool(self.fit_inductance),
+                bool(self.fit_capacitance), bool(self.fit_dop),
+                str(self.step_model), str(self.chrono_mode),
+                None if self.fixed_basis_nu is None
+                else np.asarray(self.fixed_basis_nu, dtype=float).tobytes())
 
     def _cached_fitter(self, key, factory):
         """Reuse batched-fitter instances across fit_all calls.
@@ -567,7 +573,12 @@ class DRTMD:
         systems on the instance; a fresh instance per call would re-trace
         and re-load the compiled executable (~10 s on a 1-vCPU host even
         with the persistent compile cache) on every incremental fit_all of
-        a growing map. Not persisted (see _persist_attrs)."""
+        a growing map. Keys containing _UNCACHEABLE (non-primitive fit
+        kwargs) build a fresh fitter and are NOT stored — inserting them
+        would retain one unreachable fitter per call. Not persisted (see
+        _persist_attrs)."""
+        if any(k is _UNCACHEABLE for k in key):
+            return factory()
         cache = getattr(self, "_fitter_cache", None)
         if cache is None:
             cache = self._fitter_cache = {}
@@ -575,6 +586,28 @@ class DRTMD:
         if fitter is None:
             fitter = cache[key] = factory()
         return fitter
+
+    def _eis_fitter(self, f0, dtype=None, mesh=None):
+        """Shared-grid EIS fitter for this map's configuration (cached).
+
+        Used by the uniform-EIS, batched-PFRT, and pfrt-covariance-rebuild
+        paths — all construct the identical fitter, so they share one cache
+        entry (one set of device matrices + jitted entries)."""
+        import jax.numpy as jnp
+        from ..parallel.batch import BatchedEISFitter
+        f0 = np.asarray(f0)
+        return self._cached_fitter(
+            ("eis", f0.tobytes(), None if dtype is None else str(dtype),
+             id(mesh) if mesh is not None else None,
+             bool(self.fit_kw.get("nonneg", True)), self._batch_kw_sig(),
+             self._struct_sig()),
+            lambda: BatchedEISFitter(
+                f0, tau_supergrid=self.tau_supergrid, fit_ohmic=self.fit_ohmic,
+                fit_inductance=self.fit_inductance,
+                fit_capacitance=self.fit_capacitance,
+                fit_dop=self.fit_dop, nonneg=self.fit_kw.get("nonneg", True),
+                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh,
+                **self.batch_fit_kw))
 
     def _store_uniform_result(self, fit_index, fitter, result, z_batch,
                               rzv_batch, is_hybrid, ignore_errors=False):
@@ -658,11 +691,12 @@ class DRTMD:
             ("ragged", None if dtype is None else str(dtype),
              id(mesh) if mesh is not None else None,
              bool(self.fit_kw.get("nonneg", True)), self._batch_kw_sig(),
-             # Non-primitive fit_kw values can't be keyed: a unique sentinel
-             # makes the entry unreusable (fresh fitter per call), never wrong
+             self._struct_sig(),
+             # Non-primitive fit_kw values can't be keyed: the sentinel opts
+             # this call out of caching entirely (fresh fitter, never stored)
              tuple(sorted(fit_kw.items(), key=lambda kv: kv[0]))
              if all(isinstance(v, (str, int, float, bool, type(None)))
-                    for v in fit_kw.values()) else object()),
+                    for v in fit_kw.values()) else _UNCACHEABLE),
             lambda: BatchedRaggedFitter(
                 self.tau_supergrid, fit_ohmic=self.fit_ohmic,
                 fit_inductance=self.fit_inductance,
@@ -736,24 +770,11 @@ class DRTMD:
     def _fit_batched_pfrt(self, fit_index, f0, z_batch, mesh=None, dtype=None):
         """Batched PFRT sweep over all EIS observations: one vmapped
         computation per batch (BatchedEISFitter.pfrt_fit)."""
-        import jax.numpy as jnp
-        from ..parallel.batch import BatchedEISFitter
-
-        fitter = self._cached_fitter(
-            ("pfrt", np.asarray(f0).tobytes(),
-             None if dtype is None else str(dtype),
-             id(mesh) if mesh is not None else None,
-             bool(self.fit_kw.get("nonneg", True)), self._batch_kw_sig()),
-            lambda: BatchedEISFitter(
-                f0, tau_supergrid=self.tau_supergrid, fit_ohmic=self.fit_ohmic,
-                fit_inductance=self.fit_inductance,
-                fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
-                nonneg=self.fit_kw.get("nonneg", True),
-                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh,
-                **self.batch_fit_kw))
+        fitter = self._eis_fitter(f0, dtype=dtype, mesh=mesh)
         step_x, step_llh, scale, step_state = fitter.pfrt_fit(
             z_batch, factors=self.pfrt_factors, return_step_state=True)
         self._batch_fitter = fitter
+        self._register_batch_fitter("pfrt", fitter)
 
         left_index = nearest_index(self.tau_supergrid, fitter.basis_tau[0])
         right_index = nearest_index(self.tau_supergrid, fitter.basis_tau[-1]) + 1
@@ -878,18 +899,19 @@ class DRTMD:
         from ..solver import qphb as qphb_mod
         from ..models.drt import _hypers_to_pytree
 
+        from ..parallel.batch import BatchedEISFitter
+
         chrono_data, eis_data = self.get_obs_data(obs_index)
         freq = np.asarray(eis_data[0], dtype=float)
-        fitter = getattr(self, "_batch_fitter", None)
-        if fitter is None or len(fitter.frequencies) != len(freq) \
+        # Only the pfrt-registered fitter is trustworthy here: _batch_fitter
+        # may hold e.g. a BatchedHybridFitter from a later fit_all whose
+        # template has hybrid-shaped rm/vmm (a frequency check alone would
+        # accept it). Fall back to the cached f64 EIS fitter for this grid.
+        fitter = getattr(self, "_batch_fitters", {}).get("pfrt")
+        if not isinstance(fitter, BatchedEISFitter) \
+                or len(fitter.frequencies) != len(freq) \
                 or not np.allclose(fitter.frequencies, freq):
-            from ..parallel.batch import BatchedEISFitter
-            fitter = BatchedEISFitter(
-                freq, tau_supergrid=self.tau_supergrid,
-                fit_ohmic=self.fit_ohmic, fit_inductance=self.fit_inductance,
-                fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
-                nonneg=self.fit_kw.get("nonneg", True), dtype=jnp.float64)
-            self._batch_fitter = fitter
+            fitter = self._eis_fitter(freq)
         template = fitter.template
         qp = template.qphb_params
         k_range = qp["cfg"].k_range

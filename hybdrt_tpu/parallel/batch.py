@@ -35,6 +35,50 @@ def _bucket_pad(rzv, b_orig):
     return rzv
 
 
+def _loop_inputs(fitter, rzv, fcfg=None):
+    """Shared solver-input setup for one spectrum/observation: weight
+    initialization + initial state vectors, returned as the positional
+    argument tuple of fitcore.qphb_fit_loop/qphb_fit_scan (plus the
+    estimated weights, which the phased scheduler needs separately).
+
+    Used by the plain, history, and phased fit variants of both batch
+    fitter classes so their setups cannot desynchronize.
+
+    Weight initialization solves a severely ill-conditioned overfit QP
+    (cond ~ 1e7, reference qphb.py:1609). In float64 runs it solves at
+    full precision; in float32 runs we rely on the Jacobi equilibration
+    inside solve_qp_box. (float64 emulation on the axon TPU stack is
+    unstable — it kernel-faults the worker — so no cross-dtype upcast.)"""
+    cfg = fitter.cfg
+    n = fitter.rzm.shape[1]
+    dtype = rzv.dtype
+    rho0 = jnp.asarray(fitter.hypers["rho_0"], dtype=dtype)
+    dop_rho0 = jnp.asarray(fitter.hypers.get("dop_rho_0", np.ones(3)),
+                           dtype=dtype)
+    s0 = jnp.stack([jnp.full(n, float(fitter.hypers["s_0"][i]), dtype=dtype)
+                    for i in range(cfg.k_range)])
+    est, init_w, _, out_t = qphb_mod.initialize_weights(
+        fitter.iw_hyp, fitter.m_stack, rho0, dop_rho0, s0, rzv,
+        fitter.rzm, fitter.vmm, fitter.lb, cfg, outlier_p=None)
+    x0 = jnp.full(n, 1e-6, dtype=dtype)
+    dop_gmat = None if fitter.dop_gmat is None \
+        else jnp.asarray(fitter.dop_gmat, dtype=dtype)
+    # vz-offset machinery exists only on the hybrid fitter; EIS runs with
+    # inert placeholders
+    rzm_vz = getattr(fitter, "rzm_vz", None)
+    if rzm_vz is None:
+        rzm_vz = jnp.zeros_like(fitter.rzm)
+    vz_strength = getattr(fitter, "vz_strength_vec", None)
+    if vz_strength is None:
+        vz_strength = jnp.ones(fitter.rzm.shape[0], dtype=dtype)
+    one = jnp.asarray(1.0, dtype=dtype)
+    args = (fitter.rzm, rzv, fitter.vmm, fitter.m_stack, dop_gmat,
+            fitter.l1v, fitter.lb, fitter.hyp, x0, s0, rho0, dop_rho0,
+            init_w, est, out_t, rzm_vz, vz_strength, one, one, one,
+            fitter.fcfg if fcfg is None else fcfg)
+    return args, est
+
+
 class BatchFitResult(NamedTuple):
     """Physical-units results for a batch of spectra (leading axis = batch)."""
     x: np.ndarray              # (B, n_tau) DRT coefficients
@@ -125,6 +169,11 @@ class BatchedEISFitter:
         # (prediction settled; see fitcore.FitConfig) on top of the
         # reference x-space check — a large throughput lever on batches
         # dominated by benign hyperparameter limit cycles
+        if qp_fused and qp_max_iter_warm is None:
+            # The fused pallas path only engages on statically-warm CAPPED
+            # solves (the cap is its fixed step count); default to the
+            # bench-validated cap rather than silently never fusing
+            qp_max_iter_warm = 8
         self.fcfg = fitcore.FitConfig(cfg=self.cfg, data_type="eis", num_chrono=0,
                                       vz_offset=False, vz_index=-1, max_iter=max_iter,
                                       x_rtol=xtol, max_hp_iter=1, qp_max_iter=qp_max_iter,
@@ -138,58 +187,15 @@ class BatchedEISFitter:
     # ------------------------------------------------------------------
     def _fit_single(self, rzv):
         """One spectrum: init weights (overfit QP) + full QPHB loop."""
-        cfg = self.cfg
-        k = cfg.k_range
-        n = self.rzm.shape[1]
-        dtype = rzv.dtype
-        rho0 = jnp.asarray(self.hypers["rho_0"], dtype=dtype)
-        dop_rho0 = jnp.asarray(self.hypers.get("dop_rho_0", np.ones(3)), dtype=dtype)
-        s0 = jnp.stack([jnp.full(n, float(self.hypers["s_0"][i]), dtype=dtype)
-                        for i in range(k)])
-
-        # Weight initialization solves a severely ill-conditioned overfit QP
-        # (cond ~ 1e7, reference qphb.py:1609). In float64 runs it solves at
-        # full precision; in float32 runs we rely on the Jacobi equilibration
-        # inside solve_qp_box. (float64 emulation on the axon TPU stack is
-        # unstable — it kernel-faults the worker — so no cross-dtype upcast.)
-        est, init_w, _, out_t = qphb_mod.initialize_weights(
-            self.iw_hyp, self.m_stack, rho0, dop_rho0, s0, rzv,
-            self.rzm, self.vmm, self.lb, cfg, outlier_p=None)
-
-        x0 = jnp.full(n, 1e-6, dtype=dtype)
-        dop_gmat = None if self.dop_gmat is None \
-            else jnp.asarray(self.dop_gmat, dtype=dtype)
-        state, _ = fitcore.qphb_fit_loop(
-            self.rzm, rzv, self.vmm, self.m_stack, dop_gmat, self.l1v, self.lb, self.hyp,
-            x0, s0, rho0, dop_rho0, init_w, est, out_t,
-            jnp.zeros_like(self.rzm), jnp.ones(self.rzm.shape[0], dtype=dtype),
-            jnp.asarray(1.0, dtype=dtype), jnp.asarray(1.0, dtype=dtype),
-            jnp.asarray(1.0, dtype=dtype), self.fcfg)
+        args, _ = _loop_inputs(self, rzv)
+        state, _ = fitcore.qphb_fit_loop(*args)
         return state
 
     def _fit_single_history(self, rzv):
         """Like _fit_single, but records the per-iteration solver state
         (batched qphb_history; reference hybdrt/models/qphb.py:950-966)."""
-        cfg = self.cfg
-        k = cfg.k_range
-        n = self.rzm.shape[1]
-        dtype = rzv.dtype
-        rho0 = jnp.asarray(self.hypers["rho_0"], dtype=dtype)
-        dop_rho0 = jnp.asarray(self.hypers.get("dop_rho_0", np.ones(3)), dtype=dtype)
-        s0 = jnp.stack([jnp.full(n, float(self.hypers["s_0"][i]), dtype=dtype)
-                        for i in range(k)])
-        est, init_w, _, out_t = qphb_mod.initialize_weights(
-            self.iw_hyp, self.m_stack, rho0, dop_rho0, s0, rzv,
-            self.rzm, self.vmm, self.lb, cfg, outlier_p=None)
-        x0 = jnp.full(n, 1e-6, dtype=dtype)
-        dop_gmat = None if self.dop_gmat is None \
-            else jnp.asarray(self.dop_gmat, dtype=dtype)
-        state, _, history = fitcore.qphb_fit_scan(
-            self.rzm, rzv, self.vmm, self.m_stack, dop_gmat, self.l1v, self.lb, self.hyp,
-            x0, s0, rho0, dop_rho0, init_w, est, out_t,
-            jnp.zeros_like(self.rzm), jnp.ones(self.rzm.shape[0], dtype=dtype),
-            jnp.asarray(1.0, dtype=dtype), jnp.asarray(1.0, dtype=dtype),
-            jnp.asarray(1.0, dtype=dtype), self.fcfg)
+        args, _ = _loop_inputs(self, rzv)
+        state, _, history = fitcore.qphb_fit_scan(*args)
         return state, history
 
     # ------------------------------------------------------------------
@@ -202,26 +208,9 @@ class BatchedEISFitter:
     # (fitcore.qphb_fit_loop_from_state). Padded tail sizes are quantized so
     # each (shape, budget) pair compiles once.
     def _fit_phase_single(self, rzv, budget):
-        cfg = self.cfg
-        k = cfg.k_range
-        n = self.rzm.shape[1]
-        dtype = rzv.dtype
-        rho0 = jnp.asarray(self.hypers["rho_0"], dtype=dtype)
-        dop_rho0 = jnp.asarray(self.hypers.get("dop_rho_0", np.ones(3)), dtype=dtype)
-        s0 = jnp.stack([jnp.full(n, float(self.hypers["s_0"][i]), dtype=dtype)
-                        for i in range(k)])
-        est, init_w, _, out_t = qphb_mod.initialize_weights(
-            self.iw_hyp, self.m_stack, rho0, dop_rho0, s0, rzv,
-            self.rzm, self.vmm, self.lb, cfg, outlier_p=None)
-        x0 = jnp.full(n, 1e-6, dtype=dtype)
-        dop_gmat = None if self.dop_gmat is None \
-            else jnp.asarray(self.dop_gmat, dtype=dtype)
-        state, _ = fitcore.qphb_fit_loop(
-            self.rzm, rzv, self.vmm, self.m_stack, dop_gmat, self.l1v, self.lb,
-            self.hyp, x0, s0, rho0, dop_rho0, init_w, est, out_t,
-            jnp.zeros_like(self.rzm), jnp.ones(self.rzm.shape[0], dtype=dtype),
-            jnp.asarray(1.0, dtype=dtype), jnp.asarray(1.0, dtype=dtype),
-            jnp.asarray(1.0, dtype=dtype), self.fcfg._replace(max_iter=budget))
+        args, est = _loop_inputs(self, rzv,
+                                 fcfg=self.fcfg._replace(max_iter=budget))
+        state, _ = fitcore.qphb_fit_loop(*args)
         return state, est
 
     def _cont_single(self, state, est, rzv, stop_at):
@@ -233,7 +222,11 @@ class BatchedEISFitter:
             state, self.rzm, rzv, self.vmm, self.m_stack, dop_gmat, self.l1v,
             self.lb, self.hyp, est, jnp.zeros_like(self.rzm),
             jnp.ones(self.rzm.shape[0], dtype=dtype), one, one, one,
-            self.fcfg._replace(max_iter=stop_at))
+            self.fcfg._replace(max_iter=stop_at),
+            # pred_stop's prediction history is not part of the resumable
+            # state; seeding it keeps the settled check within one iteration
+            # of an uninterrupted run (see qphb_fit_loop_from_state)
+            seed_pred_history=self.fcfg.pred_stop)
         return state
 
     @staticmethod
@@ -319,7 +312,10 @@ class BatchedEISFitter:
         adaptive=True enables compacted-continuation scheduling (see
         _fit_adaptive): numerically identical lane trajectories, but early
         whole-batch dispatch cutoffs with only the unconverged tail
-        continued. Combine with pred_stop=True for the full throughput win.
+        continued. Combine with pred_stop=True for the full throughput win;
+        in that combination iterate math is still identical but a lane may
+        settle up to one iteration later per phase boundary (the prediction
+        history is re-seeded on continuation, see qphb_fit_loop_from_state).
 
         return_history=True appends a per-iteration history dict of arrays
         with shape (B, max_iter, ...) — the batched analog of the
@@ -649,6 +645,10 @@ class BatchedHybridFitter:
             lambda v: v.astype(dtype) if hasattr(v, "astype") else v,
             _hypers_to_pytree(iw_hypers))
 
+        if qp_fused and qp_max_iter_warm is None:
+            # See BatchedEISFitter: the fused path needs the warm cap as its
+            # fixed step count; default it rather than silently never fusing
+            qp_max_iter_warm = 8
         self.fcfg = fitcore.FitConfig(
             cfg=self.cfg, data_type="hybrid", num_chrono=self.num_chrono,
             vz_offset=self.vz_offset, vz_index=self.vz_index,
@@ -661,25 +661,8 @@ class BatchedHybridFitter:
 
     # ------------------------------------------------------------------
     def _fit_single(self, rzv):
-        cfg = self.cfg
-        n = self.rzm.shape[1]
-        dtype = rzv.dtype
-        rho0 = jnp.asarray(self.hypers["rho_0"], dtype=dtype)
-        dop_rho0 = jnp.ones(3, dtype=dtype)
-        s0 = jnp.stack([jnp.full(n, float(self.hypers["s_0"][i]), dtype=dtype)
-                        for i in range(3)])
-        est, init_w, _, out_t = qphb_mod.initialize_weights(
-            self.iw_hyp, self.m_stack, rho0, dop_rho0, s0, rzv,
-            self.rzm, self.vmm, self.lb, cfg, outlier_p=None)
-        x0 = jnp.full(n, 1e-6, dtype=dtype)
-        dop_gmat = None if self.dop_gmat is None \
-            else jnp.asarray(self.dop_gmat, dtype=dtype)
-        state, _ = fitcore.qphb_fit_loop(
-            self.rzm, rzv, self.vmm, self.m_stack, dop_gmat, self.l1v, self.lb, self.hyp,
-            x0, s0, rho0, dop_rho0, init_w, est, out_t,
-            self.rzm_vz, self.vz_strength_vec,
-            jnp.asarray(1.0, dtype=dtype), jnp.asarray(1.0, dtype=dtype),
-            jnp.asarray(1.0, dtype=dtype), self.fcfg)
+        args, _ = _loop_inputs(self, rzv)
+        state, _ = fitcore.qphb_fit_loop(*args)
         return state
 
     # ------------------------------------------------------------------
@@ -710,23 +693,8 @@ class BatchedHybridFitter:
 
     def _fit_single_history(self, rzv):
         """Per-iteration history variant (batched qphb_history)."""
-        cfg = self.cfg
-        n = self.rzm.shape[1]
-        dtype = rzv.dtype
-        rho0 = jnp.asarray(self.hypers["rho_0"], dtype=dtype)
-        dop_rho0 = jnp.ones(3, dtype=dtype)
-        s0 = jnp.stack([jnp.full(n, float(self.hypers["s_0"][i]), dtype=dtype)
-                        for i in range(3)])
-        est, init_w, _, out_t = qphb_mod.initialize_weights(
-            self.iw_hyp, self.m_stack, rho0, dop_rho0, s0, rzv,
-            self.rzm, self.vmm, self.lb, cfg, outlier_p=None)
-        x0 = jnp.full(n, 1e-6, dtype=dtype)
-        state, _, history = fitcore.qphb_fit_scan(
-            self.rzm, rzv, self.vmm, self.m_stack, None, self.l1v, self.lb,
-            self.hyp, x0, s0, rho0, dop_rho0, init_w, est, out_t,
-            self.rzm_vz, self.vz_strength_vec,
-            jnp.asarray(1.0, dtype=dtype), jnp.asarray(1.0, dtype=dtype),
-            jnp.asarray(1.0, dtype=dtype), self.fcfg)
+        args, _ = _loop_inputs(self, rzv)
+        state, _, history = fitcore.qphb_fit_scan(*args)
         return state, history
 
     def fit(self, v_batch, z_batch, return_states=False, return_history=False):

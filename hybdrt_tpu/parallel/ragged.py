@@ -100,6 +100,10 @@ class BatchedRaggedFitter:
         self.pred_stop = bool(pred_stop)
         self.pred_rtol = float(pred_rtol)
         self.qp_fused = bool(qp_fused)
+        if self.qp_fused and self.qp_max_iter_warm is None:
+            # See BatchedEISFitter: the fused path needs the warm cap as its
+            # fixed step count; default it rather than silently never fusing
+            self.qp_max_iter_warm = 8
         # Pad the batch axis to the next power of two (repeating obs 0) so
         # incremental workloads reuse compiled shapes; see fit()
         self.batch_bucket = bool(batch_bucket)
@@ -478,7 +482,8 @@ class BatchedRaggedFitter:
                      rzm_vz, vz_strength, one, one,
                      jnp.asarray(self.weight_factor, dtype=dtype), self.fcfg)
         loop_kw = dict(col_mask=col_mask, var_floor=var_floor,
-                       row_factors=row_factors, vz_sign=vz_sign)
+                       row_factors=row_factors, vz_sign=vz_sign,
+                       row_mask=row_mask)
         if with_history:
             state, _, history = fitcore.qphb_fit_scan(*loop_args, **loop_kw)
             return state, row_factors, history

@@ -70,7 +70,7 @@ def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weight
                rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
                weight_factor, hyp, fcfg: FitConfig, nl_cross=None, rm_bkg=None,
                col_mask=None, var_floor=None, row_factors=None, vz_sign=None,
-               warm_mode="auto"):
+               row_mask=None, warm_mode="auto"):
     st, rzm = carry.state, carry.rzm
     y_prev, y_prev2 = carry.y_prev, carry.y_prev2
     nc = fcfg.num_chrono
@@ -148,8 +148,17 @@ def _loop_body(carry: FitCarry, rzv, vmm, m_stack, dop_gmat, l1v, lb, est_weight
     if fcfg.pred_stop:
         y_new = rzm @ st_new.x
         delta = (y_new - y_prev2) * st_new.weights
+        if row_mask is None:
+            ms = jnp.mean(delta ** 2)
+        else:
+            # Ragged batches: padded rows are zero by construction but would
+            # still count in a plain mean, diluting the RMS by
+            # sqrt(real_rows / padded_rows) and loosening the stop tolerance
+            # for short observations — average over real rows only
+            ms = (jnp.sum((delta * row_mask) ** 2)
+                  / jnp.maximum(jnp.sum(row_mask), 1.0))
         settled = (st_new.it >= jnp.maximum(fcfg.min_iter, 3)) & \
-            (jnp.sqrt(jnp.mean(delta ** 2)) < fcfg.pred_rtol)
+            (jnp.sqrt(ms) < fcfg.pred_rtol)
         st_new = st_new._replace(converged=st_new.converged | settled)
         y_prev2 = y_prev
         y_prev = y_new
@@ -181,7 +190,8 @@ def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
                   x0, s0, rho0, dop_rho0, init_weights, est_weights, outlier_t0,
                   rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
                   weight_factor, fcfg: FitConfig, nl_cross=None, rm_bkg=None,
-                  col_mask=None, var_floor=None, row_factors=None, vz_sign=None):
+                  col_mask=None, var_floor=None, row_factors=None, vz_sign=None,
+                  row_mask=None):
     """Run the full QPHB outer loop; returns (final_state, final_rzm)."""
     k = fcfg.cfg.k_range
     state0 = QPHBState(
@@ -195,25 +205,33 @@ def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
         est_weights, rzm_vz, vz_strength_vec, chrono_weight_factor,
         eis_weight_factor, weight_factor, fcfg, nl_cross=nl_cross,
         rm_bkg=rm_bkg, col_mask=col_mask, var_floor=var_floor,
-        row_factors=row_factors, vz_sign=vz_sign,
+        row_factors=row_factors, vz_sign=vz_sign, row_mask=row_mask,
         peel_cold_start=fcfg.qp_fused)
 
 
-@partial(jax.jit, static_argnames=("fcfg", "peel_cold_start"))
+@partial(jax.jit, static_argnames=("fcfg", "peel_cold_start",
+                                   "seed_pred_history"))
 def qphb_fit_loop_from_state(state0, rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb,
                              hyp, est_weights, rzm_vz, vz_strength_vec,
                              chrono_weight_factor, eis_weight_factor,
                              weight_factor, fcfg: FitConfig, nl_cross=None,
                              rm_bkg=None, col_mask=None, var_floor=None,
                              row_factors=None, vz_sign=None,
-                             peel_cold_start=False):
+                             row_mask=None, peel_cold_start=False,
+                             seed_pred_history=False):
     """Run (or resume) the QPHB outer loop from an explicit state.
 
     The loop body is Markovian in (state, rzm): resuming a fit whose
     while_loop was cut at max_iter=k with a larger max_iter continues the
     EXACT single-run trajectory (the basis of the compacted-continuation
     batch scheduler in parallel/batch.py, which stops whole-batch dispatches
-    early and re-runs only the unconverged tail).
+    early and re-runs only the unconverged tail). With pred_stop the
+    prediction history is not part of the resumable state; pass
+    seed_pred_history=True on continuation to seed it with the resumed
+    iterate's prediction — the settled check then compares against the
+    t-1 prediction for the first resumed iteration (conservative for
+    period-2 cycles) and is exact from the second on, so a resumed lane
+    can stop at most one iteration later than an uninterrupted run.
 
     With fcfg.qp_fused, iteration 0 is peeled out of the while_loop
     (peel_cold_start=True for fresh fits) so the in-loop iterations are
@@ -232,10 +250,15 @@ def qphb_fit_loop_from_state(state0, rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb,
                               weight_factor, hyp, fcfg, nl_cross=nl_cross, rm_bkg=rm_bkg,
                               col_mask=col_mask, var_floor=var_floor,
                               row_factors=row_factors, vz_sign=vz_sign,
-                              warm_mode=warm_mode)
+                              row_mask=row_mask, warm_mode=warm_mode)
         return body
 
-    y0 = jnp.zeros_like(rzv) if fcfg.pred_stop else None
+    if not fcfg.pred_stop:
+        y0 = None
+    elif seed_pred_history:
+        y0 = rzm @ state0.x
+    else:
+        y0 = jnp.zeros_like(rzv)
     carry = FitCarry(state=state0, rzm=rzm, y_prev=y0, y_prev2=y0)
     if peel_cold_start:
         carry = make_body("cold")(carry)
@@ -248,7 +271,8 @@ def qphb_fit_scan(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
                   x0, s0, rho0, dop_rho0, init_weights, est_weights, outlier_t0,
                   rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
                   weight_factor, fcfg: FitConfig, nl_cross=None, rm_bkg=None,
-                  col_mask=None, var_floor=None, row_factors=None, vz_sign=None):
+                  col_mask=None, var_floor=None, row_factors=None, vz_sign=None,
+                  row_mask=None):
     """Fixed-length lax.scan variant of the fit loop that records the
     per-iteration solver state — the batched analog of the reference's
     qphb_history (hybdrt/models/qphb.py:950-966), vmappable so a whole
@@ -280,7 +304,7 @@ def qphb_fit_scan(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
                                  weight_factor, hyp, fcfg, nl_cross=nl_cross,
                                  rm_bkg=rm_bkg, col_mask=col_mask,
                                  var_floor=var_floor, row_factors=row_factors,
-                                 vz_sign=vz_sign),
+                                 vz_sign=vz_sign, row_mask=row_mask),
             lambda c: c, carry)
         st = new.state
         rec = {"x": st.x, "s_vectors": st.s_vectors,

@@ -552,3 +552,92 @@ def test_batch_fit_kw_forwards_throughput_knobs():
     assert fitter.qp_max_iter == 20 and fitter.pred_stop
     assert np.allclose(md_fast.predict_r_p(), md_ref.predict_r_p(),
                        rtol=2e-3)
+
+
+def test_fitter_cache_invalidated_by_structural_change():
+    """Mutating structural model config (e.g. fit_dop) between fit_all calls
+    must invalidate the cached batched fitters, which were assembled from the
+    old attributes — reusing them would silently fit new observations with
+    the stale structure."""
+    rng = np.random.default_rng(11)
+
+    def obs_for(k):
+        z = 0.35 + _zarc(FREQ, 1.0 + 0.1 * k, 10 ** (-2 + 0.3 * k))
+        return FREQ, z + (rng.normal(size=len(FREQ))
+                          + 1j * rng.normal(size=len(FREQ))) * 1e-3
+
+    md = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+               print_progress=False)
+    for k in range(3):
+        md.add_observation([float(k)], None, obs_for(k))
+    md.fit_all(batched=True)
+    assert len(md._fitter_cache) == 1
+    fitter_before = next(iter(md._fitter_cache.values()))
+    assert not fitter_before.template.fit_dop
+
+    md.fit_dop = True
+    md.add_observation([3.0], None, obs_for(3))
+    md.fit_all(batched=True)
+    assert md.obs_fit_status.all()
+    assert len(md._fitter_cache) == 2
+    fitter_after = [f for f in md._fitter_cache.values()
+                    if f is not fitter_before][0]
+    assert fitter_after.template.fit_dop
+
+
+def test_uncacheable_fitter_keys_not_retained():
+    """Cache keys flagged _UNCACHEABLE (non-primitive fit kwargs) build a
+    fresh fitter and must NOT be stored — inserting them would retain one
+    unreachable fitter per fit_all call."""
+    from hybdrt_tpu.mapping.drtmd import _UNCACHEABLE
+
+    md = DRTMD(TAU_SUPER, warn=False, print_progress=False,
+               batch_fit_kw={"pred_rtol": np.array(1e-2)})
+    # array-valued kwargs are not hashable -> signature opts out of caching
+    assert md._batch_kw_sig() is _UNCACHEABLE
+
+    built = []
+    f1 = md._cached_fitter(("eis", md._batch_kw_sig()),
+                           lambda: built.append(1) or object())
+    f2 = md._cached_fitter(("eis", md._batch_kw_sig()),
+                           lambda: built.append(1) or object())
+    assert f1 is not f2 and len(built) == 2
+    assert not getattr(md, "_fitter_cache", {})
+
+
+def test_batched_pfrt_rebuild_ignores_incompatible_batch_fitter():
+    """get_fit/covariance for a batched-pfrt observation must not trust
+    self._batch_fitter: a later hybrid fit_all can leave a hybrid fitter
+    there whose template has hybrid-shaped matrices (a frequency-grid check
+    alone would accept it). The rebuild falls back to a cached EIS fitter."""
+    from hybdrt_tpu import DRTMD
+
+    def sim_eis(tau0, seed):
+        rng = np.random.default_rng(seed)
+        f = np.logspace(5, -1, 31)
+        w = 2j * np.pi * f
+        z = 0.4 + 1.5 / (1 + (w * tau0) ** 0.9)
+        return f, z + rng.normal(0, 1e-4, 31) + 1j * rng.normal(0, 1e-4, 31)
+
+    factors = np.logspace(-0.5, 0.5, 3)
+    md = DRTMD(tau_supergrid=np.logspace(-7, 2, 91), psi_dim_names=["T"],
+               fit_type="pfrt", pfrt_factors=factors,
+               print_progress=False, warn=False)
+    for i, t0 in enumerate([1e-3, 3e-3]):
+        md.add_observation([700 + 25 * i], None, sim_eis(t0, i))
+    md.fit_all(batched=True)
+    drt_ref = md.get_fit(0)
+    cov_ref = drt_ref.estimate_param_cov(
+        p_matrix=drt_ref.pfrt_result["step_p_mat"][1])
+
+    class _FakeHybridFitter:
+        frequencies = np.logspace(5, -1, 31)  # passes a frequency-only check
+
+    md._batch_fitter = _FakeHybridFitter()
+    md._batch_fitters.pop("pfrt", None)
+    md._fitter_cache.clear()
+    drt_b = md.get_fit(0)
+    cov_b = drt_b.estimate_param_cov(
+        p_matrix=drt_b.pfrt_result["step_p_mat"][1])
+    scale = np.max(np.abs(np.diag(cov_ref)))
+    assert np.allclose(cov_b, cov_ref, atol=1e-6 * scale)

@@ -259,3 +259,26 @@ def test_ragged_hybrid_weight_factors_match_serial():
         x_serial = drt.fit_parameters["x"]
         assert np.allclose(res.x[0][:len(x_serial)], x_serial,
                            rtol=1e-5, atol=1e-8), f"mismatch for {kw}"
+
+
+def test_pred_stop_rms_ignores_padded_rows():
+    """pred_stop's settled check averages over REAL rows only: a short
+    observation padded alongside a much longer one must stop at the same
+    iteration (and the same iterate) as when it is fitted alone — zero
+    padded rows in a plain mean would dilute the RMS and loosen the stop
+    tolerance by sqrt(real/padded)."""
+    rng = np.random.default_rng(5)
+    f_short = np.logspace(4, 0, 17)
+    f_long = np.logspace(6, -2, 81)
+    obs_short = ((None, None, None), (f_short, _eis_obs(f_short, rng)))
+    obs_long = ((None, None, None), (f_long, _eis_obs(f_long, rng)))
+
+    kw = dict(dtype=jnp.float64, max_iter=30, pred_stop=True, pred_rtol=5e-2,
+              batch_bucket=False)
+    solo = BatchedRaggedFitter(TAU_SG, **kw).fit([obs_short])
+    both = BatchedRaggedFitter(TAU_SG, **kw).fit([obs_short, obs_long])
+
+    assert int(both.n_iter[0]) == int(solo.n_iter[0])
+    li, ri = solo.tau_indices[0]
+    n = ri - li
+    assert np.allclose(both.x[0][:n], solo.x[0][:n], rtol=1e-8, atol=1e-10)
