@@ -836,19 +836,25 @@ class DRTMD:
             import jax.numpy as jnp
             from ..parallel.batch import BatchedEISFitter, BatchedHybridFitter
             chrono_data, eis_data = self.get_obs_data(obs_index)
+            # batch_fit_kw carries hyper overrides (rp_scale, iw_*_lambda_0,
+            # ...) that shape the template hypers and hence P; omitting it
+            # here would rebuild covariance under DEFAULT hypers after a
+            # save/load round trip (it is in _persist_attrs for this reason)
             if attr.get("fitter_key") == "hybrid":
                 times, i_sig, _ = chrono_data
                 fitter = BatchedHybridFitter(
                     times, i_sig, eis_data[0], tau_supergrid=self.tau_supergrid,
                     fit_ohmic=self.fit_ohmic, fit_inductance=self.fit_inductance,
-                    nonneg=self.fit_kw.get("nonneg", True), dtype=jnp.float64)
+                    nonneg=self.fit_kw.get("nonneg", True), dtype=jnp.float64,
+                    **self.batch_fit_kw)
             else:
                 fitter = BatchedEISFitter(
                     eis_data[0], tau_supergrid=self.tau_supergrid,
                     fit_ohmic=self.fit_ohmic,
                     fit_inductance=self.fit_inductance,
                     fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
-                    nonneg=self.fit_kw.get("nonneg", True), dtype=jnp.float64)
+                    nonneg=self.fit_kw.get("nonneg", True), dtype=jnp.float64,
+                    **self.batch_fit_kw)
             self._register_batch_fitter(attr.get("fitter_key", "eis"), fitter)
         template = fitter.template
         qp = template.qphb_params
@@ -981,7 +987,8 @@ class DRTMD:
                 fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
                 nonneg=self.fit_kw.get("nonneg", True),
                 step_model=self.step_model, chrono_mode=self.chrono_mode,
-                fixed_basis_nu=self.fixed_basis_nu, fit_kw=fit_kw)
+                fixed_basis_nu=self.fixed_basis_nu, fit_kw=fit_kw,
+                **self.batch_fit_kw)
             self._ragged_fitter = fitter
         sys_ = fitter._prep_obs(attr["chrono_data"], attr["eis_data"])
 
@@ -1585,6 +1592,7 @@ class DRTMD:
         "fit_type", "pfrt_factors",
         "tau_supergrid", "psi_dim_names", "tau_basis_type", "tau_epsilon",
         "fixed_basis_nu", "nu_basis_type", "nu_epsilon", "fit_dop", "fit_kw",
+        "batch_fit_kw",
         "fit_ohmic", "fit_inductance", "fit_capacitance", "normalize_dop",
         "step_model", "chrono_mode",
         "obs_psi", "obs_data", "obs_group_id", "obs_data_badness", "obs_ignore_flag",

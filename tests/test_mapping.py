@@ -641,3 +641,35 @@ def test_batched_pfrt_rebuild_ignores_incompatible_batch_fitter():
         p_matrix=drt_b.pfrt_result["step_p_mat"][1])
     scale = np.max(np.abs(np.diag(cov_ref)))
     assert np.allclose(cov_b, cov_ref, atol=1e-6 * scale)
+
+
+def test_reload_rebuild_honors_batch_fit_kw(tmp_path):
+    """batch_fit_kw hyper overrides shape the template hypers and hence the
+    rebuilt P matrix: they must survive save/load (now in _persist_attrs)
+    and be forwarded by the reload fallbacks in _rebuild_batched_fit /
+    _rebuild_ragged_fit. Previously a reloaded map rebuilt covariance under
+    DEFAULT hypers."""
+    kw = {"l2_lambda_0": 1e-2}  # non-default; enters hypers -> calculate_pq
+    md = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+               print_progress=False, batch_fit_kw=kw)
+    for p, z in zip(PSIS[:3], _make_map_data()[:3]):
+        md.add_observation([p], None, (FREQ, z), group_id="g1")
+    md.fit_all(batched=True)
+    cov0 = md.get_fit(0).estimate_param_cov()
+
+    dest = tmp_path / "md_kw.pkl"
+    md.save_attributes(dest)
+    md2 = DRTMD.from_source(str(dest))
+    assert md2.batch_fit_kw == kw
+    cov1 = md2.get_fit(0).estimate_param_cov()
+    scale = np.max(np.abs(np.diag(cov0)))
+    assert np.allclose(cov1, cov0, atol=1e-8 * scale)
+
+    # Without the override the rebuilt P (and covariance) must differ --
+    # proves the knob actually flows through the rebuild path
+    md2.batch_fit_kw = {}
+    md2._fitter_cache = {}
+    md2._batch_fitters = {}
+    md2._batch_fitter = None
+    cov_default = md2.get_fit(0).estimate_param_cov()
+    assert not np.allclose(cov_default, cov0, atol=1e-8 * scale)
