@@ -49,9 +49,19 @@ def init_compilation_cache(cache_dir=None, min_compile_secs=0.2):
     The default location is keyed by a host-machine fingerprint so cached
     CPU executables are never reused across machines with different ISA
     features (see ``_machine_fingerprint``).
+
+    ``HYBDRT_TPU_COMPILE_CACHE_READONLY=1`` serves cache hits but never
+    writes new entries. Writing an entry calls the native
+    ``executable.serialize()``, which has segfaulted long-lived processes
+    that compiled hundreds of distinct executables (observed in the full
+    test suite, jax 0.9 XLA:CPU); jax gates the write on
+    ``persistent_cache_min_compile_time_secs`` BEFORE serializing, so an
+    unreachable threshold makes the cache read-only and crash-safe.
     """
     if os.environ.get("HYBDRT_TPU_NO_COMPILE_CACHE"):
         return False
+    if os.environ.get("HYBDRT_TPU_COMPILE_CACHE_READONLY"):
+        min_compile_secs = 1e9
     if cache_dir is None:
         cache_dir = os.environ.get(
             "HYBDRT_TPU_COMPILE_CACHE_DIR",

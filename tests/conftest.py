@@ -11,6 +11,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# The suite compiles hundreds of distinct executables in one process, and
+# in that state jaxlib's persistent-cache native serialize (full-suite crash
+# during tutorial 05's cache write) AND deserialize (crash during tutorial
+# 03's cache read, with read-only mode on) have both segfaulted (jax 0.9
+# XLA:CPU). The suite starts once, so persistent-cache hits save almost
+# nothing here (in-process jit caching covers repeats): disable it outright.
+# The default-on cache path is still exercised by the tutorial subprocesses
+# (tests/test_tutorials.py) and test_multi_misc's unit tests.
+# Must be set before hybdrt_tpu is imported.
+os.environ.setdefault("HYBDRT_TPU_NO_COMPILE_CACHE", "1")
 
 import jax
 

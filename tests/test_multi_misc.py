@@ -276,6 +276,9 @@ def test_compilation_cache_dir_is_machine_keyed(tmp_path, monkeypatch):
     prev = jax.config.jax_compilation_cache_dir
     try:
         monkeypatch.delenv("HYBDRT_TPU_COMPILE_CACHE_DIR", raising=False)
+        # The suite env disables the cache globally (tests/conftest.py);
+        # this unit test exercises the default-on behavior
+        monkeypatch.delenv("HYBDRT_TPU_NO_COMPILE_CACHE", raising=False)
         monkeypatch.setenv("HOME", str(tmp_path))
         assert dev.init_compilation_cache()
         assert jax.config.jax_compilation_cache_dir.endswith("jax_cache-" + fp1)
@@ -286,5 +289,16 @@ def test_compilation_cache_dir_is_machine_keyed(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == str(tmp_path / "x")
         monkeypatch.setenv("HYBDRT_TPU_NO_COMPILE_CACHE", "1")
         assert not dev.init_compilation_cache()
+        monkeypatch.delenv("HYBDRT_TPU_NO_COMPILE_CACHE")
+
+        # Read-only mode: hits are served but the unreachable write threshold
+        # means jax never calls the native executable.serialize() (which has
+        # segfaulted long-lived many-compile processes)
+        prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+        monkeypatch.setenv("HYBDRT_TPU_COMPILE_CACHE_READONLY", "1")
+        assert dev.init_compilation_cache()
+        assert jax.config.jax_persistent_cache_min_compile_time_secs >= 1e9
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
