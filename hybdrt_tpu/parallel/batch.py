@@ -22,6 +22,50 @@ from . import sharding as sh
 from ..utils.device import host_cpu, on_host
 
 
+_PACK_JITS = {}
+
+
+def _fetch_states(states):
+    """Transfer a device FitState to host as ONE packed array.
+
+    collect() reads ~11 state fields; a per-field ``np.asarray`` costs one
+    tunneled device->host round trip each (~26 ms RTT measured), so the
+    readback (~0.33 s at B=1024) dominated the 0.22 s batched fit compute.
+    Packing all fields into a single (B, K) array on device and
+    transferring once cuts it to ~0.07 s. Casts are exact: ``it`` < 2**24
+    in float32, ``converged`` is 0/1.
+
+    Returns the same NamedTuple type with host numpy fields. No-op when the
+    state is already on host (adaptive scheduling assembles host arrays).
+    """
+    if isinstance(states.x, np.ndarray):
+        return states
+    fields = [f for f in states._fields if getattr(states, f) is not None]
+    dtype = states.x.dtype  # f32 on TPU, f64 on the CPU parity path
+    shapes = tuple((f, tuple(getattr(states, f).shape)) for f in fields)
+    key = (type(states), shapes, str(dtype))
+    pack = _PACK_JITS.get(key)
+    if pack is None:
+        def pack_fn(s):
+            b = s.x.shape[0]
+            return jnp.concatenate(
+                [jnp.reshape(getattr(s, f), (b, -1)).astype(dtype)
+                 for f in fields], axis=1)
+        pack = _PACK_JITS[key] = jax.jit(pack_fn)
+    packed = np.asarray(pack(states))
+    out, col = {}, 0
+    for f, shape in shapes:
+        size = int(np.prod(shape[1:], dtype=np.int64)) if len(shape) > 1 else 1
+        flat = packed[:, col:col + size]
+        col += size
+        arr = flat.reshape(shape)
+        orig_dtype = getattr(states, f).dtype
+        if arr.dtype != orig_dtype:
+            arr = arr.astype(orig_dtype)
+        out[f] = arr
+    return states._replace(**out)
+
+
 def _bucket_pad(rzv, b_orig):
     """Pad the batch axis to the next power of two by repeating row 0.
 
@@ -363,6 +407,7 @@ class BatchedEISFitter:
         return self.collect(states, scale, b_orig, return_states=return_states)
 
     def collect(self, states, scale, b_orig, return_states=False):
+        states = _fetch_states(states)  # ONE device->host transfer
         x_full = np.asarray(states.x)[:b_orig]
         scale = np.asarray(scale)[:b_orig]
         ns = self.num_special

@@ -597,6 +597,8 @@ class BatchedRaggedFitter:
                             return_states=return_states)
 
     def collect(self, states, b_orig, row_factors=None, return_states=False):
+        from .batch import _fetch_states
+        states = _fetch_states(states)  # ONE device->host transfer
         x_full = np.asarray(states.x)[:b_orig]
         scale = self._scales[:b_orig]
         ns = self.cfg.num_special
