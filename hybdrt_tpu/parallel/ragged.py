@@ -167,12 +167,16 @@ class BatchedRaggedFitter:
             self._drt_cache = {}
             self._sys_cache = {}
 
-        # EIS fast path: shared-protocol system + per-obs rescale only.
-        # Parity: scale_data computes coefficient_scale = estimate_rp /
+        # Shared-protocol fast paths: the cached prep-only system + a
+        # per-observation data rescale, skipping the serial prep entirely.
+        # EIS parity: scale_data computes coefficient_scale = estimate_rp /
         # rp_scale and divides z by it (models/drt.py:345-391); nothing else
-        # in the prep-only system depends on z.
+        # in the prep-only system depends on z. Hybrid parity: see
+        # _hybrid_rescale.
         tmpl = self._sys_cache.get(key)
         if tmpl is not None:
+            if tmpl["data_type"] == "hybrid":
+                return self._hybrid_rescale(tmpl, times, v_sig, z)
             from .. import preprocessing as pp_mod
             z = np.asarray(z, dtype=complex)
             rp_est = pp_mod.estimate_rp(None, None, None, None, None, z)
@@ -221,10 +225,90 @@ class BatchedRaggedFitter:
                                                    * rp_tot ** 0.5)
             sys_["host_eis_wf"] = ewf
             sys_["host_chrono_wf"] = cwf
-        if sys_["data_type"] == "eis" and self._fast_path_ok():
-            if len(self._sys_cache) > 64:
-                self._sys_cache.clear()
-            self._sys_cache[key] = sys_
+        if self._fast_path_ok():
+            cacheable = sys_["data_type"] == "eis"
+            if sys_["data_type"] == "hybrid" \
+                    and self._drt_kw["chrono_mode"] == "galv":
+                # Snapshot the per-protocol chrono processing state the
+                # hybrid rescale needs (see _hybrid_rescale)
+                from .. import preprocessing as pp_mod
+                downsample = bool(self.fit_kw.get("downsample", False))
+                ds_kw = self.fit_kw.get("downsample_kw") or {}
+                sys_["fp_sample_index"] = np.asarray(drt.sample_index)
+                sys_["fp_filter"] = downsample and ds_kw.get("antialiased",
+                                                             True)
+                # downsample_data filters the response with step_index from
+                # the NONCONSECUTIVE step times (preprocessing.py:380-383)
+                sys_["fp_step_index"] = (pp_mod.get_step_indices_from_step_times(
+                    np.asarray(times, dtype=float), drt.nonconsec_step_times)
+                    if sys_["fp_filter"] else None)
+                sys_["fp_step_times"] = np.atleast_1d(drt.step_times)
+                sys_["fp_step_sizes"] = np.atleast_1d(drt.step_sizes)
+                sys_["fp_offset_baseline"] = bool(
+                    self.fit_kw.get("offset_baseline", True))
+                cacheable = True
+            if cacheable:
+                if len(self._sys_cache) > 64:
+                    self._sys_cache.clear()
+                self._sys_cache[key] = sys_
+        return sys_
+
+    def _hybrid_rescale(self, tmpl, times, v_sig, z):
+        """Per-observation rescale against a cached hybrid (galv) protocol
+        template — the chrono/EIS analog of the EIS fast path above.
+
+        Everything in the prep-only system except the data vector and the
+        scale state is protocol-shared: matrices come from (times, i_signal,
+        frequencies), hypers are static defaults+kwargs, and vz machinery
+        depends only on the grids. Replicates, in order, what the serial
+        prep does with (v_signal, z) (models/drt.py):
+          * antialiasing filter + decimation of the response when
+            downsampling (preprocessing.downsample_data)
+          * scale_data: rp_est from chrono+EIS jointly; coefficient/
+            impedance/response_signal scales (drt.py:345-391)
+          * baseline offset + rzv assembly (drt.py:1102-1120)
+          * host-side rp-method hybrid weight factors (drt.py:1311-1319)
+        Parity vs the serial prep is pinned by
+        tests/test_ragged.py::test_hybrid_fast_path_matches_serial_prep."""
+        from .. import preprocessing as pp_mod
+        v = np.asarray(v_sig, dtype=float)
+        if tmpl["fp_filter"]:
+            v = pp_mod.filter_chrono_signal(np.asarray(times, dtype=float), v,
+                                            step_index=tmpl["fp_step_index"])
+        v_sample = v[tmpl["fp_sample_index"]]
+        z = np.asarray(z, dtype=complex)
+        st, ss = tmpl["fp_step_times"], tmpl["fp_step_sizes"]
+        sample_times = np.asarray(tmpl["sample_times"])
+        step_model = self._drt_kw["step_model"]
+        rp_est = pp_mod.estimate_rp(sample_times, st, ss, v_sample,
+                                    step_model, z)
+        scale = rp_est / tmpl["hypers"]["rp_scale"]
+        response_scale = tmpl["input_signal_scale"] * scale
+        v_scaled = v_sample / response_scale
+        baseline = np.median(v_scaled[sample_times < st[0]])
+        offset = -baseline if tmpl["fp_offset_baseline"] else 0.0
+        z_scaled = z / scale
+        sys_ = dict(tmpl)
+        sys_["rzv"] = np.concatenate([v_scaled + offset,
+                                      z_scaled.real, z_scaled.imag])
+        sys_["coefficient_scale"] = scale
+        sys_["impedance_scale"] = scale
+        sys_["response_signal_scale"] = response_scale
+        sys_["scaled_response_offset"] = offset
+        ewf = tmpl.get("eis_weight_factor")
+        cwf = tmpl.get("chrono_weight_factor")
+        if tmpl.get("hybrid_weight_factor_method") == "rp" \
+                and (ewf is None or cwf is None):
+            rp_eis = pp_mod.estimate_rp(None, None, None, None, None, z)
+            rp_chrono = pp_mod.estimate_rp(sample_times, st, ss, v_sample,
+                                           step_model, None)
+            # rp_tot = coefficient_scale * rp_scale == rp_est (drt.py:1315)
+            if ewf is None:
+                ewf = rp_eis ** 0.75 / (rp_chrono ** 0.25 * rp_est ** 0.5)
+            if cwf is None:
+                cwf = rp_chrono ** 0.75 / (rp_eis ** 0.25 * rp_est ** 0.5)
+        sys_["host_eis_wf"] = ewf
+        sys_["host_chrono_wf"] = cwf
         return sys_
 
     def prepare(self, observations):

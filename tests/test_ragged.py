@@ -282,3 +282,75 @@ def test_pred_stop_rms_ignores_padded_rows():
     li, ri = solo.tau_indices[0]
     n = ri - li
     assert np.allclose(both.x[0][:n], solo.x[0][:n], rtol=1e-8, atol=1e-10)
+
+
+def _hybrid_obs_shared_protocol(times, st, amp, f, rng, r1):
+    """Hybrid observations sharing ONE measurement protocol (identical
+    times, input signal, and frequency grid): only the sample physics (r1)
+    and the measured response/impedance noise vary per observation."""
+    tau1, r2, tau2 = 1e-2, 1.5, 1e-4
+    i_sig = np.where(times >= st, amp, 0.0)
+    v = (0.4 * i_sig + _rc_v(times, st, amp, r1, tau1)
+         + _rc_v(times, st, amp, r2, tau2))
+    v = v + 5e-4 * rng.normal(size=len(times))
+    z = 0.4 + _zarc(f, r1, tau1, 0.99) + _zarc(f, r2, tau2, 0.99)
+    z = z + 0.003 * rng.normal(size=len(f)) + 3e-3j * rng.normal(size=len(f))
+    return (times, i_sig, v), (f, z)
+
+
+def test_hybrid_fast_path_matches_serial_prep():
+    """Hybrid observations sharing a measurement protocol (times, input
+    signal, frequency grid) skip the serial prep after the first: the
+    cached-template rescale (_hybrid_rescale) must reproduce the serial
+    prep's system exactly — including the antialiased downsample path and
+    rp-method host weight factors."""
+    rng = np.random.default_rng(7)
+    times = np.concatenate([np.linspace(-0.05, -0.001, 10),
+                            np.logspace(-5, 0.0, 120)])
+    freq = np.logspace(5, -1, 31)
+    obs = [_hybrid_obs_shared_protocol(times, 0.0, 1.0, freq, rng, r1)
+           for r1 in (0.8, 1.3, 0.5)]
+
+    for fit_kw in ({}, {"downsample": True,
+                        "downsample_kw": {"prestep_samples": 5},
+                        "hybrid_weight_factor_method": "rp"}):
+        fitter = BatchedRaggedFitter(TAU_SG, fit_kw=fit_kw)
+        # Obs 0 populates the protocol template; obs 1/2 take the fast path
+        systems = [fitter._prep_obs(c, e) for (c, e) in obs]
+        assert "fp_sample_index" in systems[0]  # template registered
+
+        for k in (1, 2):
+            slow = BatchedRaggedFitter(TAU_SG, fit_kw=fit_kw)._prep_obs(
+                *obs[k])
+            fast = systems[k]
+            for key in ("coefficient_scale", "impedance_scale",
+                        "response_signal_scale", "scaled_response_offset"):
+                assert np.allclose(fast[key], slow[key], rtol=1e-12), key
+            assert np.allclose(fast["rzv"], slow["rzv"], rtol=0, atol=1e-14)
+            for key in ("host_eis_wf", "host_chrono_wf"):
+                if slow[key] is None:
+                    assert fast[key] is None
+                else:
+                    assert np.allclose(fast[key], slow[key], rtol=1e-12)
+            # Shared structure is reused by reference, not rebuilt
+            assert fast["rzm"] is systems[0]["rzm"]
+
+
+def test_hybrid_fast_path_end_to_end_matches_serial():
+    """Full ragged fit over shared-protocol hybrid observations (fast-path
+    prep) matches serial fit_hybrid coefficients."""
+    rng = np.random.default_rng(3)
+    times = np.concatenate([np.linspace(-0.05, -0.001, 10),
+                            np.logspace(-5, 0.0, 120)])
+    freq = np.logspace(5, -1, 31)
+    obs = [_hybrid_obs_shared_protocol(times, 0.0, 1.0, freq, rng, r1)
+           for r1 in (0.8, 1.2)]
+    fitter = BatchedRaggedFitter(TAU_SG)
+    systems = [fitter._prep_obs(c, e) for (c, e) in obs]
+    assert systems[1]["rzm"] is systems[0]["rzm"]  # obs 1 took the fast path
+    fitter = BatchedRaggedFitter(TAU_SG)
+    res = fitter.fit(obs)
+    for k, (chrono, eis) in enumerate(obs):
+        drt = hybdrt_tpu.DRT(tau_supergrid=TAU_SG, warn=False)
+        drt.fit_hybrid(*chrono, *eis)
+        assert _serial_rel_err(res, k, drt) < 1e-5
