@@ -673,3 +673,24 @@ def test_reload_rebuild_honors_batch_fit_kw(tmp_path):
     md2._batch_fitter = None
     cov_default = md2.get_fit(0).estimate_param_cov()
     assert not np.allclose(cov_default, cov0, atol=1e-8 * scale)
+
+
+def test_estimate_obs_drt_var_group_matches_per_obs():
+    """The vectorized group path (_estimate_drt_var_group: one vmapped
+    P-rebuild + inverse + basis transform for all uniform-batched obs)
+    must reproduce the per-observation path (get_fit ->
+    estimate_distribution_cov) exactly."""
+    md = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+               print_progress=False)
+    for p, z in zip(PSIS[:4], _make_map_data()[:4]):
+        md.add_observation([p], None, (FREQ, z), group_id="g1")
+    md.fit_all(batched=True)
+    md.estimate_obs_drt_var()  # 4 obs share one protocol -> group path
+    var_fast = md.obs_drt_var[:4].copy()
+    assert np.all(np.isfinite(var_fast)) and np.any(var_fast > 0)
+    for i in range(4):
+        cov = md.get_fit(i).estimate_distribution_cov(
+            tau=md.tau_supergrid, extend_var=True)
+        slow = np.diag(cov)
+        scale = np.max(slow)
+        assert np.allclose(var_fast[i], slow, rtol=1e-6, atol=1e-10 * scale)
