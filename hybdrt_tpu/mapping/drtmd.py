@@ -952,31 +952,50 @@ class DRTMD:
             self._register_batch_fitter(attr.get("fitter_key", "eis"), fitter)
         return fitter
 
-    def _rebuild_batched_fit(self, obs_index, attr):
-        """Build a lightweight DRT carrying (P, q) from stored batched state."""
-        if attr.get("ragged"):
-            return self._rebuild_ragged_fit(obs_index, attr)
-        if attr.get("pfrt"):
-            return self._rebuild_batched_pfrt_fit(obs_index, attr)
+    @staticmethod
+    def _uniform_attr_rzv(attr):
+        if attr.get("rzv") is not None:
+            return np.asarray(attr["rzv"])  # scaled rows incl. chrono block
+        # attrs stored before rzv was recorded (EIS-only batches)
+        return np.concatenate([attr["z"].real, attr["z"].imag]) / attr["scale"]
+
+    def _uniform_pq(self, fitter, attrs):
+        """(P, q) for uniform-batched observations on one fitter, rebuilt as
+        ONE vmapped calculate_pq (a per-observation call costs one tunneled
+        device dispatch each). Returns host (B, N, N), (B, N)."""
+        import jax
         import jax.numpy as jnp
         from ..solver import qphb as qphb_mod
         from ..models.drt import _hypers_to_pytree
+        from ..utils.device import host_cpu
 
-        fitter = self._resolve_batch_fitter(obs_index, attr)
-        template = fitter.template
-        qp = template.qphb_params
-        m_stack = np.stack([qp["penalty_matrices"][f"m{k}"] for k in range(3)])
+        qp = fitter.template.qphb_params
+        cfg = qp["cfg"]
+        k_range = cfg.k_range
+        m_stack = np.stack([np.asarray(qp["penalty_matrices"][f"m{k}"],
+                                       dtype=float) for k in range(k_range)])
         hyp = _hypers_to_pytree(qp["hypers"])
-        if attr.get("rzv") is not None:
-            rzv = np.asarray(attr["rzv"])  # scaled rows incl. chrono block
-        else:  # attrs stored before rzv was recorded (EIS-only batches)
-            rzv = np.concatenate([attr["z"].real, attr["z"].imag]) / attr["scale"]
-        p_matrix, q_vector = qphb_mod.calculate_pq(
-            jnp.asarray(qp["rm"]), jnp.asarray(rzv), jnp.asarray(m_stack), hyp,
-            jnp.asarray(qp["l1_lambda_vector"]), jnp.asarray(attr["rho"]),
-            jnp.ones(3), jnp.asarray(attr["s_vectors"]), jnp.asarray(attr["weights"]),
-            qp["cfg"])
+        rzv_b = np.stack([self._uniform_attr_rzv(a) for a in attrs])
+        rho_b = np.stack([np.asarray(a["rho"], dtype=float) for a in attrs])
+        s_b = np.stack([np.asarray(a["s_vectors"], dtype=float)
+                        for a in attrs])
+        w_b = np.stack([np.asarray(a["weights"], dtype=float) for a in attrs])
+        with host_cpu():
+            def pq_one(rzv_i, rho_i, s_i, w_i):
+                return qphb_mod.calculate_pq(
+                    jnp.asarray(np.asarray(qp["rm"], dtype=float)), rzv_i,
+                    jnp.asarray(m_stack), hyp,
+                    jnp.asarray(np.asarray(qp["l1_lambda_vector"],
+                                           dtype=float)),
+                    rho_i, jnp.ones(k_range), s_i, w_i, cfg)
+            p_b, q_b = jax.vmap(pq_one)(
+                jnp.asarray(rzv_b), jnp.asarray(rho_b), jnp.asarray(s_b),
+                jnp.asarray(w_b))
+        return np.asarray(p_b), np.asarray(q_b)
 
+    def _make_uniform_drt(self, fitter, attr, p_matrix, q_vector):
+        """Lightweight DRT carrying this observation's (P, q)."""
+        template = fitter.template
         drt = DRT(interpolate_integrals=False)
         drt.set_attributes(template.get_attributes(["config", "fit_core"]))
         # The template's qphb_params belong to its placeholder fit; drop them
@@ -990,6 +1009,40 @@ class DRTMD:
         drt.fit_parameters["p_matrix"] = np.asarray(p_matrix)
         drt.fit_parameters["q_vector"] = np.asarray(q_vector)
         return drt
+
+    def _rebuild_batched_fit(self, obs_index, attr):
+        """Build a lightweight DRT carrying (P, q) from stored batched state."""
+        if attr.get("ragged"):
+            return self._rebuild_ragged_fit(obs_index, attr)
+        if attr.get("pfrt"):
+            return self._rebuild_batched_pfrt_fit(obs_index, attr)
+        fitter = self._resolve_batch_fitter(obs_index, attr)
+        p_b, q_b = self._uniform_pq(fitter, [attr])
+        return self._make_uniform_drt(fitter, attr, p_b[0], q_b[0])
+
+    def get_fits_batched(self, obs_index):
+        """{i: DRT} for many observations, rebuilding all uniform-batched
+        (P, q) systems in one vmapped computation per fitter group instead
+        of one device dispatch per observation (the resolve path needs every
+        observation's rebuilt fit up front)."""
+        obs_index = np.atleast_1d(obs_index)
+        out = {}
+        groups = {}
+        for i in obs_index:
+            attr = self.obs_fit_attr[i]
+            if isinstance(attr, dict) and attr.get("batched") \
+                    and not attr.get("ragged") and not attr.get("pfrt"):
+                groups.setdefault(attr.get("fitter_key"), []).append(i)
+            else:
+                out[i] = self.get_fit(i)
+        for idx in groups.values():
+            attrs = [self.obs_fit_attr[i] for i in idx]
+            fitter = self._resolve_batch_fitter(idx[0], attrs[0])
+            p_b, q_b = self._uniform_pq(fitter, attrs)
+            for bi, i in enumerate(idx):
+                out[i] = self._make_uniform_drt(fitter, attrs[bi],
+                                                p_b[bi], q_b[bi])
+        return out
 
     def _rebuild_batched_pfrt_fit(self, obs_index, attr):
         """Build a DRT carrying the full pfrt sweep — including per-step
@@ -1176,7 +1229,8 @@ class DRTMD:
             self.obs_resolve_status[obs_index] = True
             return
 
-        obs_drt_list = [self.get_fit(i) for i in obs_index]
+        fits = self.get_fits_batched(obs_index)
+        obs_drt_list = [fits[i] for i in obs_index]
         obs_tau_indices = [self.obs_tau_indices[i] for i in obs_index]
         x_drt, x_special, tau_indices = resolve_mod.resolve_observations(
             obs_drt_list, obs_tau_indices, self.fit_kw.get("nonneg", True),
@@ -1237,7 +1291,7 @@ class DRTMD:
         if batched and num_obs > 1:
             # Assemble every window's block QP, then solve all of them in one
             # vmapped, mesh-sharded computation
-            obs_drts = {i: self.get_fit(i) for i in obs_index}
+            obs_drts = self.get_fits_batched(obs_index)
             systems, metas = [], []
             for (start, end) in windows:
                 bidx = obs_index[start:end]
