@@ -272,9 +272,12 @@ class DRTMD:
             if attr.get("ragged") or attr.get("pfrt"):
                 slow.append(i)  # per-obs systems; rebuilt individually
             else:
-                # Uniform-batched obs share one protocol per fitter_key
-                # (mixed grids route to the ragged fitter in fit_all)
-                groups.setdefault(attr.get("fitter_key"), []).append(i)
+                # Key on the measurement protocol, not just the fitter kind:
+                # successive fit_all calls on different grids store the same
+                # fitter_key but need different design matrices
+                groups.setdefault(
+                    (attr.get("fitter_key"), self._obs_grid_sig(i)),
+                    []).append(i)
         for idx in groups.values():
             if len(idx) == 1:
                 slow.extend(idx)
@@ -613,25 +616,12 @@ class DRTMD:
 
     def _fit_batched_hybrid_uniform(self, fit_index, chronos, eiss, mesh=None,
                                     dtype=None, ignore_errors=False):
-        import jax.numpy as jnp
-        from ..parallel.batch import BatchedHybridFitter
         f0 = np.asarray(eiss[0][0])
         z_batch = np.stack([np.asarray(e[1]) for e in eiss])
         t0 = np.asarray(chronos[0][0])
         i0 = np.asarray(chronos[0][1])
         v_batch = np.stack([np.asarray(c[2]) for c in chronos])
-        fitter = self._cached_fitter(
-            ("hybrid", t0.tobytes(), i0.tobytes(), f0.tobytes(),
-             None if dtype is None else str(dtype),
-             id(mesh) if mesh is not None else None,
-             bool(self.fit_kw.get("nonneg", True)), self._batch_kw_sig(),
-             self._struct_sig()),
-            lambda: BatchedHybridFitter(
-                t0, i0, f0, tau_supergrid=self.tau_supergrid,
-                fit_ohmic=self.fit_ohmic, fit_inductance=self.fit_inductance,
-                nonneg=self.fit_kw.get("nonneg", True),
-                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh,
-                **self.batch_fit_kw))
+        fitter = self._hybrid_fitter(t0, i0, f0, dtype=dtype, mesh=mesh)
         result = fitter.fit(v_batch, z_batch)
         self._batch_fitter = fitter
         self._register_batch_fitter("hybrid", fitter)
@@ -708,6 +698,27 @@ class DRTMD:
                 fit_inductance=self.fit_inductance,
                 fit_capacitance=self.fit_capacitance,
                 fit_dop=self.fit_dop, nonneg=self.fit_kw.get("nonneg", True),
+                dtype=dtype if dtype is not None else jnp.float64, mesh=mesh,
+                **self.batch_fit_kw))
+
+    def _hybrid_fitter(self, t0, i0, f0, dtype=None, mesh=None):
+        """Shared-protocol hybrid fitter for this map's configuration
+        (cached; the hybrid analog of _eis_fitter)."""
+        import jax.numpy as jnp
+        from ..parallel.batch import BatchedHybridFitter
+        t0 = np.asarray(t0, dtype=float)
+        i0 = np.asarray(i0, dtype=float)
+        f0 = np.asarray(f0, dtype=float)
+        return self._cached_fitter(
+            ("hybrid", t0.tobytes(), i0.tobytes(), f0.tobytes(),
+             None if dtype is None else str(dtype),
+             id(mesh) if mesh is not None else None,
+             bool(self.fit_kw.get("nonneg", True)), self._batch_kw_sig(),
+             self._struct_sig()),
+            lambda: BatchedHybridFitter(
+                t0, i0, f0, tau_supergrid=self.tau_supergrid,
+                fit_ohmic=self.fit_ohmic, fit_inductance=self.fit_inductance,
+                nonneg=self.fit_kw.get("nonneg", True),
                 dtype=dtype if dtype is not None else jnp.float64, mesh=mesh,
                 **self.batch_fit_kw))
 
@@ -926,31 +937,64 @@ class DRTMD:
         measurement grids (mirrors _rebuild_ragged_fit)."""
         fitter = getattr(self, "_batch_fitters", {}).get(
             attr.get("fitter_key")) or getattr(self, "_batch_fitter", None)
+        if fitter is not None and not self._fitter_matches_obs(
+                fitter, obs_index, attr):
+            # A later fit_all on a different measurement grid overwrote the
+            # registered fitter for this key; rebuild from this observation's
+            # own grids instead of silently using the wrong design matrices
+            fitter = None
         if fitter is None:
             import jax.numpy as jnp
-            from ..parallel.batch import BatchedEISFitter, BatchedHybridFitter
             chrono_data, eis_data = self.get_obs_data(obs_index)
             # batch_fit_kw carries hyper overrides (rp_scale, iw_*_lambda_0,
             # ...) that shape the template hypers and hence P; omitting it
             # here would rebuild covariance under DEFAULT hypers after a
-            # save/load round trip (it is in _persist_attrs for this reason)
+            # save/load round trip (the cached constructors forward it; it is
+            # in _persist_attrs for this reason)
             if attr.get("fitter_key") == "hybrid":
                 times, i_sig, _ = chrono_data
-                fitter = BatchedHybridFitter(
-                    times, i_sig, eis_data[0], tau_supergrid=self.tau_supergrid,
-                    fit_ohmic=self.fit_ohmic, fit_inductance=self.fit_inductance,
-                    nonneg=self.fit_kw.get("nonneg", True), dtype=jnp.float64,
-                    **self.batch_fit_kw)
+                fitter = self._hybrid_fitter(times, i_sig, eis_data[0],
+                                             dtype=jnp.float64)
             else:
-                fitter = BatchedEISFitter(
-                    eis_data[0], tau_supergrid=self.tau_supergrid,
-                    fit_ohmic=self.fit_ohmic,
-                    fit_inductance=self.fit_inductance,
-                    fit_capacitance=self.fit_capacitance, fit_dop=self.fit_dop,
-                    nonneg=self.fit_kw.get("nonneg", True), dtype=jnp.float64,
-                    **self.batch_fit_kw)
-            self._register_batch_fitter(attr.get("fitter_key", "eis"), fitter)
+                fitter = self._eis_fitter(eis_data[0], dtype=jnp.float64)
         return fitter
+
+    def _obs_grid_sig(self, obs_index):
+        """Hashable signature of an observation's measurement protocol
+        (chrono times/input + EIS frequencies)."""
+        chrono_data, eis_data = self.get_obs_data(obs_index)
+        parts = []
+        if chrono_data is not None and chrono_data[0] is not None:
+            parts.append(np.asarray(chrono_data[0], dtype=float).tobytes())
+            parts.append(np.asarray(chrono_data[1], dtype=float).tobytes())
+        if eis_data is not None and eis_data[0] is not None:
+            parts.append(np.asarray(eis_data[0], dtype=float).tobytes())
+        return tuple(parts)
+
+    def _fitter_matches_obs(self, fitter, obs_index, attr):
+        """True if a registered shared-grid fitter was built on this
+        observation's measurement protocol. A later fit_all on a different
+        grid overwrites the per-key registration, so the grids must be
+        re-checked before rebuilding (P, q) against the fitter's design
+        matrices."""
+        is_hybrid_fitter = hasattr(fitter, "times")
+        if is_hybrid_fitter != (attr.get("fitter_key") == "hybrid"):
+            return False
+        chrono_data, eis_data = self.get_obs_data(obs_index)
+        freq = None if eis_data is None else eis_data[0]
+        if freq is None:
+            return False  # uniform-batched fits always carry EIS rows
+        freq = np.asarray(freq, dtype=float)
+        if len(freq) != len(fitter.frequencies) \
+                or not np.allclose(freq, fitter.frequencies):
+            return False
+        if attr.get("fitter_key") == "hybrid":
+            times = np.asarray(chrono_data[0], dtype=float)
+            i_sig = np.asarray(chrono_data[1], dtype=float)
+            return (len(times) == len(fitter.times)
+                    and np.allclose(times, fitter.times)
+                    and np.allclose(i_sig, fitter.i_signal))
+        return True
 
     @staticmethod
     def _uniform_attr_rzv(attr):
@@ -1032,7 +1076,12 @@ class DRTMD:
             attr = self.obs_fit_attr[i]
             if isinstance(attr, dict) and attr.get("batched") \
                     and not attr.get("ragged") and not attr.get("pfrt"):
-                groups.setdefault(attr.get("fitter_key"), []).append(i)
+                # Key on the measurement protocol, not just the fitter kind:
+                # successive fit_all calls on different grids store the same
+                # fitter_key but need different design matrices
+                groups.setdefault(
+                    (attr.get("fitter_key"), self._obs_grid_sig(i)),
+                    []).append(i)
             else:
                 out[i] = self.get_fit(i)
         for idx in groups.values():

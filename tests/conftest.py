@@ -24,6 +24,16 @@ os.environ.setdefault("HYBDRT_TPU_NO_COMPILE_CACHE", "1")
 
 import jax
 
+# Restrict backend discovery to CPU in-process as well: with jax pre-imported
+# the JAX_PLATFORMS env var above is ignored, and the first jax.devices()
+# call would otherwise initialize the experimental axon TPU tunnel too —
+# which, in its degraded windows, hangs backend init for tens of minutes
+# before the suite runs a single test.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 jax.config.update("jax_enable_x64", True)
 try:
     jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,120 @@
+"""Grouped (P, q) rebuild parity: DRTMD.get_fits_batched must return the
+same lightweight fits as per-observation get_fit for uniform-batched
+observations, while falling back to get_fit for serial/ragged attrs.
+
+The grouped path exists because the resolve path needs every observation's
+rebuilt (P, q) up front, and rebuilding per observation costs one tunneled
+device dispatch each (reference analog: the per-obs loop feeding
+/root/reference/hybdrt/mapping/drtmd.py:486-560 resolve batches)."""
+import numpy as np
+import pytest
+
+from hybdrt_tpu.mapping.drtmd import DRTMD
+
+FREQ = np.logspace(5, -1, 41)
+TAU_SUPER = np.logspace(-7, 2, 71)
+
+
+def _zarc(f, r, tau0, a=0.9):
+    return r / (1 + (2j * np.pi * f * tau0) ** a)
+
+
+def _spectra(n, seed=3):
+    rng = np.random.default_rng(seed)
+    out = []
+    for k in range(n):
+        z = 0.4 + _zarc(FREQ, 1.0 + 0.1 * k, 10 ** (-3 + 0.2 * k))
+        z = z + (rng.normal(size=len(FREQ))
+                 + 1j * rng.normal(size=len(FREQ))) * 0.002
+        out.append(z)
+    return out
+
+
+@pytest.fixture(scope="module")
+def batched_md():
+    md = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+               print_progress=False)
+    for k, z in enumerate(_spectra(6)):
+        md.add_observation([float(k)], None, (FREQ, z), group_id="g")
+    md.fit_all(batched=True)
+    return md
+
+
+def test_grouped_pq_matches_per_obs(batched_md):
+    md = batched_md
+    idx = np.arange(md.num_obs)
+    grouped = md.get_fits_batched(idx)
+    assert set(grouped) == set(idx)
+    for i in idx:
+        one = md.get_fit(i)
+        np.testing.assert_allclose(grouped[i].fit_parameters["p_matrix"],
+                                   one.fit_parameters["p_matrix"],
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(grouped[i].fit_parameters["q_vector"],
+                                   one.fit_parameters["q_vector"],
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(grouped[i].fit_parameters["x"],
+                                   one.fit_parameters["x"],
+                                   rtol=1e-9, atol=1e-11)
+
+
+def test_grouped_falls_back_for_serial_fit(batched_md):
+    md = batched_md
+    # Refit one observation serially; the group rebuild must route it
+    # through get_fit rather than the uniform vmapped path
+    saved_attr = md.obs_fit_attr[2]
+    md.fit_observation(2)
+    try:
+        assert not (isinstance(md.obs_fit_attr[2], dict)
+                    and md.obs_fit_attr[2].get("batched"))
+        grouped = md.get_fits_batched(np.arange(md.num_obs))
+        one = md.get_fit(2)
+        np.testing.assert_allclose(grouped[2].fit_parameters["x"],
+                                   one.fit_parameters["x"],
+                                   rtol=1e-9, atol=1e-11)
+    finally:
+        md.obs_fit_attr[2] = saved_attr
+
+
+def test_rebuild_survives_fitter_overwrite():
+    """A second fit_all on a DIFFERENT frequency grid overwrites the
+    registered per-key fitter; rebuilding an old observation's (P, q) must
+    detect the grid mismatch and use that observation's own design matrices
+    (previously it silently used whichever fitter was registered last)."""
+    md = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+               print_progress=False)
+    for k, z in enumerate(_spectra(3, seed=5)):
+        md.add_observation([float(k)], None, (FREQ, z), group_id="a")
+    md.fit_all(batched=True)
+    p_before = {i: md.get_fit(i).fit_parameters["p_matrix"].copy()
+                for i in range(3)}
+
+    # Same number of points, different frequency values: a silent mismatch
+    # would produce wrong (P, q) rather than a shape error
+    freq2 = np.logspace(4, -2, len(FREQ))
+    rng = np.random.default_rng(11)
+    for k in range(3):
+        z = 0.4 + _zarc(freq2, 1.2, 10 ** (-2 + 0.1 * k))
+        z = z + (rng.normal(size=len(freq2))
+                 + 1j * rng.normal(size=len(freq2))) * 0.002
+        md.add_observation([10.0 + k], None, (freq2, z), group_id="b")
+    md.fit_all(batched=True)
+
+    for i in range(3):
+        np.testing.assert_allclose(md.get_fit(i).fit_parameters["p_matrix"],
+                                   p_before[i], rtol=1e-9, atol=1e-11)
+    grouped = md.get_fits_batched(np.arange(6))
+    for i in range(6):
+        one = md.get_fit(i)
+        np.testing.assert_allclose(grouped[i].fit_parameters["p_matrix"],
+                                   one.fit_parameters["p_matrix"],
+                                   rtol=1e-9, atol=1e-11)
+
+
+def test_resolve_uses_grouped_rebuild(batched_md):
+    md = batched_md
+    md.resolve_group("g", batch_size=4, overlap=1, batched=True)
+    x_b = md.obs_x_resolved.copy()
+    md.resolve_group("g", batch_size=4, overlap=1, batched=False)
+    x_s = md.obs_x_resolved.copy()
+    np.testing.assert_allclose(x_b, x_s, rtol=1e-6, atol=1e-8)
