@@ -11,6 +11,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# CPU-only script: restrict backend discovery before the first
+# jax.devices() call so it doesn't also initialize an accelerator backend
+# (the experimental TPU tunnel hangs init for tens of minutes when
+# degraded; JAX_PLATFORMS env is ignored when jax is pre-imported)
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 jax.config.update("jax_enable_x64", True)
 try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])

@@ -30,6 +30,14 @@ def use_cpu_f64():
     """Tutorials run on the CPU backend in float64 — the accuracy
     configuration. See tutorial 6 for the TPU float32 performance path."""
     import jax
+    # CPU-only: restrict backend discovery BEFORE the first jax.devices()
+    # call. Without this, discovery also initializes the experimental TPU
+    # tunnel backend, whose degraded windows hang init for tens of minutes
+    # (JAX_PLATFORMS env is ignored when jax is pre-imported at startup).
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     jax.config.update("jax_enable_x64", True)
     try:
         # Virtual devices for the sharding demos (no-op if the backend is

@@ -267,17 +267,16 @@ class DRTMD:
             if not refresh and np.any(self.obs_drt_var[i] != 0):
                 continue
             attr = self.obs_fit_attr[i]
-            if not (isinstance(attr, dict) and attr.get("batched")):
-                continue  # serial fits stored it already
-            if attr.get("ragged") or attr.get("pfrt"):
-                slow.append(i)  # per-obs systems; rebuilt individually
+            if self.obs_fit_status[i] \
+                    and not (isinstance(attr, dict) and attr.get("batched")):
+                continue  # serial fits stored it during the fit
+            key = self._uniform_group_key(i)
+            if key is None:
+                # ragged/pfrt per-obs systems, or failed/unfitted obs whose
+                # stale attrs must not be rebuilt (get_fit raises for those)
+                slow.append(i)
             else:
-                # Key on the measurement protocol, not just the fitter kind:
-                # successive fit_all calls on different grids store the same
-                # fitter_key but need different design matrices
-                groups.setdefault(
-                    (attr.get("fitter_key"), self._obs_grid_sig(i)),
-                    []).append(i)
+                groups.setdefault(key, []).append(i)
         for idx in groups.values():
             if len(idx) == 1:
                 slow.extend(idx)
@@ -303,33 +302,14 @@ class DRTMD:
         out-of-window variance extrapolation (models/drt.py:2278-2293)."""
         import jax
         import jax.numpy as jnp
-        from ..solver import qphb as qphb_mod
-        from ..models.drt import _hypers_to_pytree
         from ..ops import basis as basis_mod
         from ..utils.device import host_cpu
 
         attrs = [self.obs_fit_attr[i] for i in idx]
         fitter = self._resolve_batch_fitter(idx[0], attrs[0])
         template = fitter.template
-        qp = template.qphb_params
-        cfg = qp["cfg"]
-        k_range = cfg.k_range
-        ns = cfg.num_special
-        m_stack = np.stack([np.asarray(qp["penalty_matrices"][f"m{k}"],
-                                       dtype=float) for k in range(k_range)])
-        hyp = _hypers_to_pytree(qp["hypers"])
-        rm = np.asarray(qp["rm"], dtype=float)
-        l1v = np.asarray(qp["l1_lambda_vector"], dtype=float)
-
-        def row(a):
-            if a.get("rzv") is not None:
-                return np.asarray(a["rzv"], dtype=float)
-            return np.concatenate([a["z"].real, a["z"].imag]) / a["scale"]
-
-        rzv_b = np.stack([row(a) for a in attrs])
-        rho_b = np.stack([np.asarray(a["rho"], dtype=float) for a in attrs])
-        s_b = np.stack([np.asarray(a["s_vectors"], dtype=float) for a in attrs])
-        w_b = np.stack([np.asarray(a["weights"], dtype=float) for a in attrs])
+        ns = template.qphb_params["cfg"].num_special
+        p_b, _ = self._uniform_pq(fitter, attrs)
         scale_b = np.array([float(a["scale"]) for a in attrs])
 
         # Basis -> supergrid evaluation matrix (shared; order 0)
@@ -339,19 +319,14 @@ class DRTMD:
             template.tau_epsilon, 0, template.zga_params), dtype=float)
 
         with host_cpu():
-            def var_one(rzv_i, rho_i, s_i, w_i):
-                p, _ = qphb_mod.calculate_pq(
-                    jnp.asarray(rm), rzv_i, jnp.asarray(m_stack), hyp,
-                    jnp.asarray(l1v), rho_i, jnp.ones(k_range), s_i, w_i, cfg)
+            def var_one(p):
                 chol = jnp.linalg.cholesky(p)
                 cov = jax.scipy.linalg.cho_solve(
                     (chol, True), jnp.eye(p.shape[0], dtype=p.dtype))
                 cov_drt = cov[ns:, ns:]
                 return jnp.einsum("tj,jk,tk->t", jnp.asarray(em), cov_drt,
                                   jnp.asarray(em))
-            var = np.asarray(jax.vmap(var_one)(
-                jnp.asarray(rzv_b), jnp.asarray(rho_b), jnp.asarray(s_b),
-                jnp.asarray(w_b)))
+            var = np.asarray(jax.vmap(var_one)(jnp.asarray(p_b)))
         bad = ~np.all(np.isfinite(var), axis=1)
         var = var * scale_b[:, None] ** 2
 
@@ -688,8 +663,11 @@ class DRTMD:
         import jax.numpy as jnp
         from ..parallel.batch import BatchedEISFitter
         f0 = np.asarray(f0)
+        # Normalize the key's dtype component: dtype=None resolves to f64 in
+        # the factory, so None and an explicit float64 must share one entry
+        dtype_key = str(jnp.dtype(dtype if dtype is not None else jnp.float64))
         return self._cached_fitter(
-            ("eis", f0.tobytes(), None if dtype is None else str(dtype),
+            ("eis", f0.tobytes(), dtype_key,
              id(mesh) if mesh is not None else None,
              bool(self.fit_kw.get("nonneg", True)), self._batch_kw_sig(),
              self._struct_sig()),
@@ -709,9 +687,11 @@ class DRTMD:
         t0 = np.asarray(t0, dtype=float)
         i0 = np.asarray(i0, dtype=float)
         f0 = np.asarray(f0, dtype=float)
+        # Normalize the key's dtype component: dtype=None resolves to f64 in
+        # the factory, so None and an explicit float64 must share one entry
+        dtype_key = str(jnp.dtype(dtype if dtype is not None else jnp.float64))
         return self._cached_fitter(
-            ("hybrid", t0.tobytes(), i0.tobytes(), f0.tobytes(),
-             None if dtype is None else str(dtype),
+            ("hybrid", t0.tobytes(), i0.tobytes(), f0.tobytes(), dtype_key,
              id(mesh) if mesh is not None else None,
              bool(self.fit_kw.get("nonneg", True)), self._batch_kw_sig(),
              self._struct_sig()),
@@ -959,6 +939,23 @@ class DRTMD:
                 fitter = self._eis_fitter(eis_data[0], dtype=jnp.float64)
         return fitter
 
+    def _uniform_group_key(self, obs_index):
+        """Group key for a successfully uniform-batched observation, or None
+        if it must go through the per-obs path (serial, ragged, pfrt, or
+        failed/unfitted — get_fit raises for those rather than silently
+        rebuilding from a stale pre-failure attr).
+
+        The key includes the measurement-protocol signature, not just the
+        fitter kind: successive fit_all calls on different grids store the
+        same fitter_key but need different design matrices."""
+        if not self.obs_fit_status[obs_index]:
+            return None
+        attr = self.obs_fit_attr[obs_index]
+        if not (isinstance(attr, dict) and attr.get("batched")) \
+                or attr.get("ragged") or attr.get("pfrt"):
+            return None
+        return (attr.get("fitter_key"), self._obs_grid_sig(obs_index))
+
     def _obs_grid_sig(self, obs_index):
         """Hashable signature of an observation's measurement protocol
         (chrono times/input + EIS frequencies)."""
@@ -1073,17 +1070,11 @@ class DRTMD:
         out = {}
         groups = {}
         for i in obs_index:
-            attr = self.obs_fit_attr[i]
-            if isinstance(attr, dict) and attr.get("batched") \
-                    and not attr.get("ragged") and not attr.get("pfrt"):
-                # Key on the measurement protocol, not just the fitter kind:
-                # successive fit_all calls on different grids store the same
-                # fitter_key but need different design matrices
-                groups.setdefault(
-                    (attr.get("fitter_key"), self._obs_grid_sig(i)),
-                    []).append(i)
-            else:
+            key = self._uniform_group_key(i)
+            if key is None:
                 out[i] = self.get_fit(i)
+            else:
+                groups.setdefault(key, []).append(i)
         for idx in groups.values():
             attrs = [self.obs_fit_attr[i] for i in idx]
             fitter = self._resolve_batch_fitter(idx[0], attrs[0])

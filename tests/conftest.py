@@ -44,3 +44,24 @@ try:
     jax.config.update("jax_default_device", cpu0)
 except Exception:
     pass
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables():
+    """Drop jit caches after each test module.
+
+    The suite compiles hundreds of distinct XLA:CPU executables in one
+    process; with all of them held live, jaxlib 0.9's compiler eventually
+    segfaults inside backend_compile_and_load near the end of the run
+    (reproducible at ~85% of the suite; the same test passes in isolation).
+    Executables are rarely shared across modules (different shapes/configs),
+    so per-module clearing costs little and keeps the native footprint
+    bounded. In-module caching behavior (and the tests that assert it) is
+    unaffected."""
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -58,22 +58,34 @@ def test_grouped_pq_matches_per_obs(batched_md):
                                    rtol=1e-9, atol=1e-11)
 
 
-def test_grouped_falls_back_for_serial_fit(batched_md):
-    md = batched_md
+def test_grouped_falls_back_for_serial_fit():
+    # Own instance: the serial refit replaces obs 2's whole per-obs state
+    # (x, tau window, attr), which must not leak into the shared fixture
+    md = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+               print_progress=False)
+    for k, z in enumerate(_spectra(3, seed=7)):
+        md.add_observation([float(k)], None, (FREQ, z), group_id="g")
+    md.fit_all(batched=True)
     # Refit one observation serially; the group rebuild must route it
     # through get_fit rather than the uniform vmapped path
-    saved_attr = md.obs_fit_attr[2]
     md.fit_observation(2)
-    try:
-        assert not (isinstance(md.obs_fit_attr[2], dict)
-                    and md.obs_fit_attr[2].get("batched"))
-        grouped = md.get_fits_batched(np.arange(md.num_obs))
-        one = md.get_fit(2)
-        np.testing.assert_allclose(grouped[2].fit_parameters["x"],
-                                   one.fit_parameters["x"],
-                                   rtol=1e-9, atol=1e-11)
-    finally:
-        md.obs_fit_attr[2] = saved_attr
+    assert not (isinstance(md.obs_fit_attr[2], dict)
+                and md.obs_fit_attr[2].get("batched"))
+    grouped = md.get_fits_batched(np.arange(md.num_obs))
+    one = md.get_fit(2)
+    np.testing.assert_allclose(grouped[2].fit_parameters["x"],
+                               one.fit_parameters["x"],
+                               rtol=1e-9, atol=1e-11)
+
+    # A failed obs (status cleared, stale batched attr left behind, as
+    # _batched_obs_failure does) must raise like get_fit — not be silently
+    # rebuilt from the pre-failure state
+    md.obs_fit_status[1] = False
+    with pytest.raises(ValueError):
+        md.get_fits_batched([1])
+    md.obs_drt_var[1][:] = 0.0
+    with pytest.raises(ValueError):
+        md.estimate_obs_drt_var(obs_index=[1], refresh=True)
 
 
 def test_rebuild_survives_fitter_overwrite():
