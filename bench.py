@@ -44,7 +44,42 @@ def make_batch(batch, n_freq, seed=1):
     return freq, z + noise * 0.004
 
 
+def wait_for_tpu(max_wait_s=1500, probe_timeout_s=180):
+    """Wait for a healthy tunnel window before initializing jax in-process.
+
+    The tunneled chip's degraded windows don't just slow execution ~100x —
+    they hang backend INIT (the first jax.devices() call) for tens of
+    minutes, and a hung in-process init cannot be interrupted. Probe init
+    in a subprocess with a timeout and retry until it completes quickly.
+    Returns False if the tunnel never came back within max_wait_s (the
+    caller proceeds anyway; the harness timeout governs from there)."""
+    import subprocess
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=probe_timeout_s)
+            if out.returncode == 0 and out.stdout.strip().isdigit():
+                print(f"TPU backend probe ok ({time.time() - t0:.0f}s)",
+                      file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print("TPU backend probe never succeeded; proceeding anyway",
+                  file=sys.stderr)
+            return False
+        print(f"TPU backend probe {attempt} hung/failed; retrying in 120s",
+              file=sys.stderr)
+        time.sleep(120)
+
+
 def main():
+    wait_for_tpu()
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_enable_x64", True)
