@@ -44,16 +44,20 @@ def make_batch(batch, n_freq, seed=1):
     return freq, z + noise * 0.004
 
 
-def wait_for_tpu(max_wait_s=1500, probe_timeout_s=180):
+def wait_for_tpu(max_wait_s=None, probe_timeout_s=180):
     """Wait for a healthy tunnel window before initializing jax in-process.
 
     The tunneled chip's degraded windows don't just slow execution ~100x —
-    they hang backend INIT (the first jax.devices() call) for tens of
-    minutes, and a hung in-process init cannot be interrupted. Probe init
-    in a subprocess with a timeout and retry until it completes quickly.
-    Returns False if the tunnel never came back within max_wait_s (the
-    caller proceeds anyway; the harness timeout governs from there)."""
+    they hang backend INIT (the first jax.devices() call) for ~30 minutes
+    and then raise "Unable to initialize backend 'axon': UNAVAILABLE"
+    (observed during a multi-hour outage), and a hung in-process init
+    cannot be interrupted. Probe init in a subprocess with a timeout and
+    retry until it completes quickly. Returns False if the tunnel never
+    came back within max_wait_s (override: HYBDRT_TPU_BENCH_MAX_WAIT)."""
+    import os
     import subprocess
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("HYBDRT_TPU_BENCH_MAX_WAIT", 2700))
     deadline = time.time() + max_wait_s
     attempt = 0
     while True:
@@ -70,7 +74,7 @@ def wait_for_tpu(max_wait_s=1500, probe_timeout_s=180):
         except subprocess.TimeoutExpired:
             pass
         if time.time() >= deadline:
-            print("TPU backend probe never succeeded; proceeding anyway",
+            print("TPU backend probe never succeeded within budget",
                   file=sys.stderr)
             return False
         print(f"TPU backend probe {attempt} hung/failed; retrying in 120s",
@@ -79,7 +83,13 @@ def wait_for_tpu(max_wait_s=1500, probe_timeout_s=180):
 
 
 def main():
-    wait_for_tpu()
+    if not wait_for_tpu():
+        # A doomed in-process init would block ~30 min and then raise an
+        # opaque traceback; fail fast and clearly instead (no JSON line —
+        # an honest missing measurement beats recording a degraded one)
+        print("chip unreachable: skipping benchmark rather than recording "
+              "a degraded-tunnel measurement", file=sys.stderr)
+        sys.exit(2)
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_enable_x64", True)
