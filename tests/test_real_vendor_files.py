@@ -95,3 +95,21 @@ def test_read_chrono_real_mpr():
     assert len(t) == 30208
     assert np.all(np.diff(t) > 0)
     assert np.all(np.isfinite(i)) and np.all(np.isfinite(v))
+
+
+def test_fit_real_gamry_spectrum_end_to_end():
+    """The reference's Quickstart tutorial fits exactly this file; a user
+    switching frameworks must get a sane self-tuned fit from the same raw
+    vendor file (real measurement: ~24 mOhm ohmic, ~42 mOhm polarization,
+    strong high-frequency inductance)."""
+    from hybdrt_tpu.dataload.reader import read_eis
+    from hybdrt_tpu import DRT
+
+    d = read_eis(os.path.join(DATA_DIR, "EISGALV_EISTest3.DTA"))
+    drt = DRT()
+    drt.fit_eis(d.freq, d.z)
+    assert 0.01 < drt.fit_parameters["R_inf"] < 0.05
+    assert 0.02 < drt.predict_r_p() < 0.08
+    resid = np.abs(drt.predict_z(d.freq) - d.z)
+    assert np.median(resid) / np.median(np.abs(d.z)) < 0.05
+    assert len(drt.find_peaks()) >= 1
