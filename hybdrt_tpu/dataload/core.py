@@ -23,6 +23,7 @@ class FileSource(StrEnum):
     ECLAB_MPR = auto()
     ECLAB_MPT = auto()
     RELAXIS = auto()
+    GENERIC = auto()
     CUSTOM = auto()
 
     @property
@@ -70,6 +71,10 @@ _REGISTRY: Tuple[_SourceSpec, ...] = (
     _SourceSpec(FileSource.ECLAB_MPR, extensions=("mpr",)),
     _SourceSpec(FileSource.ECLAB_MPT, extensions=("mpt",)),
     _SourceSpec(FileSource.RELAXIS, header_tag="RelaxIS", match_first_word=True),
+    # Plain delimited exports with a self-describing header row (e.g. EC-Lab
+    # Modulo Batt csv); the reference has no reader for these
+    _SourceSpec(FileSource.GENERIC, extensions=("csv", "tsv"),
+                time_columns=("time/s", "time")),
 )
 
 _SPEC_BY_SOURCE = {spec.source: spec for spec in _REGISTRY}

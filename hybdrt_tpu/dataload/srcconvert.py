@@ -2,7 +2,7 @@
 import pandas as pd
 
 from .core import FileSource
-from .sources import eclab_txt, gamry, relaxis, zplot
+from .sources import eclab_txt, gamry, generic, relaxis, zplot
 
 
 def get_module(source: FileSource):
@@ -11,6 +11,7 @@ def get_module(source: FileSource):
         "ECLAB": eclab_txt,
         "RELAXIS": relaxis,
         "ZPLOT": zplot,
+        "GENERIC": generic,
     }.get(source.software)
 
 

@@ -356,3 +356,40 @@ def test_with_timestamp_column_and_timestamps_property(tmp_path):
     cd = ChronoData(np.array([0.0, 1.0]), np.zeros(2), np.zeros(2),
                     timestamp=datetime(2025, 3, 14))
     assert (cd.timestamps[1] - cd.timestamps[0]).total_seconds() == 1.0
+
+
+def test_read_eis_generic_csv_polar(tmp_path):
+    # Plain csv with a self-describing header (EC-Lab Modulo Batt export
+    # style); the reference has no reader for these (its csv fallback is
+    # commented out, reference hybdrt/dataload/reader.py:268)
+    content = ("time/s,freq/Hz,|Z|/Ohm,Phase(Z)/deg,I/A,Ewe/V,loop_index\n"
+               "1.0,100.0,2.0,0.0,1e-6,3.0,0\n"
+               "2.0,10.0,4.0,-90.0,1e-6,3.0,0\n")
+    p = tmp_path / "export.csv"
+    p.write_text(content)
+    z = read_eis(str(p))
+    assert np.allclose(z.freq, [100.0, 10.0])
+    assert np.allclose(z.z, [2.0 + 0j, 0.0 - 4.0j], atol=1e-12)
+
+
+def test_read_eis_generic_csv_cartesian_inverts_im(tmp_path):
+    # -Im(Z) column convention: standardization must store Im(Z)
+    content = ("freq/Hz,Re(Z)/Ohm,-Im(Z)/Ohm\n"
+               "100.0,1.0,0.5\n"
+               "10.0,2.0,1.5\n")
+    p = tmp_path / "cart.csv"
+    p.write_text(content)
+    z = read_eis(str(p))
+    assert np.allclose(z.z, [1.0 - 0.5j, 2.0 - 1.5j])
+
+
+def test_read_chrono_generic_csv_unscales_units(tmp_path):
+    content = ("time/s,I/mA,Ewe/V\n"
+               "0.0,1000.0,2.0\n"
+               "1.0,2000.0,2.1\n")
+    p = tmp_path / "chrono.csv"
+    p.write_text(content)
+    t, i, v = read_chrono(str(p), return_tuple=True)
+    assert np.allclose(t, [0.0, 1.0])
+    assert np.allclose(i, [1.0, 2.0])  # mA -> A
+    assert np.allclose(v, [2.0, 2.1])

@@ -97,6 +97,22 @@ def test_read_chrono_real_mpr():
     assert np.all(np.isfinite(i)) and np.all(np.isfinite(v))
 
 
+def test_read_eis_real_modulo_batt_csv():
+    """The reference's webinar loads this csv manually with pandas because
+    its readers can't; ours reads it through the standard path."""
+    import pandas as pd
+    from hybdrt_tpu.dataload.reader import read_eis
+    path = "/root/reference/webinar/data/SSB/Sample2_PEIS_AtRest.csv"
+    if not os.path.isfile(path):
+        pytest.skip("webinar data not available")
+    z = read_eis(path)
+    df = pd.read_csv(path)
+    zc = (df["|Z|/Ohm"].to_numpy()
+          * np.exp(1j * np.deg2rad(df["Phase(Z)/deg"].to_numpy())))
+    np.testing.assert_allclose(z.freq, df["freq/Hz"].to_numpy())
+    np.testing.assert_allclose(z.z, zc)
+
+
 def test_fit_real_gamry_spectrum_end_to_end():
     """The reference's Quickstart tutorial fits exactly this file; a user
     switching frameworks must get a sane self-tuned fit from the same raw
