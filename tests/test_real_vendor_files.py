@@ -97,6 +97,18 @@ def test_read_chrono_real_mpr():
     assert np.all(np.isfinite(i)) and np.all(np.isfinite(v))
 
 
+def test_legacy_fileload_api_real_files():
+    """The legacy fileload API (what the reference's tutorials use) must
+    also read the real vendor files."""
+    from hybdrt_tpu import fileload as fl
+    df = fl.read_eis(os.path.join(DATA_DIR, "EISGALV_EISTest3.DTA"))
+    freq, z = fl.get_eis_tuple(df)
+    assert len(freq) == 71 and np.all(np.isfinite(z))
+    c = fl.read_chrono(os.path.join(DATA_DIR, "CP_SSB.mpr"))
+    t, i, v = fl.get_chrono_tuple(c)
+    assert len(t) == len(i) == len(v) == 30208
+
+
 def test_read_eis_real_modulo_batt_csv():
     """The reference's webinar loads this csv manually with pandas because
     its readers can't; ours reads it through the standard path."""
