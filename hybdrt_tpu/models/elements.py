@@ -372,21 +372,37 @@ class DiscreteElementModel:
     # ------------------------------------------------------------------
     @classmethod
     def from_drt(cls, drt, model_string=None, element_types="HN", peak_kw=None,
-                 min_peak_r=None, x=None, peak_tau=None):
+                 min_peak_r=None, x=None, peak_tau=None, x_raw=None, tau=None,
+                 peak_indices=None, drt_element=None):
         """Initialize a discrete model from a DRT fit's peak decomposition
         (reference elements.py:90). Optionally use an explicit raw parameter
-        vector ``x`` and/or candidate ``peak_tau`` (dual-inversion path)."""
+        vector ``x`` and/or candidate ``peak_tau`` (dual-inversion path).
+
+        Reference-compatible aliases so ``from_drt(drt, tau=tau_eval,
+        peak_indices=..., drt_element="RQ")`` works as in the reference:
+        ``x_raw`` = ``x``, ``drt_element`` = ``element_types``; passing
+        ``tau`` + ``peak_indices`` (e.g. from ``find_peaks(return_info=True)``)
+        skips internal peak finding and uses those peak locations."""
         from .. import peaks as peaks_mod
         if peak_kw is None:
             peak_kw = {}
+        if x_raw is not None:
+            x = x_raw
+        if drt_element is not None:
+            element_types = drt_element
         fit_params = drt.fit_parameters if x is None \
             else drt.extract_qphb_parameters(np.asarray(x))
         x_drt = fit_params["x"]
-        if peak_tau is None:
+        if tau is not None and peak_indices is not None:
+            tau_grid = np.asarray(tau, dtype=float)
+            peak_indices = np.asarray(peak_indices)
+            peak_tau = tau_grid[peak_indices]
+        elif peak_tau is None:
             peak_tau, tau_grid, peak_indices, _ = drt.find_peaks(
                 x=x_drt, return_info=True, **peak_kw)
         else:
-            tau_grid = drt.get_tau_eval(10)
+            tau_grid = drt.get_tau_eval(10) if tau is None \
+                else np.asarray(tau, dtype=float)
             peak_indices = None
         if len(peak_tau) == 0:
             raise ValueError("No peaks found to initialize discrete model")
@@ -595,12 +611,23 @@ class DiscreteElementModel:
 
     @on_host
     def fit_eis(self, frequencies, z, x0=None, weights=None, from_drt=None,
-                max_iter=300):
-        """Weighted nonlinear least-squares fit (LM with autodiff Jacobian)."""
+                max_iter=300, init_values=None, prior=False,
+                prior_strength=None, scale_data=True):
+        """Weighted nonlinear least-squares fit (LM with autodiff Jacobian).
+
+        Reference-compatible extras (reference elements.py:616): ``init_values``
+        aliases ``x0``; ``prior=True`` adds a Gaussian penalty pulling
+        parameters toward the initial (from_drt) estimates with per-parameter
+        weights ``prior_strength / |x0|`` (strength defaulted from the data
+        weights as in the reference); ``scale_data`` is accepted for API
+        compatibility — this implementation works in raw data space with
+        explicit residual weighting, so it has no separate scaling step."""
+        del scale_data  # handled via residual weighting; see docstring
         frequencies = np.asarray(frequencies)
         z = np.asarray(z)
         if x0 is None:
-            x0 = self.get_parameter_values()
+            x0 = init_values if init_values is not None \
+                else self.get_parameter_values()
         x0 = np.asarray(x0, dtype=float)
 
         if weights is None:
@@ -616,6 +643,19 @@ class DiscreteElementModel:
             weights = np.full(2 * len(frequencies), float(weights))
 
         resid_fn, transform, inv_transform = self._make_resid_fn(frequencies, z, weights)
+        if prior:
+            # Gaussian prior toward the initial estimates, scaled to the
+            # parameter magnitudes (reference elements.py:683-700)
+            if prior_strength is None:
+                prior_strength = (np.mean(weights) * 0.05) ** 0.5
+            prior_w = jnp.asarray(
+                prior_strength / np.maximum(np.abs(x0), 1e-8))
+            x0_prior = jnp.asarray(x0)
+            data_resid = resid_fn
+
+            def resid_fn(y):
+                r_prior = prior_w * (inv_transform(y) - x0_prior)
+                return jnp.concatenate([data_resid(y), r_prior])
         # Nudge x0 strictly inside bounds for the logit transform
         lb = np.array([max(b[0], -1e6) for b in self.parameter_bounds])
         ub = np.array([min(b[1], 1e6) for b in self.parameter_bounds])

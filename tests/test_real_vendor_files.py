@@ -125,6 +125,48 @@ def test_read_eis_real_modulo_batt_csv():
     np.testing.assert_allclose(z.z, zc)
 
 
+def test_webinar_workflow_real_ssb_spectrum():
+    """The reference webinar's demo workflow on its own data: KK-test the
+    raw spectrum, fit the cleaned window, derive a discrete RQ circuit from
+    the DRT peaks (reference-signature from_drt/fit_eis kwargs), and DOP-fit
+    the ion-blocking cell."""
+    from hybdrt_tpu.dataload.reader import read_eis
+    from hybdrt_tpu import DRT
+    from hybdrt_tpu.models.elements import DiscreteElementModel
+
+    path = "/root/reference/webinar/data/SSB/Sample1_PEIS_EndOfDischarge.mpr"
+    if not os.path.isfile(path):
+        pytest.skip("webinar data not available")
+    z1 = read_eis(path)
+    drt = DRT()
+    outlier_index, f_lim, fz_clean = drt.kk_test(z1.freq, z1.z, n_sigma=5)
+    assert f_lim[0] < 10 and f_lim[1] > 1e5  # wide valid window
+    assert 10 < len(fz_clean[0]) < len(z1.freq)
+
+    drt.fit_eis(*fz_clean)
+    assert 40 < drt.fit_parameters["R_inf"] < 60
+    assert 400 < drt.predict_r_p() < 900
+
+    peak_tau, tau_eval, peak_indices, _ = drt.find_peaks(return_info=True)
+    dem = DiscreteElementModel.from_drt(drt, tau=tau_eval,
+                                        peak_indices=peak_indices,
+                                        drt_element="RQ")
+    dem.fit_eis(*fz_clean, from_drt=True, prior=False)
+    rel = (np.median(np.abs(dem.predict_z(fz_clean[0]) - fz_clean[1]))
+           / np.median(np.abs(fz_clean[1])))
+    assert rel < 0.01
+    assert dem.model_string.startswith("R0-L0-RQ1")
+
+    zl = read_eis(os.path.join(
+        "/root/reference/webinar/data/LPSCl",
+        "PEIS_LPSCl_IonBlocking_-25C.mpr")).trim_freq(f_min=1e3)
+    dop = DRT(fit_dop=True)
+    dop.fit_eis(zl.freq, zl.z)
+    rel = (np.median(np.abs(dop.predict_z(zl.freq) - zl.z))
+           / np.median(np.abs(zl.z)))
+    assert rel < 0.01
+
+
 def test_fit_real_gamry_spectrum_end_to_end():
     """The reference's Quickstart tutorial fits exactly this file; a user
     switching frameworks must get a sane self-tuned fit from the same raw
