@@ -890,16 +890,27 @@ class DiscreteElementModel:
                 self.parameter_bounds[i0 + k] = bd
 
     # -- plotting (reference elements.py:1352-1800) --------------------
-    def plot_distribution(self, tau=None, x=None, ax=None, ppd=20, **kw):
-        """The model's total DRT gamma(tau) (reference elements.py:1352)."""
+    def plot_distribution(self, tau=None, x=None, ax=None, ppd=20,
+                          show_singularities=True, **kw):
+        """The model's total DRT gamma(tau) (reference elements.py:1352).
+
+        Ideal elements (RC/R/L/C with beta -> 1) have delta-like
+        singularities in gamma; ``show_singularities`` marks them with
+        vertical lines, False drops them (reference elements.py:1362)."""
         import matplotlib.pyplot as plt
         gamma = self.predict_distribution(tau=tau, x=x, ppd=ppd,
                                           return_tau=True)
         if isinstance(gamma, tuple):
             gamma, tau = gamma
+        gamma = np.asarray(gamma, dtype=float)
+        tau = np.asarray(tau, dtype=float)
         if ax is None:
             _, ax = plt.subplots(figsize=(4, 3))
-        ax.semilogx(tau, gamma, **kw)
+        finite = np.isfinite(gamma)
+        line = ax.semilogx(tau[finite], gamma[finite], **kw)
+        if show_singularities and not finite.all():
+            for t_sing in tau[~finite]:
+                ax.axvline(t_sing, ls=":", c=line[0].get_color(), alpha=0.7)
         ax.set_xlabel(r"$\tau$ (s)")
         ax.set_ylabel(r"$\gamma$ ($\Omega$)")
         return ax
@@ -926,21 +937,34 @@ class DiscreteElementModel:
         ax.legend()
         return ax
 
-    def plot_eis_fit(self, frequencies=None, axes=None, plot_data=True, **kw):
-        """Fitted vs measured impedance (reference elements.py:1708)."""
+    def plot_eis_fit(self, frequencies=None, axes=None, plot_type=None,
+                     plot_data=True, data_kw=None, data_label="data",
+                     label="fit", **kw):
+        """Fitted vs measured impedance (reference elements.py:1708).
+
+        ``plot_type`` in ('nyquist', 'bode', 'all'); passing a single Axes
+        (the reference webinar's usage) implies a Nyquist-only plot.
+        ``data_label``/``data_kw`` style the measured-data series."""
         from .. import plotting as plt_mod
         if frequencies is None:
             if self.f_fit is None:
                 raise ValueError("No fit data; pass frequencies")
             frequencies = self.f_fit
         import matplotlib.pyplot as plt
-        if axes is None:
+        if data_kw is None:
+            data_kw = dict(s=20, alpha=0.5)
+        if plot_type is None:
+            plot_type = "nyquist" if (axes is not None
+                                      and np.ndim(axes) == 0) else "all"
+        if axes is None and plot_type == "all":
             _, axes = plt.subplots(1, 3, figsize=(11, 3))
         if plot_data and self.z_fit is not None and np.ndim(self.z_fit) == 1:
-            plt_mod.plot_eis((self.f_fit, self.z_fit), axes=axes, label="data")
+            axes = plt_mod.plot_eis((self.f_fit, self.z_fit),
+                                    plot_type=plot_type, axes=axes,
+                                    label=data_label, **data_kw)
         z_hat = self.predict_z(frequencies)
-        plt_mod.plot_eis((frequencies, z_hat), axes=axes, plot_func="plot",
-                         label="fit", **kw)
+        axes = plt_mod.plot_eis((frequencies, z_hat), plot_type=plot_type,
+                                axes=axes, plot_func="plot", label=label, **kw)
         return axes
 
     def plot_eis_residuals(self, axes=None, part="both", **kw):
