@@ -1654,6 +1654,12 @@ class DRT:
                 else self.fit_parameters["x"]
         else:
             x = np.asarray(x)
+            n_coef = (2 if self.series_neg else 1) * len(self.basis_tau)
+            if len(x) > n_coef:
+                # Raw solver-space vector (special params + scaled coefs),
+                # e.g. a pfrt_result["step_x"] row or qphb history entry:
+                # strip specials and unscale (reference drt1d.plot_drt(x=...))
+                x = self.extract_qphb_parameters(x)["x"]
             if len(x) > len(self.basis_tau):
                 x = self.get_drt_params(x, sign)
         out = em @ x
@@ -1748,10 +1754,15 @@ class DRT:
         return x * peak_weights
 
     def estimate_peak_distributions(self, tau=None, ppd=10, tau_find_peaks=None,
-                                    peak_indices=None, x=None, sign=1, **peak_coef_kw):
-        """Per-peak gamma(ln tau) curves on an evaluation grid."""
+                                    peak_indices=None, x=None, sign=1,
+                                    find_peaks_kw=None, **peak_coef_kw):
+        """Per-peak gamma(ln tau) curves on an evaluation grid.
+        ``find_peaks_kw`` (reference name) merges into the peak-finding
+        kwargs forwarded through estimate_peak_coef."""
         if tau is None:
             tau = self.get_tau_eval(ppd)
+        if find_peaks_kw:
+            peak_coef_kw = {**find_peaks_kw, **peak_coef_kw}
         x_peaks = self.estimate_peak_coef(tau=tau_find_peaks, peak_indices=peak_indices,
                                           x=x, sign=sign, **peak_coef_kw)
         return np.stack([self.predict_distribution(tau, x=xp) for xp in x_peaks])
@@ -2503,19 +2514,35 @@ class DRT:
     # ------------------------------------------------------------------
     # Plotting (reference drt1d.py:4547-5420; rendering in ..plotting)
     # ------------------------------------------------------------------
-    def plot_eis_fit(self, ax=None, plot_type="nyquist", tau=None, **kw):
-        """Measured vs fitted impedance (reference drt1d.plot_eis_fit)."""
+    def plot_eis_fit(self, ax=None, plot_type="nyquist", tau=None, axes=None,
+                     plot_data=True, data_kw=None, data_label="data",
+                     label="fit", bode_rep="cartesian", **kw):
+        """Measured vs fitted impedance (reference drt1d.plot_eis_fit).
+
+        ``plot_type`` in ('nyquist', 'bode', 'all'); positional-style kwargs
+        (``c=...``) style the FIT line, ``data_kw`` styles the measured
+        points (reference drt1d.py:4559)."""
         from .. import plotting as plt_mod
+        import matplotlib.pyplot as plt
         freq = self.get_fit_frequencies()
         z_hat = self.predict_z(freq)
+        if axes is None:
+            axes = ax
+        if data_kw is None:
+            data_kw = dict(s=20, alpha=0.6)
+        # rep only reaches plot_bode; the 'all' combo shares kwargs with
+        # plot_nyquist, which doesn't take it
+        extra = {"rep": bode_rep} if plot_type == "bode" else {}
+        if plot_type == "all" and axes is None:
+            _, axes = plt.subplots(1, 3, figsize=(11, 3))
+        if plot_data and self.z_fit is not None:
+            axes = plt_mod.plot_eis((freq, self.z_fit), plot_type=plot_type,
+                                    axes=axes, label=data_label,
+                                    **extra, **data_kw)
+        axes = plt_mod.plot_eis((freq, z_hat), plot_type=plot_type, axes=axes,
+                                plot_func="plot", label=label, **extra, **kw)
         if plot_type == "nyquist":
-            ax = plt_mod.plot_nyquist((freq, self.z_fit), ax=ax, label="data", **kw)
-            plt_mod.plot_nyquist((freq, z_hat), ax=ax, plot_func="plot", c="k",
-                                 label="fit")
-            ax.legend()
-            return ax
-        axes = plt_mod.plot_bode((freq, self.z_fit), **kw)
-        plt_mod.plot_bode((freq, z_hat), axes=axes, plot_func="plot", c="k")
+            axes.legend()
         return axes
 
     def plot_eis_residuals(self, axes=None, norm=None, show_sigma=True, **kw):
@@ -2545,12 +2572,15 @@ class DRT:
         return axes
 
     def plot_distribution(self, tau=None, ppd=20, ax=None, x=None, sign=None,
-                          normalize=False, order=0, show_ci=True,
+                          normalize=False, order=0, show_ci=True, plot_ci=None,
                           quantiles=(0.025, 0.975), mark_peaks=False,
-                          mark_peaks_kw=None, **kw):
+                          mark_peaks_kw=None, return_line=False, **kw):
         """The fitted DRT with optional credible band and peak markers
-        (reference drt1d.plot_distribution)."""
+        (reference drt1d.plot_distribution; ``plot_ci`` is the reference's
+        name for ``show_ci``, ``return_line=True`` also returns the Line2D)."""
         from .. import plotting as plt_mod
+        if plot_ci is not None:
+            show_ci = plot_ci
         if tau is None:
             tau = self.get_tau_eval(ppd)
         gamma = self.predict_distribution(tau, x=x, sign=sign, normalize=normalize,
@@ -2560,6 +2590,7 @@ class DRT:
             scale_prefix = plt_mod.get_scale_prefix(gamma)
         ax = plt_mod.plot_distribution(tau, gamma, ax=ax, scale_prefix=scale_prefix,
                                        **kw)
+        line = ax.get_lines()[-1] if ax.get_lines() else None
         scale = plt_mod._scale_factor(scale_prefix)
         if show_ci and x is None:
             lo, hi = self.predict_drt_ci(tau=tau, order=order, sign=sign,
@@ -2569,6 +2600,8 @@ class DRT:
         if mark_peaks:
             self.mark_peaks(ax, x=x, sign=sign, scale_prefix=scale_prefix,
                             **(mark_peaks_kw or {}))
+        if return_line:
+            return ax, line
         return ax
 
     plot_drt = plot_distribution

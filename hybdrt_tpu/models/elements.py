@@ -917,9 +917,17 @@ class DiscreteElementModel:
 
     plot_drt = plot_distribution
 
+    @property
+    def num_drt_elements(self):
+        """Number of elements with a distribution (HN/RQ/RC), reference
+        elements.py's num_drt_elements."""
+        return sum(t in ("HN", "RQ", "RC") for t in self.element_types)
+
     def plot_element_drts(self, tau=None, element_names=None, x=None, ax=None,
-                          ppd=20, **kw):
-        """Per-element DRT curves (reference elements.py:1464)."""
+                          ppd=20, kw_list=None, **kw):
+        """Per-element DRT curves (reference elements.py:1464).
+        ``kw_list`` gives per-element plot kwargs (reference usage:
+        ``kw_list=[{"label": f"RQ{i+1}"} ...]``)."""
         import matplotlib.pyplot as plt
         if tau is None:
             _, tau = self.predict_distribution(x=x, ppd=ppd, return_tau=True)
@@ -927,11 +935,13 @@ class DiscreteElementModel:
             element_names = [n for n, t in zip(self.element_names,
                                                self.element_types)
                              if t in ("HN", "RQ", "RC")]
+        if kw_list is None:
+            kw_list = [{}] * len(element_names)
         if ax is None:
             _, ax = plt.subplots(figsize=(4, 3))
-        for name in element_names:
+        for name, el_kw in zip(element_names, kw_list):
             ax.semilogx(tau, self.predict_element_drt(tau, name, x=x),
-                        label=name, **kw)
+                        **{"label": name, **kw, **el_kw})
         ax.set_xlabel(r"$\tau$ (s)")
         ax.set_ylabel(r"$\gamma$ ($\Omega$)")
         ax.legend()
