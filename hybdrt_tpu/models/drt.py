@@ -228,8 +228,25 @@ class DRT:
     def get_zga_params(self):
         return self.zga_params
 
-    def set_zga_params(self, value):
-        self.zga_params = value
+    def set_zga_params(self, value=None, approx_func_epsilon=None, num_bases=7,
+                       basis_extent=2, curvature_penalty=None, nonneg=False):
+        """Set the ZGA (ZARC-gaussian-approximation) parameters. Pass a
+        precomputed (x_basis, coef, epsilon) tuple to store it directly, or
+        no value to optimize the Cole-Cole approximation of the gaussian RBF
+        at this model's tau_epsilon (reference drtbase.py:684-700 →
+        basis.get_basis_approx_params)."""
+        if value is not None:
+            self.zga_params = value
+            return
+        if self.tau_epsilon is None:
+            if self.basis_tau is None:
+                raise ValueError(
+                    "Set basis_tau or tau_epsilon before computing ZGA params")
+            self.tau_epsilon = 1 / np.mean(np.diff(np.log(self.basis_tau)))
+        self.zga_params = basis.get_basis_approx_params(
+            "gaussian", "Cole-Cole", self.tau_epsilon, approx_func_epsilon,
+            num_bases=num_bases, basis_extent=basis_extent,
+            curvature_penalty=curvature_penalty, nonneg=nonneg)
 
     def get_step_model(self):
         return self.step_model

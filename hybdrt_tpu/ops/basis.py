@@ -353,3 +353,113 @@ def get_response_func(basis_type, op_mode="galv", step_model="ideal", zga_params
                                           * (jnp.exp(-t_n / tau) - jnp.exp(-t_n / tau_rise)))
         return func
     raise ValueError(f"Invalid step_model {step_model!r}")
+
+
+# ------------------------------------------------------------------
+# Basis-approximation fitting (reference basis.py:10-83,432-487): express one
+# basis function as a finite sum of another family's basis functions. Used to
+# build the ZGA basis (gaussian RBF approximated by Cole-Cole/ZARC elements,
+# reference drtbase.py:688-700) so that ZGA fits admit exact analytic
+# impedance/response kernels.
+# ------------------------------------------------------------------
+
+def _basis_design_matrix(x, basis_x, basis_type, epsilon, fit_intercept):
+    """Design matrix A with A[n, k] = phi((x_n - basis_x_k), eps_k), plus an
+    optional leading intercept column. One broadcasted evaluation instead of
+    the reference's per-column python loop (reference basis.py:43-46)."""
+    import numpy as np
+    x = jnp.asarray(np.atleast_1d(np.asarray(x, dtype=float)))
+    basis_x = jnp.asarray(np.asarray(basis_x, dtype=float))
+    eps = jnp.broadcast_to(jnp.asarray(epsilon, dtype=x.dtype), basis_x.shape)
+    phi = get_basis_func(basis_type)
+    cols = phi(x[:, None] - basis_x[None, :], eps[None, :])
+    if fit_intercept:
+        cols = jnp.concatenate([jnp.ones((cols.shape[0], 1), cols.dtype), cols],
+                               axis=1)
+    return cols
+
+
+def fit_basis_functions(x, f, basis_x, basis_type, epsilon=None, l1_lambda=0.0,
+                        l2_lambda=0.0, nonneg=False, fit_intercept=True):
+    """Fit coefficients c so that sum_k c_k phi(x - basis_x_k, eps_k) ~= f(x)
+    (reference basis.py:10-66). The bounded least-squares problem is solved
+    with this package's own interior-point box QP (ops/qp.py) instead of
+    cvxopt; coefficients are bounded below by 0 (nonneg) or -10 (matching the
+    reference's constraint vector). Returns coef with a leading intercept
+    entry (0 when fit_intercept=False)."""
+    import numpy as np
+    from . import qp
+    if epsilon is None:
+        if basis_type == "gaussian":
+            epsilon = 1.0 / float(np.mean(np.diff(np.asarray(basis_x, float))))
+        elif basis_type == "Cole-Cole":
+            epsilon = 0.96
+        else:
+            raise ValueError(f"No default epsilon for basis_type {basis_type!r}")
+    A = _basis_design_matrix(x, basis_x, basis_type, epsilon, fit_intercept)
+    f = jnp.asarray(np.atleast_1d(np.asarray(f, dtype=float)))
+    n = A.shape[1]
+    P = A.T @ A + l2_lambda * jnp.eye(n, dtype=A.dtype)
+    qv = -(f @ A) + l1_lambda * jnp.ones(n, A.dtype)
+    lb = jnp.full(n, 0.0 if nonneg else -10.0, A.dtype)
+    res = qp.solve_qp_box(P, qv, lb)
+    coef = np.asarray(res.x)
+    if not fit_intercept:
+        coef = np.concatenate(([0.0], coef))
+    return coef
+
+
+def evaluate_basis_fit(coef, eval_x, basis_x, basis_type, epsilon):
+    """Evaluate a fit_basis_functions expansion at eval_x (reference
+    basis.py:69-83). coef[0] is the intercept."""
+    import numpy as np
+    A = _basis_design_matrix(eval_x, basis_x, basis_type, epsilon,
+                             fit_intercept=True)
+    return np.asarray(A @ jnp.asarray(np.asarray(coef, dtype=float)))
+
+
+def get_basis_approx_params(exact_basis_type, approx_basis_type,
+                            exact_func_epsilon, approx_func_epsilon=None,
+                            num_bases=21, basis_extent=2,
+                            curvature_penalty=None, nonneg=False):
+    """Approximate exact_basis_type by num_bases approx_basis_type functions
+    (reference basis.py:432-487): returns (x_basis, coef, epsilon) — the ZGA
+    parameter tuple consumed by get_basis_func('zga', ...). When
+    approx_func_epsilon is None the shared shape parameter is optimized by
+    bounded scalar minimization of ||f_hat - f_exact||^2 plus a curvature
+    penalty on the fitted expansion (the reference wraps the same objective
+    in least_squares)."""
+    import numpy as np
+    if exact_basis_type != "gaussian":
+        raise ValueError("Basis approximation only implemented for the "
+                         "gaussian RBF")
+    x_basis = np.linspace(-basis_extent / exact_func_epsilon,
+                          basis_extent / exact_func_epsilon, num_bases)
+    x_eval = np.linspace(-10 / exact_func_epsilon, 10 / exact_func_epsilon,
+                         2000)
+    phi_exact = get_basis_func(exact_basis_type)
+    f_exact = np.asarray(phi_exact(jnp.asarray(x_eval), exact_func_epsilon))
+    if curvature_penalty is None:
+        curvature_penalty = 1e-2 / exact_func_epsilon ** 2
+
+    def fit(eps):
+        return fit_basis_functions(x_eval, f_exact, x_basis, approx_basis_type,
+                                   eps, nonneg=nonneg, fit_intercept=False)
+
+    if approx_func_epsilon is not None:
+        return x_basis, fit(approx_func_epsilon), approx_func_epsilon
+
+    def objective(eps):
+        coef = fit(eps)
+        f_hat = evaluate_basis_fit(coef, x_eval, x_basis, approx_basis_type,
+                                   eps)
+        p2 = construct_func_eval_matrix(x_basis, x_basis, approx_basis_type,
+                                        eps, order=2)
+        curv = curvature_penalty * np.asarray(p2 @ jnp.asarray(coef[1:]))
+        return float(np.sum((f_hat - f_exact) ** 2) + np.sum(curv ** 2))
+
+    from scipy.optimize import minimize_scalar
+    result = minimize_scalar(objective, bounds=(1e-3, 1.0), method="bounded",
+                             options={"xatol": 1e-4})
+    eps_opt = float(result.x)
+    return x_basis, fit(eps_opt), eps_opt

@@ -339,6 +339,80 @@ class BatchedEISFitter:
                 states, out)
         return states
 
+    def _fit_staged(self, rzv_np, phase_budgets=(8, 16), capacities=None):
+        """Single-dispatch staged compaction: the adaptive scheduler's
+        phase/compact/continue structure executed INSIDE one jitted XLA
+        program with static tail capacities.
+
+        The host-driven adaptive path pays one device dispatch plus a
+        (converged, it) readback per phase — on a tunneled chip each round
+        trip costs more than the iterations it saves (experiments/README.md).
+        Here the gather of still-active lanes into a smaller static-shape
+        sub-batch (active lanes first via stable argsort), the continuation
+        while_loop at reduced width, and the scatter back are all traced into
+        the same computation, so the whole schedule costs exactly one
+        dispatch. A final full-width continuation to max_iter is the safety
+        net for capacity overflow: its while_loop condition is false when
+        every lane is converged, so in the common case it costs one
+        reduction, not an iteration.
+
+        Per-lane trajectories are identical to the uninterrupted loop (the
+        body is Markovian in state; continuing an already-converged lane is
+        a no-op, so padding lanes gathered to fill a stage are unchanged).
+        With pred_stop the prediction history is re-seeded per stage
+        boundary, so a lane may settle one iteration earlier or later per
+        stage (same caveat as adaptive; outputs agree within pred_rtol)."""
+        b = rzv_np.shape[0]
+        max_iter = self.fcfg.max_iter
+        budgets = [int(x) for x in phase_budgets if int(x) < max_iter]
+        b1 = budgets[0] if budgets else max_iter
+        stops = ([*budgets[1:], max_iter] if budgets else [])
+        n_dev = 1 if self.mesh is None else int(self.mesh.shape[sh.BATCH_AXIS])
+        if capacities is None:
+            # Geometric shrink: b//2, b//8, b//32, ... (each stage quarters)
+            capacities = [b >> (2 * i + 1) for i in range(len(stops))]
+        caps = []
+        for c in capacities[:len(stops)]:
+            c = min(max(int(c), 1), b)
+            if n_dev > 1:
+                c = min(-(-c // n_dev) * n_dev, b)
+            caps.append(c)
+
+        jits = getattr(self, "_staged_jits", None)
+        if jits is None:
+            jits = self._staged_jits = {}
+        key = (b, b1, tuple(stops), tuple(caps), str(self.dtype))
+        fn = jits.get(key)
+        if fn is None:
+            def staged(rzv):
+                states, est = jax.vmap(
+                    lambda rv: self._fit_phase_single(rv, b1))(rzv)
+                for stop_at, cap in zip(stops, caps):
+                    active = ~states.converged
+                    # Stable sort of the active flag: active lanes first, in
+                    # original order; converged lanes pad the tail (their
+                    # continuation is a no-op)
+                    idx = jnp.argsort(~active, stable=True)[:cap]
+                    take = lambda a: jnp.take(a, idx, axis=0)
+                    sub = jax.tree.map(take, states)
+                    out = jax.vmap(
+                        lambda st, e, rv: self._cont_single(st, e, rv, stop_at)
+                    )(sub, take(est), take(rzv))
+                    states = jax.tree.map(
+                        lambda full, part: full.at[idx].set(part), states, out)
+                # Full-width safety net for capacity overflow (free when all
+                # lanes are already converged or at max_iter)
+                states = jax.vmap(
+                    lambda st, e, rv: self._cont_single(st, e, rv, max_iter)
+                )(states, est, rzv)
+                return states
+            fn = jits[key] = jax.jit(staged)
+
+        rzv_dev = jnp.asarray(rzv_np, dtype=self.dtype)
+        if self.mesh is not None:
+            rzv_dev = sh.shard_batch(rzv_dev, self.mesh)
+        return fn(rzv_dev)
+
     # ------------------------------------------------------------------
     def scale_batch(self, z_batch):
         """Per-spectrum Rp estimate and scaling (reference drtbase.py:439)."""
@@ -350,16 +424,20 @@ class BatchedEISFitter:
         return rzv, scale
 
     def fit(self, z_batch, return_states=False, adaptive=False,
-            phase_budgets=(12, 24), return_history=False):
+            phase_budgets=None, return_history=False, staged_capacities=None):
         """Fit a (B, n_freq) batch of complex spectra; returns BatchFitResult.
 
         adaptive=True enables compacted-continuation scheduling (see
         _fit_adaptive): numerically identical lane trajectories, but early
         whole-batch dispatch cutoffs with only the unconverged tail
-        continued. Combine with pred_stop=True for the full throughput win;
-        in that combination iterate math is still identical but a lane may
-        settle up to one iteration later per phase boundary (the prediction
-        history is re-seeded on continuation, see qphb_fit_loop_from_state).
+        continued. adaptive="staged" runs the same schedule as ONE jitted
+        dispatch with static tail capacities (see _fit_staged) — the right
+        mode when per-dispatch latency is significant (tunneled or remote
+        chips). Combine either with pred_stop=True for the full throughput
+        win; in that combination iterate math is still identical but a lane
+        may settle one iteration earlier or later per phase boundary (the
+        prediction history is re-seeded on continuation, see
+        qphb_fit_loop_from_state) — outputs agree within pred_rtol.
 
         return_history=True appends a per-iteration history dict of arrays
         with shape (B, max_iter, ...) — the batched analog of the
@@ -397,8 +475,14 @@ class BatchedEISFitter:
                 return (*result, history)
             return result, history
 
-        if adaptive:
-            states = self._fit_adaptive(rzv, phase_budgets=phase_budgets)
+        if adaptive == "staged":
+            states = self._fit_staged(
+                rzv, phase_budgets=(8, 16) if phase_budgets is None
+                else phase_budgets, capacities=staged_capacities)
+        elif adaptive:
+            states = self._fit_adaptive(
+                rzv, phase_budgets=(12, 24) if phase_budgets is None
+                else phase_budgets)
         else:
             rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
             if self.mesh is not None:

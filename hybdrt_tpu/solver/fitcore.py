@@ -230,8 +230,12 @@ def qphb_fit_loop_from_state(state0, rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb,
     seed_pred_history=True on continuation to seed it with the resumed
     iterate's prediction — the settled check then compares against the
     t-1 prediction for the first resumed iteration (conservative for
-    period-2 cycles) and is exact from the second on, so a resumed lane
-    can stop at most one iteration later than an uninterrupted run.
+    period-2 cycles, whose one-step change is the cycle amplitude;
+    permissive for monotone lanes, whose one-step change is smaller than
+    the two-step one) and is exact from the second on. A resumed lane can
+    therefore settle one iteration earlier or later than an uninterrupted
+    run; either way the prediction change at stop is below pred_rtol, so
+    outputs agree within the stop tolerance.
 
     With fcfg.qp_fused, iteration 0 is peeled out of the while_loop
     (peel_cold_start=True for fresh fits) so the in-loop iterations are

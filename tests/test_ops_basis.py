@@ -173,3 +173,49 @@ def test_beta_and_beta_rbf_derivatives_vs_autodiff(order):
         g = jax.grad(g)
     ad2 = np.array([float(g(float(v))) for v in y])
     assert np.allclose(np.asarray(d_brbf(y, mu, eps)), ad2, atol=1e-8)
+
+
+def test_fit_basis_functions_recovers_expansion():
+    """fit_basis_functions solves the bounded LS problem: synthesizing a
+    signal from a known nonnegative gaussian expansion and refitting it on
+    the same centers recovers the coefficients (reference basis.py:10-66)."""
+    from hybdrt_tpu.ops import basis as B
+    basis_x = np.linspace(-2, 2, 9)
+    coef_true = np.array([0.0, 0.1, 0.8, 0.3, 1.2, 0.05, 0.6, 0.0, 0.25])
+    x = np.linspace(-5, 5, 400)
+    eps = 1 / np.mean(np.diff(basis_x))
+    f = B.evaluate_basis_fit(np.concatenate(([0.0], coef_true)), x, basis_x,
+                             "gaussian", eps)
+    coef = B.fit_basis_functions(x, f, basis_x, "gaussian", eps, nonneg=True,
+                                 fit_intercept=False)
+    assert coef[0] == 0.0  # intercept slot padded
+    assert np.allclose(coef[1:], coef_true, atol=1e-5)
+
+
+def test_zga_approx_params_match_gaussian():
+    """The optimized Cole-Cole expansion approximates the gaussian RBF
+    closely over the fit window (reference basis.py:432-487,
+    drtbase.py:684-700)."""
+    from hybdrt_tpu.ops import basis as B
+    import jax.numpy as jnp
+    eps_exact = 2.0
+    x_basis, coef, eps = B.get_basis_approx_params(
+        "gaussian", "Cole-Cole", eps_exact, num_bases=7, basis_extent=2)
+    assert len(coef) == 8 and coef[0] == 0.0
+    assert 0 < eps < 1  # optimized shape parameter
+    y = np.linspace(-2 / eps_exact, 2 / eps_exact, 101)
+    f_exact = np.exp(-(eps_exact * y) ** 2)
+    phi_zga = B.get_basis_func("zga", (x_basis, coef, eps))
+    f_zga = np.asarray(phi_zga(jnp.asarray(y), eps_exact))
+    assert np.max(np.abs(f_zga - f_exact)) < 1e-2
+
+
+def test_drt_set_zga_params_computes():
+    """DRT.set_zga_params() with no tuple optimizes the approximation at the
+    model's tau_epsilon (reference drtbase.py:684-700)."""
+    from hybdrt_tpu import DRT
+    drt = DRT(fixed_basis_tau=np.logspace(-6, 1, 51))
+    drt.set_zga_params(num_bases=5)
+    x_basis, coef, eps = drt.zga_params
+    assert len(x_basis) == 5 and len(coef) == 6
+    assert 0 < eps <= 1

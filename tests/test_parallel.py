@@ -350,6 +350,26 @@ def test_adaptive_matches_plain_bitwise():
     assert np.array_equal(r_plain.converged, r_adapt.converged)
 
 
+def test_staged_matches_plain_bitwise():
+    """Single-dispatch staged compaction (adaptive="staged") must also
+    reproduce the uninterrupted trajectory exactly — gather/continue/scatter
+    and the full-width safety net are traced into one XLA program, but each
+    lane's math is unchanged (capacity overflow exercised: b=10 with caps
+    (5, 1) forces the safety net to finish real lanes)."""
+    freq, z, rs = _batch(10)
+    fitter = BatchedEISFitter(freq, max_iter=50)
+    r_plain = fitter.fit(z)
+    r_staged = fitter.fit(z, adaptive="staged", phase_budgets=(8, 20))
+    # Not bitwise: unlike the host-driven adaptive path (whose tails quantize
+    # to >= 32 lanes, i.e. full width here), staged stages really do run at
+    # width 8 and 2, and XLA's reduction tiling changes with batch width —
+    # measured ulp-level (~1e-13) differences only. Iteration counts and
+    # convergence flags must match exactly.
+    assert np.allclose(r_plain.x, r_staged.x, rtol=1e-9, atol=1e-11)
+    assert np.array_equal(r_plain.n_iter, r_staged.n_iter)
+    assert np.array_equal(r_plain.converged, r_staged.converged)
+
+
 def test_pred_stop_early_stop_accuracy():
     """Opt-in data-space stopping (prediction settled): most lanes stop
     early and predictions stay within noise of the full-budget fit."""
