@@ -70,11 +70,15 @@ class DRTMD:
         self.normalize_dop = normalize_dop
         self.step_model = step_model
         self.chrono_mode = chrono_mode
-        # Extra constructor kwargs forwarded to every batched fitter
+        # Extra kwargs forwarded to every batched fitter
         # (parallel/batch.py, parallel/ragged.py): the throughput knobs —
         # qp_max_iter / qp_max_iter_warm, pred_stop / pred_rtol, qp_fused,
-        # batch_bucket, max_iter, xtol. Defaults (empty) keep reference
-        # convergence semantics.
+        # batch_bucket, max_iter, xtol (constructor kwargs), plus the
+        # scheduling keys adaptive / phase_budgets / staged_capacities,
+        # which are routed to the fit() CALLS of the shared-grid fitters
+        # (e.g. adaptive="staged" for the single-dispatch compaction
+        # schedule; the ragged fallback ignores them). Defaults (empty)
+        # keep reference convergence semantics.
         self.batch_fit_kw = dict(batch_fit_kw or {})
 
         if chrono_reader is None:
@@ -581,7 +585,7 @@ class DRTMD:
         f0 = np.asarray(eiss[0][0])
         z_batch = np.stack([np.asarray(e[1]) for e in eiss])
         fitter = self._eis_fitter(f0, dtype=dtype, mesh=mesh)
-        result = fitter.fit(z_batch)
+        result = fitter.fit(z_batch, **self._split_batch_kw()[1])
         self._batch_fitter = fitter
         self._register_batch_fitter("eis", fitter)
         rzv_batch, _ = fitter.scale_batch(z_batch)
@@ -597,7 +601,7 @@ class DRTMD:
         i0 = np.asarray(chronos[0][1])
         v_batch = np.stack([np.asarray(c[2]) for c in chronos])
         fitter = self._hybrid_fitter(t0, i0, f0, dtype=dtype, mesh=mesh)
-        result = fitter.fit(v_batch, z_batch)
+        result = fitter.fit(v_batch, z_batch, **self._split_batch_kw()[1])
         self._batch_fitter = fitter
         self._register_batch_fitter("hybrid", fitter)
         rzv_batch, _ = fitter.scale_batch(v_batch, z_batch)
@@ -612,12 +616,33 @@ class DRTMD:
             self._batch_fitters = {}
         self._batch_fitters[key] = fitter
 
+    # batch_fit_kw keys consumed by the shared-grid fitters' fit() calls
+    # rather than their constructors (see batch_fit_kw comment in __init__)
+    _SCHEDULE_KEYS = ("adaptive", "phase_budgets", "staged_capacities")
+
+    def _split_batch_kw(self):
+        """(constructor kwargs, fit-call scheduling kwargs) from batch_fit_kw."""
+        ctor = {k: v for k, v in self.batch_fit_kw.items()
+                if k not in self._SCHEDULE_KEYS}
+        sched = {k: v for k, v in self.batch_fit_kw.items()
+                 if k in self._SCHEDULE_KEYS}
+        return ctor, sched
+
     def _batch_kw_sig(self):
         """Hashable signature of batch_fit_kw for the fitter cache key."""
+        def scalar(x):
+            return isinstance(x, (str, int, float, bool, type(None)))
+
+        def prim(v):
+            if isinstance(v, (list, tuple)):  # flat sequences only
+                return all(scalar(x) for x in v)
+            return scalar(v)
+
         kw = self.batch_fit_kw
-        if all(isinstance(v, (str, int, float, bool, type(None)))
-               for v in kw.values()):
-            return tuple(sorted(kw.items(), key=lambda kv: kv[0]))
+        if all(prim(v) for v in kw.values()):
+            return tuple(sorted(
+                ((k, tuple(v) if isinstance(v, (list, tuple)) else v)
+                 for k, v in kw.items()), key=lambda kv: kv[0]))
         return _UNCACHEABLE  # non-primitive values: opt the key out of caching
 
     def _struct_sig(self):
@@ -666,6 +691,7 @@ class DRTMD:
         # Normalize the key's dtype component: dtype=None resolves to f64 in
         # the factory, so None and an explicit float64 must share one entry
         dtype_key = str(jnp.dtype(dtype if dtype is not None else jnp.float64))
+        ctor_kw, _ = self._split_batch_kw()
         return self._cached_fitter(
             ("eis", f0.tobytes(), dtype_key,
              id(mesh) if mesh is not None else None,
@@ -677,7 +703,7 @@ class DRTMD:
                 fit_capacitance=self.fit_capacitance,
                 fit_dop=self.fit_dop, nonneg=self.fit_kw.get("nonneg", True),
                 dtype=dtype if dtype is not None else jnp.float64, mesh=mesh,
-                **self.batch_fit_kw))
+                **ctor_kw))
 
     def _hybrid_fitter(self, t0, i0, f0, dtype=None, mesh=None):
         """Shared-protocol hybrid fitter for this map's configuration
@@ -690,6 +716,7 @@ class DRTMD:
         # Normalize the key's dtype component: dtype=None resolves to f64 in
         # the factory, so None and an explicit float64 must share one entry
         dtype_key = str(jnp.dtype(dtype if dtype is not None else jnp.float64))
+        ctor_kw, _ = self._split_batch_kw()
         return self._cached_fitter(
             ("hybrid", t0.tobytes(), i0.tobytes(), f0.tobytes(), dtype_key,
              id(mesh) if mesh is not None else None,
@@ -700,7 +727,7 @@ class DRTMD:
                 fit_ohmic=self.fit_ohmic, fit_inductance=self.fit_inductance,
                 nonneg=self.fit_kw.get("nonneg", True),
                 dtype=dtype if dtype is not None else jnp.float64, mesh=mesh,
-                **self.batch_fit_kw))
+                **ctor_kw))
 
     def _store_uniform_result(self, fit_index, fitter, result, z_batch,
                               rzv_batch, is_hybrid, ignore_errors=False):
@@ -798,7 +825,7 @@ class DRTMD:
                 dtype=dtype if dtype is not None else jnp.float64, mesh=mesh,
                 step_model=self.step_model, chrono_mode=self.chrono_mode,
                 fixed_basis_nu=self.fixed_basis_nu, fit_kw=fit_kw,
-                **self.batch_fit_kw))
+                **self._split_batch_kw()[0]))
         observations = list(zip(chronos, eiss))
         result = fitter.fit(observations)
         self._ragged_fitter = fitter
@@ -1188,7 +1215,7 @@ class DRTMD:
                 nonneg=self.fit_kw.get("nonneg", True),
                 step_model=self.step_model, chrono_mode=self.chrono_mode,
                 fixed_basis_nu=self.fixed_basis_nu, fit_kw=fit_kw,
-                **self.batch_fit_kw)
+                **self._split_batch_kw()[0])
             self._ragged_fitter = fitter
         sys_ = fitter._prep_obs(attr["chrono_data"], attr["eis_data"])
 

@@ -262,10 +262,25 @@ class BatchedEISFitter:
         dop_gmat = None if self.dop_gmat is None \
             else jnp.asarray(self.dop_gmat, dtype=dtype)
         one = jnp.asarray(1.0, dtype=dtype)
+        rzm = self.rzm
+        rzm_vz = getattr(self, "rzm_vz", None)
+        vz_strength = getattr(self, "vz_strength_vec", None)
+        if rzm_vz is None:
+            rzm_vz = jnp.zeros_like(rzm)
+        if vz_strength is None:
+            vz_strength = jnp.ones(rzm.shape[0], dtype=dtype)
+        if self.fcfg.data_type == "hybrid" and self.fcfg.vz_offset:
+            # The loop carries rzm with its vz-offset column rewritten from
+            # the current iterate each iteration (fitcore._loop_body). That
+            # column is a pure function of state.x, so the interrupted rzm
+            # is reconstructed exactly here instead of materializing a
+            # per-lane (M, N) rzm across stage boundaries.
+            y_hat = rzm_vz @ state.x
+            vz_sep = y_hat.at[self.fcfg.num_chrono:].multiply(-1.0)
+            rzm = rzm.at[:, self.fcfg.vz_index].set(vz_sep * vz_strength)
         state, _ = fitcore.qphb_fit_loop_from_state(
-            state, self.rzm, rzv, self.vmm, self.m_stack, dop_gmat, self.l1v,
-            self.lb, self.hyp, est, jnp.zeros_like(self.rzm),
-            jnp.ones(self.rzm.shape[0], dtype=dtype), one, one, one,
+            state, rzm, rzv, self.vmm, self.m_stack, dop_gmat, self.l1v,
+            self.lb, self.hyp, est, rzm_vz, vz_strength, one, one, one,
             self.fcfg._replace(max_iter=stop_at),
             # pred_stop's prediction history is not part of the resumable
             # state; seeding it keeps the settled check within one iteration
@@ -369,8 +384,12 @@ class BatchedEISFitter:
         stops = ([*budgets[1:], max_iter] if budgets else [])
         n_dev = 1 if self.mesh is None else int(self.mesh.shape[sh.BATCH_AXIS])
         if capacities is None:
-            # Geometric shrink: b//2, b//8, b//32, ... (each stage quarters)
-            capacities = [b >> (2 * i + 1) for i in range(len(stops))]
+            # Geometric shrink: b//2, b//4, b//8, ... Halving per stage
+            # measured best on the bench workload — tighter caps push
+            # overflow lanes into the full-width safety net, which costs
+            # more than the slack capacity saves (quartering: 5094/s,
+            # halving: 6018/s, plain: 3526/s at B=1024 in one session)
+            capacities = [b >> (i + 1) for i in range(len(stops))]
         caps = []
         for c in capacities[:len(stops)]:
             c = min(max(int(c), 1), b)
@@ -476,8 +495,12 @@ class BatchedEISFitter:
             return result, history
 
         if adaptive == "staged":
+            # Default schedule measured best on the bench workload (B=1024,
+            # max_iter=50): 3 stages at (8, 14, 22) with halving capacities
+            # beat 2-stage (8, 16) and the 4-stage variants (6192/s vs
+            # 5635-4301/s in one session; plain 3432/s)
             states = self._fit_staged(
-                rzv, phase_budgets=(8, 16) if phase_budgets is None
+                rzv, phase_budgets=(8, 14, 22) if phase_budgets is None
                 else phase_budgets, capacities=staged_capacities)
         elif adaptive:
             states = self._fit_adaptive(
@@ -826,21 +849,31 @@ class BatchedHybridFitter:
         state, _, history = fitcore.qphb_fit_scan(*args)
         return state, history
 
-    def fit(self, v_batch, z_batch, return_states=False, return_history=False):
+    def fit(self, v_batch, z_batch, return_states=False, return_history=False,
+            adaptive=False, phase_budgets=None, staged_capacities=None):
         """Fit (B, n_times) responses + (B, n_freq) spectra; returns
         BatchFitResult (x in physical units). return_history=True appends a
         (B, max_iter, ...) per-iteration history dict (batched analog of
-        the reference's qphb_history, hybdrt/models/qphb.py:950-966)."""
+        the reference's qphb_history, hybdrt/models/qphb.py:950-966).
+
+        adaptive=True / adaptive="staged" enable the compacted-continuation
+        schedulers shared with BatchedEISFitter (see its fit docstring); the
+        hybrid continuation reconstructs the in-loop vz-offset column from
+        the resumed iterate, so lane trajectories stay identical to the
+        uninterrupted loop."""
         rzv, scale = self.scale_batch(v_batch, z_batch)
         b_orig = rzv.shape[0]
+        if return_history and adaptive:
+            raise ValueError("return_history is a fixed-length scan; "
+                             "use it without adaptive scheduling")
         if self.mesh is not None:
             rzv, _ = sh.pad_batch(rzv, self.mesh)
-            rzv_dev = sh.shard_batch(jnp.asarray(rzv, dtype=self.dtype), self.mesh)
-        else:
-            if self.batch_bucket and b_orig > 1 and not return_history:
-                rzv = _bucket_pad(rzv, b_orig)
-            rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
+        elif self.batch_bucket and b_orig > 1 and not return_history:
+            rzv = _bucket_pad(rzv, b_orig)
         if return_history:
+            rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
+            if self.mesh is not None:
+                rzv_dev = sh.shard_batch(rzv_dev, self.mesh)
             if not hasattr(self, "_fit_batch_history"):
                 self._fit_batch_history = jax.jit(
                     jax.vmap(self._fit_single_history))
@@ -851,13 +884,32 @@ class BatchedHybridFitter:
             if return_states:
                 return (*result, history)
             return result, history
-        states = self._fit_batch(rzv_dev)
+        if adaptive == "staged":
+            states = self._fit_staged(
+                rzv, phase_budgets=(8, 14, 22) if phase_budgets is None
+                else phase_budgets, capacities=staged_capacities)
+        elif adaptive:
+            states = self._fit_adaptive(
+                rzv, phase_budgets=(12, 24) if phase_budgets is None
+                else phase_budgets)
+        else:
+            rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
+            if self.mesh is not None:
+                rzv_dev = sh.shard_batch(rzv_dev, self.mesh)
+            states = self._fit_batch(rzv_dev)
         return BatchedEISFitter.collect(self, states, scale, b_orig,
                                         return_states=return_states)
 
-    # Reuse the EIS fitter's physical-units extraction and Rp helper
+    # Reuse the EIS fitter's physical-units extraction, Rp helper, and the
+    # compacted-continuation schedulers (the continuation body is shared;
+    # _cont_single reconstructs the hybrid vz-offset column from state)
     collect = BatchedEISFitter.collect
     predict_r_p = BatchedEISFitter.predict_r_p
+    _fit_phase_single = BatchedEISFitter._fit_phase_single
+    _cont_single = BatchedEISFitter._cont_single
+    _quantize_tail = staticmethod(BatchedEISFitter._quantize_tail)
+    _fit_adaptive = BatchedEISFitter._fit_adaptive
+    _fit_staged = BatchedEISFitter._fit_staged
 
 
 def _pfrt_sweep_single(fitter, rzv, factors, max_init_iter, max_iter_per_step,

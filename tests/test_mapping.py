@@ -554,6 +554,41 @@ def test_batch_fit_kw_forwards_throughput_knobs():
                        rtol=2e-3)
 
 
+def test_batch_fit_kw_routes_staged_scheduling():
+    """batch_fit_kw scheduling keys (adaptive/phase_budgets/
+    staged_capacities) are fit-call kwargs, not constructor kwargs: DRTMD
+    must route them to the shared-grid fitters' fit() calls, and the staged
+    single-dispatch schedule must reproduce the plain batched fit bitwise."""
+    rng = np.random.default_rng(13)
+
+    def build(**kw):
+        md = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+                   print_progress=False, **kw)
+        for k in range(5):
+            z = 0.35 + _zarc(FREQ, 1.0 + 0.1 * k, 10 ** (-2 + 0.3 * k))
+            z = z + (rng.normal(size=len(FREQ))
+                     + 1j * rng.normal(size=len(FREQ))) * 1e-3
+            md.add_observation([float(k)], None, (FREQ, z))
+        return md
+
+    rng = np.random.default_rng(13)
+    md_staged = build(batch_fit_kw={"adaptive": "staged",
+                                    "phase_budgets": (6, 15),
+                                    "staged_capacities": (3, 1)})
+    md_staged.fit_all(batched=True)
+    rng = np.random.default_rng(13)
+    md_plain = build()
+    md_plain.fit_all(batched=True)
+    assert md_staged.obs_fit_status.all()
+    # scheduling keys must not reach the fitter constructor
+    fitter = next(iter(md_staged._fitter_cache.values()))
+    assert not hasattr(fitter, "adaptive")
+    # near-bitwise: same trajectories, fusion differs across the gathered
+    # sub-batches (same tolerance as test_parallel staged parity)
+    assert np.allclose(md_staged.predict_r_p(), md_plain.predict_r_p(),
+                       rtol=1e-9, atol=1e-11)
+
+
 def test_fitter_cache_invalidated_by_structural_change():
     """Mutating structural model config (e.g. fit_dop) between fit_all calls
     must invalidate the cached batched fitters, which were assembled from the

@@ -370,6 +370,44 @@ def test_staged_matches_plain_bitwise():
     assert np.array_equal(r_plain.converged, r_staged.converged)
 
 
+def test_hybrid_staged_matches_plain_bitwise():
+    """Staged compaction on the HYBRID fitter: the continuation must
+    reconstruct the in-loop vz-offset column from the resumed iterate
+    (fitcore rewrites rzm[:, vz_index] from x each iteration), so the staged
+    trajectory matches the uninterrupted loop lane-for-lane."""
+    rng = np.random.default_rng(11)
+    times = np.concatenate([np.linspace(-0.005, -0.0005, 8),
+                            np.logspace(-5, 0, 60)])
+    i_sig = np.where(times >= 0, 0.1, 0.0)
+    freq2 = np.logspace(5, -1, 25)
+    w = 2j * np.pi * freq2
+
+    def sim(seed):
+        r = np.random.default_rng(seed)
+        tau0 = 10 ** r.uniform(-3, -2)
+        r0 = r.uniform(1.0, 2.0)
+        v = 0.3 * i_sig + 0.1 * r0 * (1 - np.exp(-np.maximum(times, 0) / tau0)) \
+            * (times >= 0) + r.normal(0, 2e-4, len(times))
+        z_ = 0.3 + r0 / (1 + (w * tau0) ** 1.0) \
+            + r.normal(0, 1e-3, 25) + 1j * r.normal(0, 1e-3, 25)
+        return v, z_
+
+    vs, zs = zip(*[sim(100 + i) for i in range(6)])
+    from hybdrt_tpu.parallel.batch import BatchedHybridFitter
+    fitter = BatchedHybridFitter(times, i_sig, freq2, max_iter=50)
+    r_plain = fitter.fit(np.stack(vs), np.stack(zs))
+    # caps (3, 1) force capacity overflow through the full-width safety net
+    r_staged = fitter.fit(np.stack(vs), np.stack(zs), adaptive="staged",
+                          phase_budgets=(6, 15), staged_capacities=(3, 1))
+    assert np.allclose(r_plain.x, r_staged.x, rtol=1e-9, atol=1e-11)
+    assert np.array_equal(r_plain.n_iter, r_staged.n_iter)
+    assert np.array_equal(r_plain.converged, r_staged.converged)
+    r_adapt = fitter.fit(np.stack(vs), np.stack(zs), adaptive=True,
+                         phase_budgets=(6, 15))
+    assert np.array_equal(r_plain.x, r_adapt.x)
+    assert np.array_equal(r_plain.n_iter, r_adapt.n_iter)
+
+
 def test_pred_stop_early_stop_accuracy():
     """Opt-in data-space stopping (prediction settled): most lanes stop
     early and predictions stay within noise of the full-budget fit."""
