@@ -451,6 +451,28 @@ def test_qp_fused_matches_plain():
     assert np.max(np.abs(z_p - z_f)) < 2e-3
 
 
+def test_staged_composes_with_qp_fused():
+    """Staged compaction under the fused fixed-count warm QP path: stage 1
+    peels the cold start (qphb_fit_loop with fcfg.qp_fused), continuations
+    resume statically warm (peel_cold_start=False), so the staged-fused
+    trajectory matches the uninterrupted fused loop lane-for-lane. This is
+    the combination the fused kernel was promoted for (experiments/README:
+    per-iteration win that needs the compaction scheduler to contain
+    trajectory stragglers). pred_stop is OFF here: its prediction history
+    re-seeds at stage boundaries (lanes may settle +-1 iteration, see
+    qphb_fit_loop_from_state), which would mask trajectory bugs."""
+    freq, z, rs = _batch(8, seed=7)
+    fused = BatchedEISFitter(freq, qp_max_iter=20, qp_max_iter_warm=8,
+                             qp_fused=True)
+    r_plain = fused.fit(z)
+    # caps (3, 1) force capacity overflow through the full-width safety net
+    r_staged = fused.fit(z, adaptive="staged", phase_budgets=(6, 15),
+                         staged_capacities=(3, 1))
+    assert np.allclose(r_plain.x, r_staged.x, rtol=1e-9, atol=1e-11)
+    assert np.array_equal(r_plain.n_iter, r_staged.n_iter)
+    assert np.array_equal(r_plain.converged, r_staged.converged)
+
+
 def test_batch_bucket_pads_and_matches_unbucketed():
     """batch_bucket pads the batch axis to the next power of two by
     repeating lane 0 (so incremental batch sizes reuse compiled shapes);
