@@ -143,8 +143,12 @@ def main():
     # tens of minutes; if even the best rep is absurdly slow, back off and
     # retry a couple of times rather than recording the degraded window.
     def timed_reps():
+        # 8 reps (~0.2-0.3 s each): single-rep timings on the shared
+        # tunneled chip vary ~2x within a session, so best-of-3 regularly
+        # lands in a contention pocket; 8 samples cost ~2 s and make the
+        # best rep reflect the hardware
         times = []
-        for _ in range(3):
+        for _ in range(8):
             t0 = time.time()
             fit()
             times.append(time.time() - t0)
