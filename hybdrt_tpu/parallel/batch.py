@@ -25,7 +25,7 @@ from ..utils.device import host_cpu, on_host
 _PACK_JITS = {}
 
 
-def _fetch_states(states):
+def _fetch_states(states, drop=()):
     """Transfer a device FitState to host as ONE packed array.
 
     collect() reads ~11 state fields; a per-field ``np.asarray`` costs one
@@ -35,11 +35,19 @@ def _fetch_states(states):
     transferring once cuts it to ~0.07 s. Casts are exact: ``it`` < 2**24
     in float32, ``converged`` is 0/1.
 
+    ``drop`` names fields to leave OUT of the transfer (returned as None):
+    the QP warm-start duals and outlier weights are a third of the packed
+    bytes but are only consumed device-side, so the default collect path
+    skips them (return_states=True keeps everything).
+
     Returns the same NamedTuple type with host numpy fields. No-op when the
     state is already on host (adaptive scheduling assembles host arrays).
     """
     if isinstance(states.x, np.ndarray):
         return states
+    if drop:
+        states = states._replace(**{f: None for f in drop
+                                    if getattr(states, f) is not None})
     fields = [f for f in states._fields if getattr(states, f) is not None]
     dtype = states.x.dtype  # f32 on TPU, f64 on the CPU parity path
     shapes = tuple((f, tuple(getattr(states, f).shape)) for f in fields)
@@ -514,7 +522,11 @@ class BatchedEISFitter:
         return self.collect(states, scale, b_orig, return_states=return_states)
 
     def collect(self, states, scale, b_orig, return_states=False):
-        states = _fetch_states(states)  # ONE device->host transfer
+        # ONE device->host transfer; the warm-start duals and outlier
+        # weights (~1/3 of the packed bytes) are only needed when the
+        # caller keeps the raw states
+        states = _fetch_states(
+            states, drop=() if return_states else ("qp_dual", "outlier_t"))
         x_full = np.asarray(states.x)[:b_orig]
         scale = np.asarray(scale)[:b_orig]
         ns = self.num_special

@@ -682,7 +682,10 @@ class BatchedRaggedFitter:
 
     def collect(self, states, b_orig, row_factors=None, return_states=False):
         from .batch import _fetch_states
-        states = _fetch_states(states)  # ONE device->host transfer
+        # ONE device->host transfer; duals/outlier weights only ride along
+        # when the caller keeps the raw states (see batch._fetch_states)
+        states = _fetch_states(
+            states, drop=() if return_states else ("qp_dual", "outlier_t"))
         x_full = np.asarray(states.x)[:b_orig]
         scale = self._scales[:b_orig]
         ns = self.cfg.num_special
