@@ -445,6 +445,37 @@ class DrtScorer:
         }
         return self.results_
 
+    def get_regression_vector(self, model_name, tau_reg=None, discretize=False):
+        """Distribution (or discretized relaxation-mass) vector of the exact
+        or estimated model over ``tau_reg`` (reference evaluation.py:214).
+        Falls back to the vectors stored by the last evaluate call when no
+        model instance is available."""
+        if model_name not in ("exact", "est"):
+            raise ValueError(f"Invalid model_name {model_name}: "
+                             "must be 'exact' or 'est'")
+        last = getattr(self, "_last_eval", None)
+        if tau_reg is None:
+            if last is None:
+                raise ValueError("No stored tau_reg; pass tau_reg or run an "
+                                 "evaluate call first")
+            tau_reg = last["tau_reg"]
+        tau_reg = np.asarray(tau_reg, dtype=float)
+        model = getattr(self, f"{model_name}_model", None)
+        if model is not None and (callable(model)
+                                  or hasattr(model, "predict_distribution")):
+            if discretize:
+                if hasattr(model, "predict_mass"):
+                    return np.asarray(model.predict_mass(tau_reg))
+                return discretize_distribution(
+                    tau_reg, self._gamma_of(model, tau_reg),
+                    getattr(model, "singularity_info", None))
+            return self._gamma_of(model, tau_reg)
+        if last is None or not np.array_equal(tau_reg, last["tau_reg"]):
+            raise ValueError("No model instance available for prediction "
+                             "over a custom tau array")
+        y = last[f"y_{model_name}"].copy()
+        return discretize_distribution(tau_reg, y) if discretize else y
+
     @property
     def metric_summary(self):
         """Flat merged metric dict of the last evaluation (reference

@@ -1830,16 +1830,56 @@ class DRTMD:
         "obs_fit_attr",
     ]
 
-    def get_attributes(self):
-        return {k: getattr(self, k) for k in self._persist_attrs}
+    @property
+    def attribute_categories(self):
+        """Persistable attributes grouped by category (reference
+        drtmd.py:1348). Category names match the reference so
+        ``get_attributes('config')`` etc. behave identically."""
+        fit_keys = {"obs_fit_status", "obs_fit_attr", "obs_fit_badness",
+                    "obs_tau_indices", "obs_x", "obs_special", "obs_drt_var",
+                    "obs_resolve_status", "obs_x_resolved",
+                    "obs_special_resolved", "obs_x_filt", "obs_special_filt",
+                    "obs_llh", "obs_rss"}
+        obs_keys = {"obs_psi", "obs_data", "obs_group_id", "obs_ignore_flag",
+                    "obs_data_badness"}
+        return {
+            "config": [k for k in self._persist_attrs
+                       if k not in fit_keys and k not in obs_keys],
+            "obs_data": [k for k in self._persist_attrs if k in obs_keys],
+            "fit": [k for k in self._persist_attrs if k in fit_keys],
+        }
+
+    def _category_attr_names(self, which):
+        if which is None or which == "all":
+            return list(self._persist_attrs)
+        if isinstance(which, str):
+            which = [which]
+        cats = self.attribute_categories
+        try:
+            return sum([cats[c] for c in which], [])
+        except KeyError:
+            raise ValueError(
+                "Invalid attribute category; valid: "
+                f"{['all'] + list(cats.keys())}")
+
+    def get_attributes(self, which=None):
+        """Attribute dict, optionally restricted to a category or list of
+        categories ('config' | 'obs_data' | 'fit' | 'all'; reference
+        drtmd.py:1382)."""
+        return {k: getattr(self, k) for k in self._category_attr_names(which)}
 
     def set_attributes(self, att_dict):
         for k, v in att_dict.items():
             setattr(self, k, v)
 
-    def save_attributes(self, dest):
+    def save_attributes(self, which, dest=None):
+        """Pickle attributes to ``dest``. Reference signature is
+        ``save_attributes(which, dest)`` (drtmd.py:1418); calling with a
+        single path argument saves everything."""
+        if dest is None:
+            which, dest = None, which
         with open(dest, "wb") as f:
-            pickle.dump(self.get_attributes(), f)
+            pickle.dump(self.get_attributes(which), f)
 
     def load_attributes(self, source):
         """Set attributes from a pickle written by save_attributes; overwrites

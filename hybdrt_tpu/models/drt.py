@@ -284,6 +284,42 @@ class DRT:
     def set_raw_input_signal(self, value):
         self.raw_input_signal = value
 
+    # Prediction-grid accessors (reference drtbase.py:828-1105). The
+    # reference routes these through matrix-recalc flags; here prediction
+    # matrices are cached by grid signature, so they are simple views that
+    # set the default grids predict_response/predict_z use when called
+    # without explicit times/frequencies.
+    def get_t_predict(self):
+        return getattr(self, "_t_predict", None)
+
+    def set_t_predict(self, times):
+        self._t_predict = None if times is None else np.asarray(times)
+
+    def get_f_predict(self):
+        return getattr(self, "_f_predict", None)
+
+    def set_f_predict(self, frequencies):
+        self._f_predict = None if frequencies is None \
+            else np.asarray(frequencies)
+
+    def get_chrono_mode_predict(self):
+        return getattr(self, "_chrono_mode_predict", self.chrono_mode)
+
+    def set_chrono_mode_predict(self, chrono_mode):
+        from ..utils import validation
+        validation.check_ctrl_mode(chrono_mode)
+        if self.chrono_mode is not None and chrono_mode != self.chrono_mode:
+            raise ValueError("Use of different operation modes for fitting "
+                             "and predicting is not supported")
+        self._chrono_mode_predict = chrono_mode
+
+    def get_raw_prediction_input_signal(self):
+        return getattr(self, "_raw_prediction_input_signal", None)
+
+    def set_raw_prediction_input_signal(self, input_signal):
+        self._raw_prediction_input_signal = None if input_signal is None \
+            else np.array(input_signal, copy=True)
+
     def get_fit_frequencies(self, return_none=False):
         if len(np.atleast_1d(self.f_fit)) == 0:
             return None if return_none else np.array([])
@@ -1965,9 +2001,13 @@ class DRT:
         return rm
 
     @on_host
-    def predict_z(self, frequencies, include_vz_offset=True, x=None, include_dop=True,
-                  include_drt=True, include_inductance=True, include_ohmic=True,
-                  include_cap=True):
+    def predict_z(self, frequencies=None, include_vz_offset=True, x=None,
+                  include_dop=True, include_drt=True, include_inductance=True,
+                  include_ohmic=True, include_cap=True):
+        if frequencies is None:
+            frequencies = self.get_f_predict()
+            if frequencies is None:
+                frequencies = self.get_fit_frequencies()
         frequencies = np.asarray(frequencies)
         zm = self._get_impedance_pred_matrix(frequencies)
 
@@ -2005,7 +2045,9 @@ class DRT:
                          include_vz_offset=True, subtract_background=False, v_baseline=None):
         """Predicted chrono response (reference drt1d.py:3363-3499)."""
         if times is None:
-            times = self.get_fit_times()
+            times = self.get_t_predict()
+            if times is None:
+                times = self.get_fit_times()
         times = np.asarray(times)
         step_times = self.step_times if step_times is None else step_times
         step_sizes = self.step_sizes if step_sizes is None else step_sizes

@@ -323,6 +323,27 @@ def model_distribution_function(model_string):
 # ------------------------------------------------------------------
 # Constraint transforms (reference elements.py:2301-2360)
 # ------------------------------------------------------------------
+def constraint_transform(x, bounds, inverse):
+    """Scalar logit constraint transform (reference elements.py:2278).
+    inverse=True maps unbounded -> bounded space."""
+    lb = max(bounds[0], -1e6)
+    ub = min(bounds[1], 1e6)
+    if inverse:
+        e = np.exp(x)
+        return (ub * e + lb) / (1 + e)
+    return np.log((x - lb) / (ub - x))
+
+
+def scale_parameter_to_data(x, parameter_type, rp_scale, inverse):
+    """Scale one parameter between data-normalized and physical units
+    (reference elements.py:2357)."""
+    if parameter_type in ("R", "P", "Cinv"):
+        return x * rp_scale if inverse else x / rp_scale
+    if parameter_type == "lnL":
+        return x + np.log(rp_scale) if inverse else x - np.log(rp_scale)
+    return x
+
+
 def get_constraint_transforms(bounds, max_bound=1e6):
     """Vectorized logit transform pair mapping bounded params <-> R^n."""
     lb = jnp.asarray([max(b[0], -max_bound) for b in bounds])
@@ -364,6 +385,12 @@ class DiscreteElementModel:
         self.weights = None
         self.drt_estimates = None
         self.hess_ = None
+        # Data-scaling state (reference elements.py:545-612). This
+        # implementation fits in physical units with explicit residual
+        # weighting, so rp_scale stays 1 unless scale_data() is called.
+        self.rp_scale = 1.0
+        self.scaled_bounds = None
+        self.prior_params = None
 
     @property
     def num_params(self):
@@ -651,6 +678,8 @@ class DiscreteElementModel:
             prior_w = jnp.asarray(
                 prior_strength / np.maximum(np.abs(x0), 1e-8))
             x0_prior = jnp.asarray(x0)
+            self.prior_params = {"mu": np.asarray(x0, dtype=float),
+                                 "weights": np.asarray(prior_w)}
             data_resid = resid_fn
 
             def resid_fn(y):
@@ -783,11 +812,31 @@ class DiscreteElementModel:
         return float(r @ r)
 
     @on_host
-    def evaluate_llh(self, x=None, include_constants=False):
-        rss = self.evaluate_rss(x)
-        llh = -0.5 * rss + np.sum(np.log(self.weights))
+    def evaluate_llh(self, x=None, weights=None, marginalize_weights=False,
+                     alpha_0=1, beta_0=1, include_constants=False):
+        """Gaussian log-likelihood of the fitted spectrum; with
+        marginalize_weights=True the noise scale is marginalized under an
+        inverse-gamma prior (reference elements.py:1228-1258)."""
+        if weights is None:
+            weights = self.weights
+            rss = self.evaluate_rss(x)
+        else:
+            weights = np.asarray(weights)
+            resid = self._make_phys_resid(self.f_fit, self.z_fit, weights)
+            r = np.asarray(resid(jnp.asarray(self.get_parameter_values(x))))
+            rss = float(r @ r)
+        n = weights.size
+        if marginalize_weights:
+            from scipy import special
+            alpha_n = alpha_0 - 1 + n / 2
+            beta_n = beta_0 + 0.5 * rss
+            llh = alpha_0 * np.log(beta_0) - alpha_n * np.log(beta_n) \
+                + special.loggamma(alpha_n) - special.loggamma(alpha_0)
+        else:
+            llh = -0.5 * rss
+        llh += np.sum(np.log(weights))
         if include_constants:
-            llh -= 0.5 * len(self.weights) * np.log(2 * np.pi)
+            llh -= 0.5 * n * np.log(2 * np.pi)
         return llh
 
     def evaluate_bic(self, x=None):
@@ -1001,6 +1050,286 @@ class DiscreteElementModel:
     def get_parameter_dict(self, x=None):
         x = self.get_parameter_values(x)
         return dict(zip(self.parameter_names, x))
+
+    @property
+    def parameter_dict(self):
+        """name -> fitted value mapping (reference elements.py:325)."""
+        return self.get_parameter_dict()
+
+    @property
+    def drt_elements(self):
+        """Names of elements with a relaxation distribution
+        (reference elements.py:329)."""
+        return [n for n, t in zip(self.element_names, self.element_types)
+                if element_has_distribution(t)]
+
+    # -- per-element parameter introspection (reference elements.py:338-470)
+    def _element_param_slice(self, element_name):
+        try:
+            i = self.element_names.index(element_name)
+        except ValueError:
+            raise ValueError(f"No element named {element_name} in model")
+        return self.parameter_indices[i]
+
+    def get_element_parameter_values(self, element_name, x=None):
+        """Parameter values belonging to one element (reference
+        elements.py:338)."""
+        i0, i1 = self._element_param_slice(element_name)
+        return self.get_parameter_values(x)[i0:i1]
+
+    def get_element_parameter_types(self, element_name):
+        """Parameter type strings for one element (reference
+        elements.py:346)."""
+        i0, i1 = self._element_param_slice(element_name)
+        return self.parameter_types[i0:i1]
+
+    def get_element_bounds(self, element_name):
+        """Bounds tuples for one element's parameters (reference
+        elements.py:435)."""
+        i0, i1 = self._element_param_slice(element_name)
+        return [self.parameter_bounds[k] for k in range(i0, i1)]
+
+    # -- parameter/data scaling (reference elements.py:351-612) --------
+    def transform_parameters(self, x, inverse, num_spectra: int = 1):
+        """Map parameters between bounded (physical) and unbounded (logit)
+        space, vectorized over stacked spectra (reference elements.py:351;
+        the reference loops a scalar constraint_transform per parameter)."""
+        x = np.asarray(x, dtype=float)
+        if len(x) != self.num_parameters * num_spectra:
+            raise ValueError(f"Expected {self.num_parameters * num_spectra} "
+                             f"parameters, received {len(x)}")
+        bounds = self.scaled_bounds if self.scaled_bounds is not None \
+            else self.parameter_bounds
+        transform, inv_transform = get_constraint_transforms(bounds)
+        fn = inv_transform if inverse else transform
+        xr = x.reshape(num_spectra, self.num_parameters)
+        return np.concatenate([np.asarray(fn(jnp.asarray(row))) for row in xr])
+
+    def scale_parameters_to_data(self, x, inverse, apply_scaling,
+                                 num_spectra: int = 1):
+        """Scale resistance-like parameters by rp_scale (reference
+        elements.py:366). inverse=True maps scaled -> physical."""
+        x = np.asarray(x, dtype=float)
+        if len(x) != self.num_parameters * num_spectra:
+            raise ValueError(f"Expected {self.num_parameters * num_spectra} "
+                             f"parameters, received {len(x)}")
+        if not apply_scaling:
+            return x
+        types = np.tile(np.array(self.parameter_types), num_spectra)
+        out = x.copy()
+        rlike = np.isin(types, ("R", "P", "Cinv"))
+        out[rlike] = x[rlike] * self.rp_scale if inverse \
+            else x[rlike] / self.rp_scale
+        lnl = types == "lnL"
+        out[lnl] = x[lnl] + (np.log(self.rp_scale) if inverse
+                             else -np.log(self.rp_scale))
+        return out
+
+    def scale_bounds_to_data(self, bounds, inverse, apply_scaling):
+        """Scale bound tuples the same way as the parameters they bound
+        (reference elements.py:378)."""
+        if len(bounds) != self.num_parameters:
+            raise ValueError(f"Expected {self.num_parameters} bounds, "
+                             f"received {len(bounds)}")
+        if not apply_scaling:
+            return bounds
+        lo = self.scale_parameters_to_data(
+            np.array([b[0] for b in bounds]), inverse, True)
+        hi = self.scale_parameters_to_data(
+            np.array([b[1] for b in bounds]), inverse, True)
+        return [(float(a), float(b)) for a, b in zip(lo, hi)]
+
+    def get_parameter_scales(self, parameter_values, num_spectra: int = 1):
+        """Magnitude scales per parameter for optimizer/Hessian conditioning
+        (reference elements.py:393)."""
+        types = np.tile(np.array(self.parameter_types), num_spectra)
+        scales = np.abs(np.asarray(parameter_values, dtype=float))
+        scales[types == "alpha"] = 2
+        scales[np.isin(types, ("beta", "lntau", "lnL"))] = 1
+        scales[types == "R"] *= 2
+        return scales
+
+    def scale_data(self, times, i_signal, v_signal, chrono_weights,
+                   step_times, step_sizes, z, eis_weights, apply_scaling,
+                   chrono_mode="galv"):
+        """Estimate rp_scale from the data and return scaled copies of the
+        inputs (reference elements.py:545-612). Sets self.rp_scale and
+        self.scaled_bounds; this implementation's own fitters work in
+        physical units, so this is only engaged when a reference-style
+        scaled workflow calls it explicitly."""
+        from .. import preprocessing as pp
+        from ..utils import chrono as chrono_utils
+        if apply_scaling:
+            if times is not None:
+                _, response_signal = chrono_utils.get_input_and_response(
+                    i_signal, v_signal, chrono_mode)
+            else:
+                response_signal = None
+            self.rp_scale = pp.estimate_rp(times, step_times, step_sizes,
+                                           response_signal, self.step_model, z)
+        else:
+            self.rp_scale = 1.0
+
+        if times is not None:
+            input_signal, response_signal = chrono_utils.get_input_and_response(
+                i_signal, v_signal, chrono_mode)
+            if apply_scaling:
+                input_scale = np.mean(np.abs(step_sizes)) \
+                    if step_sizes is not None and len(step_sizes) else 1.0
+                response_scale = input_scale * self.rp_scale
+            else:
+                input_scale = response_scale = 1.0
+            scaled_input = input_signal / input_scale
+            scaled_response = response_signal / response_scale
+            scaled_chrono_weights = None if chrono_weights is None \
+                else chrono_weights * response_scale
+            if chrono_mode == "galv":
+                scaled_i, scaled_v = scaled_input, scaled_response
+            else:
+                scaled_i, scaled_v = scaled_response, scaled_input
+        else:
+            scaled_i = scaled_v = scaled_chrono_weights = None
+
+        if z is not None:
+            z_scaled = z / self.rp_scale
+            scaled_eis_weights = None if eis_weights is None \
+                else eis_weights * self.rp_scale
+        else:
+            z_scaled = scaled_eis_weights = None
+
+        self.scaled_bounds = self.scale_bounds_to_data(
+            self.parameter_bounds, False, apply_scaling)
+        return scaled_i, scaled_v, scaled_chrono_weights, z_scaled, \
+            scaled_eis_weights
+
+    # -- error-structure weights / Laplace machinery -------------------
+    def estimate_eis_weights(self, epsilon=0.25, reim_cor=0.25,
+                             error_structure=None):
+        """Concatenated [re; im] residual weights 1/sigma from the fitted
+        error structure (reference elements.py:1221)."""
+        sigma = self.predict_sigma(epsilon, reim_cor, error_structure)
+        if sigma is None:
+            raise ValueError("No fitted EIS data to estimate weights from")
+        sigma_flat = np.concatenate([sigma.real, sigma.imag])
+        return 1.0 / np.maximum(sigma_flat, 1e-300)
+
+    @on_host
+    def evaluate_hessian(self, weights=None, include_prior=False, x=None):
+        """Hessian of the log-likelihood wrt the physical parameters via
+        autodiff (reference elements.py:1265 assembles it from hand-written
+        per-element second derivatives). Negative-definite near an optimum."""
+        if self.f_fit is None or self.z_fit is None or np.ndim(self.z_fit) != 1:
+            raise ValueError("No single-spectrum fit data")
+        if weights is None:
+            weights = self.weights
+        x = self.get_parameter_values(x)
+        resid = self._make_phys_resid(self.f_fit, self.z_fit,
+                                      np.asarray(weights))
+
+        def llh(xv):
+            r = resid(xv)
+            return -0.5 * jnp.sum(r ** 2)
+
+        hess = np.asarray(jax.hessian(llh)(jnp.asarray(x)))
+        if include_prior and self.prior_params is not None:
+            hess -= np.diag(np.asarray(self.prior_params["weights"]) ** 2)
+        return hess
+
+    @on_host
+    def estimate_lml(self, weights=None, scale_hessian=False,
+                     include_prior=True, **kw):
+        """Laplace marginal likelihood from the autodiff Hessian
+        (reference elements.py:1279). evaluate_lml remains the simpler
+        Gauss-Newton variant with an explicit broad prior."""
+        if weights is None:
+            weights = self.weights
+        llh = self.evaluate_llh(weights=weights, **kw)
+        hess = self.evaluate_hessian(weights, include_prior)
+        if scale_hessian:
+            sm = np.diag(self.get_parameter_scales(self.parameter_values))
+            hess = sm @ hess @ sm
+        prec = -hess
+        if include_prior and self.prior_params is not None:
+            mu = np.asarray(self.prior_params["mu"])
+            pw = np.asarray(self.prior_params["weights"])
+            lp_theta = -0.5 * np.sum((pw * (self.parameter_values - mu)) ** 2)
+        else:
+            lp_theta = 0.0
+        diag = np.diag(prec).copy()
+        prec[np.diag_indices_from(prec)] = np.where(diag == 0, 1e-15, diag)
+        sign, log_det = np.linalg.slogdet(2 * np.pi * prec)
+        if sign < 0:
+            import warnings
+            warnings.warn("Precision-matrix determinant is negative; the "
+                          "solution may be suboptimal. Check the fit and LML")
+        return llh + lp_theta - 0.5 * log_det
+
+    # -- element-distribution plotting tail (reference elements.py:1456-1676)
+    def plot_element_distributions(self, tau=None, **kw):
+        """Deprecated reference name for plot_element_drts
+        (reference elements.py:1456)."""
+        import warnings
+        warnings.warn("plot_element_distributions is deprecated; use "
+                      "plot_element_drts", DeprecationWarning)
+        return self.plot_element_drts(tau=tau, **kw)
+
+    def fill_element_drts(self, tau=None, element_names=None, x=None, ax=None,
+                          ppd=20, y_offset=0, normalize=False,
+                          return_patches=False, kw_list=None, **common_kw):
+        """Filled per-element DRT areas (reference elements.py:1582)."""
+        import matplotlib.pyplot as plt
+        if tau is None:
+            _, tau = self.predict_distribution(x=x, ppd=ppd, return_tau=True)
+        tau = np.asarray(tau, dtype=float)
+        if element_names is None:
+            element_names = self.drt_elements
+        if kw_list is None:
+            kw_list = [{} for _ in element_names]
+        if len(kw_list) != len(element_names):
+            raise ValueError(f"Length of kw_list ({len(kw_list)}) must match "
+                             f"number of elements ({len(element_names)})")
+        norm = self.predict_r_p(x=x) if normalize else 1.0
+        if ax is None:
+            _, ax = plt.subplots(figsize=(4, 3))
+        patches = []
+        for name, el_kw in zip(element_names, kw_list):
+            g = np.asarray(self.predict_element_drt(tau, name, x=x)) / norm
+            g = np.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0)
+            patches.append(ax.fill_between(tau, y_offset, g + y_offset,
+                                           **{**common_kw, **el_kw}))
+        ax.set_xscale("log")
+        ax.set_xlabel(r"$\tau$ (s)")
+        ax.set_ylabel(r"$\gamma \, / \, R_p$" if normalize
+                      else r"$\gamma$ ($\Omega$)")
+        return (ax, patches) if return_patches else ax
+
+    def fill_element_distributions(self, tau=None, **kw):
+        """Deprecated reference name for fill_element_drts
+        (reference elements.py:1574)."""
+        import warnings
+        warnings.warn("fill_element_distributions is deprecated; use "
+                      "fill_element_drts", DeprecationWarning)
+        return self.fill_element_drts(tau=tau, **kw)
+
+    def plot_singularities(self, ax, scale_factor=1, scale=None, x=None,
+                           y_offset=0, **kw):
+        """Vertical markers at delta-like (singular) element locations
+        (reference elements.py:1656)."""
+        info = self.get_singularity_info(x)
+        if not info:
+            return ax
+        for r, tau_s in info:
+            y_start = (float(np.asarray(
+                self.predict_drt(np.array([tau_s * (1 + 1e-3)]), x=x))[0])
+                + y_offset) / scale_factor
+            if scale is not None:
+                y_end = (np.sign(r) * scale + y_offset) / scale_factor
+            elif abs(r) > 0:
+                y_end = ax.get_ylim()[int(0.5 * (1 + np.sign(r)))]
+            else:
+                y_end = y_start
+            ax.plot([tau_s, tau_s], [y_start, y_end], **kw)
+        return ax
 
     def __repr__(self):
         return f"DiscreteElementModel({self.model_string!r})"

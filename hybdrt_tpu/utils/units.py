@@ -75,3 +75,50 @@ def get_scaled_value_and_prefix(value, min_factor=None, max_factor=None):
 
 
 ALL_PREFIXES = [get_prefix_char(v) for v in UnitPrefix.scale_map.values()]
+
+
+# ------------------------------------------------------------------
+# Reference utils/scale.py surface (deprecated there in favor of this
+# module; kept so reference plotting workflows port unchanged).
+# ------------------------------------------------------------------
+_PREFIX_POWER = {"n": -3, r"$\mu$": -2, "m": -1, "": 0, "k": 1, "M": 2, "G": 3}
+_POWER_PREFIX = {v: k for k, v in _PREFIX_POWER.items()}
+
+
+def _scale_power(y):
+    y = np.asarray(y)
+    if np.iscomplexobj(y) and np.max(np.abs(y.imag)) > 0:
+        y = np.concatenate((y.real, y.imag))
+    m = np.max(np.abs(y))
+    if m == 0 or not np.isfinite(m):
+        return 0
+    return int(np.floor(np.log10(m) / 3))
+
+
+def get_scale_prefix(y):
+    """SI prefix string for an array's magnitude (reference
+    utils/scale.py:7)."""
+    return _POWER_PREFIX.get(_scale_power(y), "")
+
+
+def get_scale_factor(y):
+    """Numeric scale factor 10^(3k) for an array (reference
+    utils/scale.py:17)."""
+    return 10.0 ** (3 * _scale_power(y))
+
+
+def get_factor_from_prefix(prefix):
+    """Numeric factor for an SI prefix string (reference
+    utils/scale.py:31)."""
+    return 10.0 ** (3 * _PREFIX_POWER[prefix])
+
+
+def get_scale_prefix_and_factor(y):
+    prefix = get_scale_prefix(y)
+    return prefix, get_factor_from_prefix(prefix)
+
+
+def get_common_scale_prefix(y_list, aggregate="max"):
+    """Common prefix over multiple arrays (reference utils/scale.py:37)."""
+    powers = [_scale_power(y) for y in y_list]
+    return _POWER_PREFIX.get(int(getattr(np, aggregate)(powers)), "")
