@@ -827,7 +827,10 @@ class DRTMD:
                 fixed_basis_nu=self.fixed_basis_nu, fit_kw=fit_kw,
                 **self._split_batch_kw()[0]))
         observations = list(zip(chronos, eiss))
-        result = fitter.fit(observations)
+        # Scheduling keys (adaptive/phase_budgets/staged_capacities) apply to
+        # the ragged fitter too: adaptive="staged" runs the single-dispatch
+        # compacted-continuation schedule (parallel/ragged.py _fit_staged)
+        result = fitter.fit(observations, **self._split_batch_kw()[1])
         self._ragged_fitter = fitter
 
         if self.obs_special is None:

@@ -518,9 +518,13 @@ class BatchedRaggedFitter:
         return rzm
 
     # ------------------------------------------------------------------
-    def _fit_single(self, rzv, rzm, vmm, rzm_vz, vz_strength, vz_sign,
+    def _loop_setup(self, rzv, rzm, vmm, rzm_vz, vz_strength, vz_sign,
                     chrono_row_mask, row_mask, col_mask, l1v, lb, var_floor,
-                    host_row_factors=None, m_stack=None, with_history=False):
+                    host_row_factors=None, m_stack=None):
+        """Per-lane solver inputs shared by the plain, history, staged-phase
+        and continuation entry points: weight initialization, hybrid row
+        factors, and the positional/keyword argument packs for
+        fitcore.qphb_fit_loop."""
         cfg = self.cfg
         n = rzm.shape[1]
         dtype = rzv.dtype
@@ -568,23 +572,156 @@ class BatchedRaggedFitter:
         loop_kw = dict(col_mask=col_mask, var_floor=var_floor,
                        row_factors=row_factors, vz_sign=vz_sign,
                        row_mask=row_mask)
+        return loop_args, loop_kw
+
+    def _fit_single(self, *args, m_stack=None, with_history=False):
+        loop_args, loop_kw = self._loop_setup(*args, m_stack=m_stack)
         if with_history:
             state, _, history = fitcore.qphb_fit_scan(*loop_args, **loop_kw)
-            return state, row_factors, history
+            return state, loop_kw["row_factors"], history
         state, _ = fitcore.qphb_fit_loop(*loop_args, **loop_kw)
         # Return the per-row factors so collect() can store EFFECTIVE weights
         # (the serial path stores weights * domain factors, drt.py:1400-1403,
         # and llh/rss are evaluated against those)
-        return state, row_factors
+        return state, loop_kw["row_factors"]
 
     # ------------------------------------------------------------------
-    def fit(self, observations, return_states=False, return_history=False):
+    # Staged compaction (single-dispatch compacted continuation) for the
+    # ragged batch: same scheduler as BatchedEISFitter._fit_staged
+    # (parallel/batch.py), generalized to per-lane systems — every array the
+    # loop consumes (design/variance/penalty matrices, masks, bounds) is
+    # gathered alongside the solver state when the unconverged tail is
+    # compacted into a smaller static-width sub-batch.
+    def _phase_single(self, budget, *args, m_stack=None):
+        """Run one lane to an iteration budget; also return the initialized
+        weight estimate and row factors the continuation stages need."""
+        loop_args, loop_kw = self._loop_setup(*args, m_stack=m_stack)
+        loop_args = (*loop_args[:-1], self.fcfg._replace(max_iter=int(budget)))
+        state, _ = fitcore.qphb_fit_loop(*loop_args, **loop_kw)
+        # loop_args[13] is est_weights (see _loop_setup's qphb_fit_loop pack)
+        return state, loop_args[13], loop_kw["row_factors"]
+
+    def _cont_single(self, state, est, row_factors, stop_at,
+                     rzv, rzm, vmm, rzm_vz, vz_strength, vz_sign,
+                     col_mask, row_mask, var_floor, l1v, lb, m_stack=None):
+        """Resume one lane from an interrupted state to iteration stop_at.
+
+        The loop carries rzm with its vz-offset column rewritten from the
+        current iterate each iteration (fitcore._loop_body, ragged branch:
+        vz_sep = y_hat * vz_sign); that column is a pure function of state.x,
+        so the interrupted rzm is reconstructed exactly here instead of
+        materializing per-lane (M, N) design matrices across stages."""
+        dtype = rzv.dtype
+        if m_stack is None:
+            m_stack = jnp.asarray(self.m_stack, dtype=dtype)
+        else:
+            m_stack = m_stack.astype(dtype)
+        dop_gmat = None if self.dop_gmat is None \
+            else jnp.asarray(self.dop_gmat, dtype=dtype)
+        one = jnp.asarray(1.0, dtype=dtype)
+        if self.fcfg.data_type == "hybrid" and self.fcfg.vz_offset:
+            y_hat = rzm_vz @ state.x
+            rzm = rzm.at[:, self.fcfg.vz_index].set(
+                y_hat * vz_sign * vz_strength)
+        state, _ = fitcore.qphb_fit_loop_from_state(
+            state, rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, self.hyp, est,
+            rzm_vz, vz_strength, one, one,
+            jnp.asarray(self.weight_factor, dtype=dtype),
+            self.fcfg._replace(max_iter=int(stop_at)),
+            col_mask=col_mask, var_floor=var_floor, row_factors=row_factors,
+            vz_sign=vz_sign, row_mask=row_mask,
+            # pred_stop's prediction history is not resumable state; seeding
+            # keeps the settled check within one iteration of an
+            # uninterrupted run (see qphb_fit_loop_from_state)
+            seed_pred_history=self.fcfg.pred_stop)
+        return state
+
+    def _fit_staged(self, args, cfg_sig, phase_budgets=(8, 16),
+                    capacities=None):
+        """Single-dispatch staged compaction over the prepared per-lane
+        arrays; returns (states, row_factors). See
+        BatchedEISFitter._fit_staged for the scheduler rationale (phase to a
+        small budget, gather still-active lanes first via stable argsort into
+        a static-capacity sub-batch, continue, scatter back; full-width
+        safety net covers capacity overflow and is free when every lane is
+        converged)."""
+        per_obs = self.per_obs_penalty
+        b = int(args[0].shape[0])
+        max_iter = self.fcfg.max_iter
+        budgets = [int(x) for x in phase_budgets if int(x) < max_iter]
+        b1 = budgets[0] if budgets else max_iter
+        stops = ([*budgets[1:], max_iter] if budgets else [])
+        n_dev = 1 if self.mesh is None else int(self.mesh.shape[sh.BATCH_AXIS])
+        if capacities is None:
+            # Geometric halving per stage; measured best on the bench
+            # workload for the shared-grid fitters (parallel/batch.py)
+            capacities = [b >> (i + 1) for i in range(len(stops))]
+        caps = []
+        for c in capacities[:len(stops)]:
+            c = min(max(int(c), 1), b)
+            if n_dev > 1:
+                c = min(-(-c // n_dev) * n_dev, b)
+            caps.append(c)
+
+        jits = getattr(self, "_staged_jits", None)
+        if jits is None:
+            jits = self._staged_jits = {}
+        key = (cfg_sig, b, b1, tuple(stops), tuple(caps))
+        fn = jits.get(key)
+        if fn is None:
+            def phase_one(*a):
+                return self._phase_single(
+                    b1, *a[:13], m_stack=(a[13] if per_obs else None))
+
+            def cont_stage(stop_at):
+                def cont_one(st, e, rf, *a):
+                    return self._cont_single(
+                        st, e, rf, stop_at, a[0], a[1], a[2], a[3], a[4],
+                        a[5], a[8], a[7], a[11], a[9], a[10],
+                        m_stack=(a[13] if per_obs else None))
+                return cont_one
+
+            def staged(*arr):
+                states, est, row_factors = jax.vmap(phase_one)(*arr)
+                for stop_at, cap in zip(stops, caps):
+                    # Stable sort of the converged flag: active lanes first,
+                    # in original order; converged lanes pad the tail (their
+                    # continuation is a no-op)
+                    idx = jnp.argsort(states.converged, stable=True)[:cap]
+                    take = lambda a: jnp.take(a, idx, axis=0)
+                    sub = jax.tree.map(take, states)
+                    out = jax.vmap(cont_stage(stop_at))(
+                        sub, take(est), take(row_factors),
+                        *[take(a) for a in arr])
+                    states = jax.tree.map(
+                        lambda full, part: full.at[idx].set(part),
+                        states, out)
+                # Full-width safety net for capacity overflow
+                states = jax.vmap(cont_stage(max_iter))(
+                    states, est, row_factors, *arr)
+                return states, row_factors
+            fn = jits[key] = jax.jit(staged)
+        return fn(*args)
+
+    # ------------------------------------------------------------------
+    def fit(self, observations, return_states=False, return_history=False,
+            adaptive=False, phase_budgets=None, staged_capacities=None):
         """Fit heterogeneous observations as one vmapped computation.
 
         return_history=True appends a (B, max_iter, ...) per-iteration
         history dict (batched analog of the reference's qphb_history,
         hybdrt/models/qphb.py:950-966); padded rows/columns behave as in
-        the final state."""
+        the final state.
+
+        adaptive="staged" (or True) enables single-dispatch staged
+        compaction: the batch is phased to a small iteration budget, then
+        only the still-unconverged tail is gathered into shrinking
+        static-capacity sub-batches and continued, all inside ONE jitted XLA
+        program (see _fit_staged / parallel/batch.py). Trajectories are
+        identical to the uninterrupted loop. The host-driven adaptive
+        variant of the shared-grid fitters is not offered here — per-lane
+        matrix stacks make host round-trips per phase strictly worse — so
+        True aliases "staged"."""
         batch = self.prepare(observations)
         b_orig = batch["rzv"].shape[0]
 
@@ -668,6 +805,21 @@ class BatchedRaggedFitter:
         fit_batch = self._fit_batch_jit
         if self.per_obs_penalty:
             args.append(arrays["m_stack"])
+        if adaptive:
+            if adaptive not in (True, "staged"):
+                raise ValueError(f"adaptive={adaptive!r}: the ragged fitter "
+                                 f"supports False or 'staged' (True aliases "
+                                 f"'staged')")
+            if return_history:
+                raise ValueError("return_history is a fixed-length scan; "
+                                 "it cannot be combined with staged "
+                                 "compaction")
+            states, row_factors = self._fit_staged(
+                args, cfg_sig,
+                phase_budgets=(8, 16) if phase_budgets is None
+                else phase_budgets, capacities=staged_capacities)
+            return self.collect(states, b_orig, row_factors=row_factors,
+                                return_states=return_states)
         if return_history:
             states, row_factors, history = fit_batch(*args)
             history = {k: np.asarray(v)[:b_orig] for k, v in history.items()}

@@ -354,3 +354,54 @@ def test_hybrid_fast_path_end_to_end_matches_serial():
         drt = hybdrt_tpu.DRT(tau_supergrid=TAU_SG, warn=False)
         drt.fit_hybrid(*chrono, *eis)
         assert _serial_rel_err(res, k, drt) < 1e-5
+
+
+def test_ragged_staged_matches_plain():
+    """Single-dispatch staged compaction on the RAGGED fitter: gathering the
+    per-lane systems (design/variance/penalty stacks, masks, bounds) along
+    with the solver state and continuing at reduced static width must
+    reproduce the uninterrupted trajectory lane-for-lane (capacity overflow
+    exercised: caps (2, 1) on a 4-lane batch force the full-width safety net
+    to finish real lanes)."""
+    rng = np.random.default_rng(7)
+    grids = [np.logspace(5, -1, 57), np.logspace(3, 0, 31),
+             np.logspace(6, -2, 81), np.logspace(4, -1, 45)]
+    obs = [(None, (f, _eis_obs(f, rng, tau1=10 ** rng.uniform(-3, -2))))
+           for f in grids]
+
+    fitter = BatchedRaggedFitter(TAU_SG, batch_bucket=False)
+    r_plain = fitter.fit(obs)
+    r_staged = fitter.fit(obs, adaptive="staged", phase_budgets=(6, 12),
+                          staged_capacities=(2, 1))
+    # Stage widths change XLA's reduction tiling -> ulp-level differences
+    # only (same caveat as the shared-grid staged test); iteration counts
+    # and convergence flags must match exactly.
+    assert np.allclose(r_plain.x, r_staged.x, rtol=1e-9, atol=1e-11)
+    assert np.array_equal(r_plain.n_iter, r_staged.n_iter)
+    assert np.array_equal(r_plain.converged, r_staged.converged)
+    assert np.allclose(r_plain.r_inf, r_staged.r_inf, rtol=1e-9, atol=1e-12)
+
+
+def test_ragged_hybrid_staged_matches_plain():
+    """Staged compaction on ragged HYBRID lanes: the continuation must
+    reconstruct each lane's in-loop vz-offset column from the resumed
+    iterate using the per-lane vz_sign (+1 chrono rows, -1 EIS rows), so
+    the staged trajectory matches the uninterrupted loop exactly."""
+    rng = np.random.default_rng(3)
+    protos = [
+        (np.concatenate([np.linspace(-0.05, -0.001, 10),
+                         np.geomspace(1e-4, 1.0, 80)]), 0.0, 0.1,
+         np.logspace(5, 1, 33)),
+        (np.concatenate([np.linspace(-0.02, -0.001, 6),
+                         np.geomspace(2e-4, 0.5, 60)]), 0.0, -0.08,
+         np.logspace(4, 0, 41)),
+    ]
+    obs = [_hybrid_obs(t, st, amp, f, rng) for (t, st, amp, f) in protos]
+
+    fitter = BatchedRaggedFitter(TAU_SG, batch_bucket=False)
+    r_plain = fitter.fit(obs)
+    r_staged = fitter.fit(obs, adaptive=True, phase_budgets=(5,),
+                          staged_capacities=(1,))
+    assert np.allclose(r_plain.x, r_staged.x, rtol=1e-9, atol=1e-11)
+    assert np.array_equal(r_plain.n_iter, r_staged.n_iter)
+    assert np.array_equal(r_plain.converged, r_staged.converged)
