@@ -151,6 +151,24 @@ concatenate_eis_data = concatenate_eis
 concatenate_chrono_data = concatenate_chrono
 
 
+def get_custom_file_time(file):
+    """Epoch timestamp (float, UTC) from a pygamry-generated file's
+    tab-separated DATE/TIME header lines, fractional seconds preserved
+    (reference fileload.py:103-128)."""
+    import calendar
+    import time as _time
+    txt = read_txt(file)
+
+    def field(tag):
+        start = txt.find(tag)
+        line = txt[start:start + txt[start:].find("\n")]
+        return line.split("\t")[2]
+
+    time_str, _, frac = field("TIME").partition(".")
+    st = _time.strptime(field("DATE") + " " + time_str, "%m/%d/%Y %H:%M:%S")
+    return float(calendar.timegm(st)) + float("0." + (frac or "0"))
+
+
 def get_extension(file):
     """File extension without the dot (reference fileload.py)."""
     from pathlib import Path

@@ -23,11 +23,11 @@ def alternation_energy(ridge_mask, trough_mask):
     return sum(_row_violations(r, t) for r, t in zip(ridge_mask, trough_mask))
 
 
-def optimize_extrema(ridge_mask, trough_mask, p_ridge=None, p_trough=None,
-                     max_iter=100):
+def optimize_extrema_2d(ridge_mask, trough_mask, p_ridge=None, p_trough=None,
+                        max_iter=100):
     """Greedy repair: for each alternation violation, remove the weaker of the
     two same-type extrema (by probability) or insert the missing opposite
-    extremum between them (reference extrema.py:27-221, greedy variant)."""
+    extremum between them (reference extrema.py:83-172, greedy variant)."""
     ridge_mask = np.array(ridge_mask, dtype=bool)
     trough_mask = np.array(trough_mask, dtype=bool)
     if p_ridge is None:
@@ -63,3 +63,26 @@ def optimize_extrema(ridge_mask, trough_mask, p_ridge=None, p_trough=None,
             if not fixed:
                 break
     return ridge_mask, trough_mask
+
+
+def optimize_extrema(ridge_mask, trough_mask, p_ridge=None, p_trough=None,
+                     max_iter=100):
+    """N-d entry point: masks of shape (*group_dims, rows, tau) are repaired
+    one 2-D (rows, tau) slab at a time (reference extrema.py:175-221
+    optimize_extrema iterating optimize_extrema_2d over the group dims)."""
+    ridge_mask = np.array(ridge_mask, dtype=bool)
+    trough_mask = np.array(trough_mask, dtype=bool)
+    if ridge_mask.ndim <= 2:
+        return optimize_extrema_2d(ridge_mask, trough_mask,
+                                   p_ridge=p_ridge, p_trough=p_trough,
+                                   max_iter=max_iter)
+    group_shape = ridge_mask.shape[:-2]
+    rm_out = ridge_mask.copy()
+    tm_out = trough_mask.copy()
+    for idx in np.ndindex(*group_shape):
+        pr = None if p_ridge is None else np.asarray(p_ridge)[idx]
+        pt = None if p_trough is None else np.asarray(p_trough)[idx]
+        rm_out[idx], tm_out[idx] = optimize_extrema_2d(
+            ridge_mask[idx], trough_mask[idx], p_ridge=pr, p_trough=pt,
+            max_iter=max_iter)
+    return rm_out, tm_out

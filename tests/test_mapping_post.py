@@ -382,3 +382,20 @@ def test_warp_order_planning_picks_occupied_path():
     assert len(steps) == 4
     order, cost, steps = solve_warp_axis_order(occ, (0, 0), (2, 2))
     assert order == (0, 1) and cost == 4.0
+
+
+def test_optimize_extrema_nd_group_dims():
+    """N-d masks (*group_dims, rows, tau) are repaired slab-by-slab
+    (reference extrema.py:175-221 optimize_extrema over optimize_extrema_2d)."""
+    ridge = np.zeros((2, 3, 1, 20), dtype=bool)
+    trough = np.zeros_like(ridge)
+    ridge[..., 0, [3, 10]] = True
+    trough[..., 0, 16] = True
+    r2, t2 = extrema.optimize_extrema(ridge, trough)
+    assert r2.shape == ridge.shape
+    for idx in np.ndindex(2, 3):
+        assert extrema.alternation_energy(r2[idx], t2[idx]) == 0
+        assert t2[idx][0, 4:10].any()
+    # 2-D entry point is exposed under the reference's name
+    r1, t1 = extrema.optimize_extrema_2d(ridge[0, 0], trough[0, 0])
+    assert np.array_equal(r1, r2[0, 0]) and np.array_equal(t1, t2[0, 0])

@@ -183,3 +183,18 @@ def test_fit_real_gamry_spectrum_end_to_end():
     resid = np.abs(drt.predict_z(d.freq) - d.z)
     assert np.median(resid) / np.median(np.abs(d.z)) < 0.05
     assert len(drt.find_peaks()) >= 1
+
+
+def test_get_custom_file_time_gamry_dta():
+    """Epoch time from pygamry-style tab-separated DATE/TIME header lines,
+    fractional seconds preserved (reference fileload.py:103-128), checked
+    against the real Gamry file's header (DATE 10/25/2024, TIME
+    21:09:58.727375)."""
+    import calendar
+    import time as _time
+    from hybdrt_tpu import fileload
+    ts = fileload.get_custom_file_time(
+        os.path.join(DATA_DIR, "EISGALV_EISTest3.DTA"))
+    expect = calendar.timegm(_time.strptime(
+        "10/25/2024 21:09:58", "%m/%d/%Y %H:%M:%S")) + 0.727375
+    assert abs(ts - expect) < 1e-9
