@@ -260,12 +260,20 @@ class BatchedEISFitter:
     # (fitcore.qphb_fit_loop_from_state). Padded tail sizes are quantized so
     # each (shape, budget) pair compiles once.
     def _fit_phase_single(self, rzv, budget):
+        """Returns (state, est_weights, pred_history): pred_history is the
+        (y_prev, y_prev2) pair the pred_stop settled check carries (None
+        when pred_stop is off) — part of the resumable state, so staged
+        continuations reproduce the uninterrupted trajectory bitwise."""
         args, est = _loop_inputs(self, rzv,
                                  fcfg=self.fcfg._replace(max_iter=budget))
+        if self.fcfg.pred_stop:
+            state, _, y_prev, y_prev2 = fitcore.qphb_fit_loop(
+                *args, return_pred_history=True)
+            return state, est, (y_prev, y_prev2)
         state, _ = fitcore.qphb_fit_loop(*args)
-        return state, est
+        return state, est, None
 
-    def _cont_single(self, state, est, rzv, stop_at):
+    def _cont_single(self, state, est, rzv, stop_at, pred_history=None):
         dtype = rzv.dtype
         dop_gmat = None if self.dop_gmat is None \
             else jnp.asarray(self.dop_gmat, dtype=dtype)
@@ -286,15 +294,22 @@ class BatchedEISFitter:
             y_hat = rzm_vz @ state.x
             vz_sep = y_hat.at[self.fcfg.num_chrono:].multiply(-1.0)
             rzm = rzm.at[:, self.fcfg.vz_index].set(vz_sep * vz_strength)
-        state, _ = fitcore.qphb_fit_loop_from_state(
+        kw = {}
+        if self.fcfg.pred_stop:
+            # The settled check's prediction history is resumable state:
+            # carrying it across the stage boundary keeps the staged
+            # trajectory — including the settling iteration — bitwise
+            # identical to the uninterrupted loop
+            kw = dict(y_prev0=pred_history[0], y_prev2_0=pred_history[1],
+                      return_pred_history=True)
+        out = fitcore.qphb_fit_loop_from_state(
             state, rzm, rzv, self.vmm, self.m_stack, dop_gmat, self.l1v,
             self.lb, self.hyp, est, rzm_vz, vz_strength, one, one, one,
-            self.fcfg._replace(max_iter=stop_at),
-            # pred_stop's prediction history is not part of the resumable
-            # state; seeding it keeps the settled check within one iteration
-            # of an uninterrupted run (see qphb_fit_loop_from_state)
-            seed_pred_history=self.fcfg.pred_stop)
-        return state
+            self.fcfg._replace(max_iter=stop_at), **kw)
+        if self.fcfg.pred_stop:
+            state, _, y_prev, y_prev2 = out
+            return state, (y_prev, y_prev2)
+        return out[0], None
 
     @staticmethod
     def _quantize_tail(n, n_min=32):
@@ -324,7 +339,8 @@ class BatchedEISFitter:
             key = ("cont", stop_at)
             if key not in jits:
                 jits[key] = jax.jit(jax.vmap(
-                    lambda st, e, rv: self._cont_single(st, e, rv, stop_at)))
+                    lambda st, e, rv, p: self._cont_single(st, e, rv,
+                                                           stop_at, p)))
             return jits[key]
 
         max_iter = self.fcfg.max_iter
@@ -333,7 +349,7 @@ class BatchedEISFitter:
         rzv_dev = jnp.asarray(rzv_np, dtype=self.dtype)
         if self.mesh is not None:
             rzv_dev = sh.shard_batch(rzv_dev, self.mesh)
-        states, est = phase_fn(budgets[0])(rzv_dev)
+        states, est, ph = phase_fn(budgets[0])(rzv_dev)
 
         # All compaction work stays device-resident: only the tiny
         # (converged, it) flags are downloaded each round — with a tunneled
@@ -354,12 +370,13 @@ class BatchedEISFitter:
             take = lambda a: a[pad] if self.mesh is None \
                 else sh.shard_batch(a[pad], self.mesh)
             sub_state = jax.tree.map(take, states)
-            out = cont_fn(stop_at)(sub_state, take(est), take(rzv_dev))
+            out, out_ph = cont_fn(stop_at)(
+                sub_state, take(est), take(rzv_dev), jax.tree.map(take, ph))
             k = len(idx)
             idx_dev = jnp.asarray(idx)
-            states = jax.tree.map(
-                lambda full, part: full.at[idx_dev].set(part[:k]),
-                states, out)
+            scatter = lambda full, part: full.at[idx_dev].set(part[:k])
+            states = jax.tree.map(scatter, states, out)
+            ph = jax.tree.map(scatter, ph, out_ph)
         return states
 
     def _fit_staged(self, rzv_np, phase_budgets=(8, 16), capacities=None):
@@ -382,9 +399,10 @@ class BatchedEISFitter:
         Per-lane trajectories are identical to the uninterrupted loop (the
         body is Markovian in state; continuing an already-converged lane is
         a no-op, so padding lanes gathered to fill a stage are unchanged).
-        With pred_stop the prediction history is re-seeded per stage
-        boundary, so a lane may settle one iteration earlier or later per
-        stage (same caveat as adaptive; outputs agree within pred_rtol)."""
+        With pred_stop the settled check's prediction history is gathered
+        and scattered alongside the solver state, so the composition is
+        bitwise too (tests/test_parallel.py staged-parity tests run with
+        pred_stop both off and on)."""
         b = rzv_np.shape[0]
         max_iter = self.fcfg.max_iter
         budgets = [int(x) for x in phase_budgets if int(x) < max_iter]
@@ -412,7 +430,7 @@ class BatchedEISFitter:
         fn = jits.get(key)
         if fn is None:
             def staged(rzv):
-                states, est = jax.vmap(
+                states, est, ph = jax.vmap(
                     lambda rv: self._fit_phase_single(rv, b1))(rzv)
                 for stop_at, cap in zip(stops, caps):
                     active = ~states.converged
@@ -422,16 +440,19 @@ class BatchedEISFitter:
                     idx = jnp.argsort(~active, stable=True)[:cap]
                     take = lambda a: jnp.take(a, idx, axis=0)
                     sub = jax.tree.map(take, states)
-                    out = jax.vmap(
-                        lambda st, e, rv: self._cont_single(st, e, rv, stop_at)
-                    )(sub, take(est), take(rzv))
-                    states = jax.tree.map(
-                        lambda full, part: full.at[idx].set(part), states, out)
+                    out, out_ph = jax.vmap(
+                        lambda st, e, rv, p: self._cont_single(st, e, rv,
+                                                               stop_at, p)
+                    )(sub, take(est), take(rzv), jax.tree.map(take, ph))
+                    scatter = lambda full, part: full.at[idx].set(part)
+                    states = jax.tree.map(scatter, states, out)
+                    ph = jax.tree.map(scatter, ph, out_ph)
                 # Full-width safety net for capacity overflow (free when all
                 # lanes are already converged or at max_iter)
-                states = jax.vmap(
-                    lambda st, e, rv: self._cont_single(st, e, rv, max_iter)
-                )(states, est, rzv)
+                states, _ = jax.vmap(
+                    lambda st, e, rv, p: self._cont_single(st, e, rv,
+                                                           max_iter, p)
+                )(states, est, rzv, ph)
                 return states
             fn = jits[key] = jax.jit(staged)
 
@@ -461,10 +482,9 @@ class BatchedEISFitter:
         dispatch with static tail capacities (see _fit_staged) — the right
         mode when per-dispatch latency is significant (tunneled or remote
         chips). Combine either with pred_stop=True for the full throughput
-        win; in that combination iterate math is still identical but a lane
-        may settle one iteration earlier or later per phase boundary (the
-        prediction history is re-seeded on continuation, see
-        qphb_fit_loop_from_state) — outputs agree within pred_rtol.
+        win: the settled check's prediction history travels with the solver
+        state across phase boundaries, so the composition reproduces the
+        uninterrupted trajectory (same stop iteration per lane).
 
         return_history=True appends a per-iteration history dict of arrays
         with shape (B, max_iter, ...) — the batched analog of the

@@ -594,16 +594,24 @@ class BatchedRaggedFitter:
     # compacted into a smaller static-width sub-batch.
     def _phase_single(self, budget, *args, m_stack=None):
         """Run one lane to an iteration budget; also return the initialized
-        weight estimate and row factors the continuation stages need."""
+        weight estimate, row factors, and (with pred_stop) the settled
+        check's prediction history the continuation stages need."""
         loop_args, loop_kw = self._loop_setup(*args, m_stack=m_stack)
         loop_args = (*loop_args[:-1], self.fcfg._replace(max_iter=int(budget)))
-        state, _ = fitcore.qphb_fit_loop(*loop_args, **loop_kw)
+        if self.fcfg.pred_stop:
+            state, _, y_prev, y_prev2 = fitcore.qphb_fit_loop(
+                *loop_args, **loop_kw, return_pred_history=True)
+            ph = (y_prev, y_prev2)
+        else:
+            state, _ = fitcore.qphb_fit_loop(*loop_args, **loop_kw)
+            ph = None
         # loop_args[13] is est_weights (see _loop_setup's qphb_fit_loop pack)
-        return state, loop_args[13], loop_kw["row_factors"]
+        return state, loop_args[13], loop_kw["row_factors"], ph
 
     def _cont_single(self, state, est, row_factors, stop_at,
                      rzv, rzm, vmm, rzm_vz, vz_strength, vz_sign,
-                     col_mask, row_mask, var_floor, l1v, lb, m_stack=None):
+                     col_mask, row_mask, var_floor, l1v, lb, m_stack=None,
+                     pred_history=None):
         """Resume one lane from an interrupted state to iteration stop_at.
 
         The loop carries rzm with its vz-offset column rewritten from the
@@ -623,18 +631,24 @@ class BatchedRaggedFitter:
             y_hat = rzm_vz @ state.x
             rzm = rzm.at[:, self.fcfg.vz_index].set(
                 y_hat * vz_sign * vz_strength)
-        state, _ = fitcore.qphb_fit_loop_from_state(
+        kw = {}
+        if self.fcfg.pred_stop:
+            # The settled check's prediction history is resumable state;
+            # carrying it across the stage boundary keeps the staged
+            # trajectory bitwise identical to the uninterrupted loop
+            kw = dict(y_prev0=pred_history[0], y_prev2_0=pred_history[1],
+                      return_pred_history=True)
+        out = fitcore.qphb_fit_loop_from_state(
             state, rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, self.hyp, est,
             rzm_vz, vz_strength, one, one,
             jnp.asarray(self.weight_factor, dtype=dtype),
             self.fcfg._replace(max_iter=int(stop_at)),
             col_mask=col_mask, var_floor=var_floor, row_factors=row_factors,
-            vz_sign=vz_sign, row_mask=row_mask,
-            # pred_stop's prediction history is not resumable state; seeding
-            # keeps the settled check within one iteration of an
-            # uninterrupted run (see qphb_fit_loop_from_state)
-            seed_pred_history=self.fcfg.pred_stop)
-        return state
+            vz_sign=vz_sign, row_mask=row_mask, **kw)
+        if self.fcfg.pred_stop:
+            state, _, y_prev, y_prev2 = out
+            return state, (y_prev, y_prev2)
+        return out[0], None
 
     def _fit_staged(self, args, cfg_sig, phase_budgets=(8, 16),
                     capacities=None):
@@ -674,15 +688,16 @@ class BatchedRaggedFitter:
                     b1, *a[:13], m_stack=(a[13] if per_obs else None))
 
             def cont_stage(stop_at):
-                def cont_one(st, e, rf, *a):
+                def cont_one(st, e, rf, p, *a):
                     return self._cont_single(
                         st, e, rf, stop_at, a[0], a[1], a[2], a[3], a[4],
                         a[5], a[8], a[7], a[11], a[9], a[10],
-                        m_stack=(a[13] if per_obs else None))
+                        m_stack=(a[13] if per_obs else None),
+                        pred_history=p)
                 return cont_one
 
             def staged(*arr):
-                states, est, row_factors = jax.vmap(phase_one)(*arr)
+                states, est, row_factors, ph = jax.vmap(phase_one)(*arr)
                 for stop_at, cap in zip(stops, caps):
                     # Stable sort of the converged flag: active lanes first,
                     # in original order; converged lanes pad the tail (their
@@ -690,15 +705,15 @@ class BatchedRaggedFitter:
                     idx = jnp.argsort(states.converged, stable=True)[:cap]
                     take = lambda a: jnp.take(a, idx, axis=0)
                     sub = jax.tree.map(take, states)
-                    out = jax.vmap(cont_stage(stop_at))(
+                    out, out_ph = jax.vmap(cont_stage(stop_at))(
                         sub, take(est), take(row_factors),
-                        *[take(a) for a in arr])
-                    states = jax.tree.map(
-                        lambda full, part: full.at[idx].set(part),
-                        states, out)
+                        jax.tree.map(take, ph), *[take(a) for a in arr])
+                    scatter = lambda full, part: full.at[idx].set(part)
+                    states = jax.tree.map(scatter, states, out)
+                    ph = jax.tree.map(scatter, ph, out_ph)
                 # Full-width safety net for capacity overflow
-                states = jax.vmap(cont_stage(max_iter))(
-                    states, est, row_factors, *arr)
+                states, _ = jax.vmap(cont_stage(max_iter))(
+                    states, est, row_factors, ph, *arr)
                 return states, row_factors
             fn = jits[key] = jax.jit(staged)
         return fn(*args)

@@ -185,14 +185,18 @@ def _check_penalty_type(cfg):
             f"reference's 'discrete' branch is dead in its live paths)")
 
 
-@partial(jax.jit, static_argnames=("fcfg",))
+@partial(jax.jit, static_argnames=("fcfg", "return_pred_history"))
 def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
                   x0, s0, rho0, dop_rho0, init_weights, est_weights, outlier_t0,
                   rzm_vz, vz_strength_vec, chrono_weight_factor, eis_weight_factor,
                   weight_factor, fcfg: FitConfig, nl_cross=None, rm_bkg=None,
                   col_mask=None, var_floor=None, row_factors=None, vz_sign=None,
-                  row_mask=None):
-    """Run the full QPHB outer loop; returns (final_state, final_rzm)."""
+                  row_mask=None, return_pred_history=False):
+    """Run the full QPHB outer loop; returns (final_state, final_rzm).
+
+    return_pred_history=True (requires fcfg.pred_stop) appends the final
+    prediction history (y_prev, y_prev2) so a caller can resume the loop
+    bitwise via qphb_fit_loop_from_state(y_prev0=..., y_prev2_0=...)."""
     k = fcfg.cfg.k_range
     state0 = QPHBState(
         x=x0, s_vectors=s0, rho_vector=rho0, dop_rho_vector=dop_rho0,
@@ -206,11 +210,13 @@ def qphb_fit_loop(rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb, hyp,
         eis_weight_factor, weight_factor, fcfg, nl_cross=nl_cross,
         rm_bkg=rm_bkg, col_mask=col_mask, var_floor=var_floor,
         row_factors=row_factors, vz_sign=vz_sign, row_mask=row_mask,
-        peel_cold_start=fcfg.qp_fused)
+        peel_cold_start=fcfg.qp_fused,
+        return_pred_history=return_pred_history)
 
 
 @partial(jax.jit, static_argnames=("fcfg", "peel_cold_start",
-                                   "seed_pred_history"))
+                                   "seed_pred_history",
+                                   "return_pred_history"))
 def qphb_fit_loop_from_state(state0, rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb,
                              hyp, est_weights, rzm_vz, vz_strength_vec,
                              chrono_weight_factor, eis_weight_factor,
@@ -218,24 +224,28 @@ def qphb_fit_loop_from_state(state0, rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb,
                              rm_bkg=None, col_mask=None, var_floor=None,
                              row_factors=None, vz_sign=None,
                              row_mask=None, peel_cold_start=False,
-                             seed_pred_history=False):
+                             seed_pred_history=False,
+                             y_prev0=None, y_prev2_0=None,
+                             return_pred_history=False):
     """Run (or resume) the QPHB outer loop from an explicit state.
 
     The loop body is Markovian in (state, rzm): resuming a fit whose
     while_loop was cut at max_iter=k with a larger max_iter continues the
     EXACT single-run trajectory (the basis of the compacted-continuation
     batch scheduler in parallel/batch.py, which stops whole-batch dispatches
-    early and re-runs only the unconverged tail). With pred_stop the
-    prediction history is not part of the resumable state; pass
-    seed_pred_history=True on continuation to seed it with the resumed
-    iterate's prediction — the settled check then compares against the
-    t-1 prediction for the first resumed iteration (conservative for
-    period-2 cycles, whose one-step change is the cycle amplitude;
-    permissive for monotone lanes, whose one-step change is smaller than
-    the two-step one) and is exact from the second on. A resumed lane can
-    therefore settle one iteration earlier or later than an uninterrupted
-    run; either way the prediction change at stop is below pred_rtol, so
-    outputs agree within the stop tolerance.
+    early and re-runs only the unconverged tail).
+
+    With pred_stop the prediction history (y_prev, y_prev2) is part of the
+    resumable state: pass the values a previous call returned (via
+    return_pred_history=True) as y_prev0/y_prev2_0 and the resumed
+    trajectory — including the iteration each lane settles on — is
+    identical to an uninterrupted run. Fallback when no saved history is
+    available (e.g. resuming from a bare checkpointed state):
+    seed_pred_history=True seeds both slots with the resumed iterate's
+    prediction, making the settled check compare against the t-1 prediction
+    for the first resumed iteration (exact from the second on); a lane can
+    then settle one iteration earlier or later, with outputs agreeing
+    within pred_rtol.
 
     With fcfg.qp_fused, iteration 0 is peeled out of the while_loop
     (peel_cold_start=True for fresh fits) so the in-loop iterations are
@@ -258,15 +268,22 @@ def qphb_fit_loop_from_state(state0, rzm, rzv, vmm, m_stack, dop_gmat, l1v, lb,
         return body
 
     if not fcfg.pred_stop:
-        y0 = None
+        y0 = y02 = None
+    elif y_prev0 is not None:
+        y0 = y_prev0
+        y02 = y_prev2_0 if y_prev2_0 is not None else y_prev0
     elif seed_pred_history:
-        y0 = rzm @ state0.x
+        y0 = y02 = rzm @ state0.x
     else:
-        y0 = jnp.zeros_like(rzv)
-    carry = FitCarry(state=state0, rzm=rzm, y_prev=y0, y_prev2=y0)
+        y0 = y02 = jnp.zeros_like(rzv)
+    carry = FitCarry(state=state0, rzm=rzm, y_prev=y0, y_prev2=y02)
     if peel_cold_start:
         carry = make_body("cold")(carry)
     final = jax.lax.while_loop(cond, make_body(loop_mode), carry)
+    if return_pred_history:
+        if not fcfg.pred_stop:
+            raise ValueError("return_pred_history requires fcfg.pred_stop")
+        return final.state, final.rzm, final.y_prev, final.y_prev2
     return final.state, final.rzm
 
 

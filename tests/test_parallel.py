@@ -350,14 +350,19 @@ def test_adaptive_matches_plain_bitwise():
     assert np.array_equal(r_plain.converged, r_adapt.converged)
 
 
-def test_staged_matches_plain_bitwise():
+@pytest.mark.parametrize("pred_stop", [False, True])
+def test_staged_matches_plain_bitwise(pred_stop):
     """Single-dispatch staged compaction (adaptive="staged") must also
     reproduce the uninterrupted trajectory exactly — gather/continue/scatter
     and the full-width safety net are traced into one XLA program, but each
     lane's math is unchanged (capacity overflow exercised: b=10 with caps
-    (5, 1) forces the safety net to finish real lanes)."""
+    (5, 1) forces the safety net to finish real lanes). With pred_stop the
+    settled check's prediction history travels with the solver state across
+    stage boundaries, so each lane stops on the SAME iteration as the
+    uninterrupted run."""
     freq, z, rs = _batch(10)
-    fitter = BatchedEISFitter(freq, max_iter=50)
+    fitter = BatchedEISFitter(freq, max_iter=50, pred_stop=pred_stop,
+                              pred_rtol=3e-2)
     r_plain = fitter.fit(z)
     r_staged = fitter.fit(z, adaptive="staged", phase_budgets=(8, 20))
     # Not bitwise: unlike the host-driven adaptive path (whose tails quantize
@@ -452,18 +457,15 @@ def test_qp_fused_matches_plain():
 
 
 def test_staged_composes_with_qp_fused():
-    """Staged compaction under the fused fixed-count warm QP path: stage 1
-    peels the cold start (qphb_fit_loop with fcfg.qp_fused), continuations
-    resume statically warm (peel_cold_start=False), so the staged-fused
-    trajectory matches the uninterrupted fused loop lane-for-lane. This is
-    the combination the fused kernel was promoted for (experiments/README:
-    per-iteration win that needs the compaction scheduler to contain
-    trajectory stragglers). pred_stop is OFF here: its prediction history
-    re-seeds at stage boundaries (lanes may settle +-1 iteration, see
-    qphb_fit_loop_from_state), which would mask trajectory bugs."""
+    """Staged compaction under the fused fixed-count warm QP path WITH
+    pred_stop — the full bench feature stack: stage 1 peels the cold start
+    (qphb_fit_loop with fcfg.qp_fused), continuations resume statically warm
+    (peel_cold_start=False) carrying the pred_stop prediction history, so
+    the staged-fused trajectory matches the uninterrupted fused loop
+    lane-for-lane including each lane's stop iteration."""
     freq, z, rs = _batch(8, seed=7)
     fused = BatchedEISFitter(freq, qp_max_iter=20, qp_max_iter_warm=8,
-                             qp_fused=True)
+                             qp_fused=True, pred_stop=True, pred_rtol=3e-2)
     r_plain = fused.fit(z)
     # caps (3, 1) force capacity overflow through the full-width safety net
     r_staged = fused.fit(z, adaptive="staged", phase_budgets=(6, 15),

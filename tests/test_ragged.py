@@ -356,20 +356,24 @@ def test_hybrid_fast_path_end_to_end_matches_serial():
         assert _serial_rel_err(res, k, drt) < 1e-5
 
 
-def test_ragged_staged_matches_plain():
+@pytest.mark.parametrize("pred_stop", [False, True])
+def test_ragged_staged_matches_plain(pred_stop):
     """Single-dispatch staged compaction on the RAGGED fitter: gathering the
     per-lane systems (design/variance/penalty stacks, masks, bounds) along
     with the solver state and continuing at reduced static width must
     reproduce the uninterrupted trajectory lane-for-lane (capacity overflow
     exercised: caps (2, 1) on a 4-lane batch force the full-width safety net
-    to finish real lanes)."""
+    to finish real lanes). With pred_stop the settled check's prediction
+    history is gathered/scattered alongside the solver state, so each lane
+    stops on the SAME iteration as the uninterrupted run."""
     rng = np.random.default_rng(7)
     grids = [np.logspace(5, -1, 57), np.logspace(3, 0, 31),
              np.logspace(6, -2, 81), np.logspace(4, -1, 45)]
     obs = [(None, (f, _eis_obs(f, rng, tau1=10 ** rng.uniform(-3, -2))))
            for f in grids]
 
-    fitter = BatchedRaggedFitter(TAU_SG, batch_bucket=False)
+    fitter = BatchedRaggedFitter(TAU_SG, batch_bucket=False,
+                                 pred_stop=pred_stop, pred_rtol=3e-2)
     r_plain = fitter.fit(obs)
     r_staged = fitter.fit(obs, adaptive="staged", phase_budgets=(6, 12),
                           staged_capacities=(2, 1))
