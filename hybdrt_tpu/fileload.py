@@ -161,8 +161,17 @@ def get_custom_file_time(file):
 
     def field(tag):
         start = txt.find(tag)
-        line = txt[start:start + txt[start:].find("\n")]
-        return line.split("\t")[2]
+        if start < 0:
+            raise ValueError(
+                f"{file}: no {tag} header line — not a pygamry-format file?")
+        end = txt.find("\n", start)
+        line = txt[start:end if end >= 0 else len(txt)]
+        parts = line.split("\t")
+        if len(parts) < 3:
+            raise ValueError(
+                f"{file}: malformed {tag} header line {line!r} "
+                f"(expected at least 3 tab-separated fields)")
+        return parts[2]
 
     time_str, _, frac = field("TIME").partition(".")
     st = _time.strptime(field("DATE") + " " + time_str, "%m/%d/%Y %H:%M:%S")

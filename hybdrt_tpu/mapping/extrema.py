@@ -68,8 +68,13 @@ def optimize_extrema_2d(ridge_mask, trough_mask, p_ridge=None, p_trough=None,
 def optimize_extrema(ridge_mask, trough_mask, p_ridge=None, p_trough=None,
                      max_iter=100):
     """N-d entry point: masks of shape (*group_dims, rows, tau) are repaired
-    one 2-D (rows, tau) slab at a time (reference extrema.py:175-221
-    optimize_extrema iterating optimize_extrema_2d over the group dims)."""
+    one 2-D (rows, tau) slab at a time (reference extrema.py:175-221).
+
+    Intentional divergence (see PARITY.md): the reference couples
+    neighboring slabs through cross-slab Gaussian attraction fields
+    (ridge_field/trough_field computed over the masked N-d volume); this
+    greedy variant repairs each slab independently, so alternation is
+    enforced within a slab but not attracted across slabs."""
     ridge_mask = np.array(ridge_mask, dtype=bool)
     trough_mask = np.array(trough_mask, dtype=bool)
     if ridge_mask.ndim <= 2:

@@ -491,6 +491,18 @@ class BatchedEISFitter:
         reference's qphb_history (hybdrt/models/qphb.py:950-966); entries
         past a lane's convergence repeat its converged state (mask with
         history['it'])."""
+        if adaptive and adaptive not in (True, "staged"):
+            raise ValueError(f"adaptive={adaptive!r}: expected False, True "
+                             f"(host-driven compaction) or 'staged' "
+                             f"(single-dispatch)")
+        if adaptive and phase_budgets is not None:
+            budgets = [int(x) for x in phase_budgets]
+            if budgets != sorted(budgets):
+                raise ValueError(
+                    f"phase_budgets={tuple(phase_budgets)} must be "
+                    f"ascending: each stage continues to a LARGER iteration "
+                    f"stop (an out-of-order stop is a no-op silently "
+                    f"absorbed by the safety net)")
         z_batch = np.asarray(z_batch)
         rzv, scale = self.scale_batch(z_batch)
         b_orig = rzv.shape[0]

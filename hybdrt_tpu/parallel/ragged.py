@@ -737,6 +737,27 @@ class BatchedRaggedFitter:
         variant of the shared-grid fitters is not offered here — per-lane
         matrix stacks make host round-trips per phase strictly worse — so
         True aliases "staged"."""
+        # Validate scheduling kwargs up front — prepare() plus device
+        # transfer is the expensive part of a fit; a typo'd kwarg should
+        # fail before paying it
+        if adaptive:
+            if adaptive not in (True, "staged"):
+                raise ValueError(f"adaptive={adaptive!r}: the ragged fitter "
+                                 f"supports False or 'staged' (True aliases "
+                                 f"'staged')")
+            if return_history:
+                raise ValueError("return_history is a fixed-length scan; "
+                                 "it cannot be combined with staged "
+                                 "compaction")
+            if phase_budgets is not None:
+                budgets = [int(x) for x in phase_budgets]
+                if budgets != sorted(budgets):
+                    raise ValueError(
+                        f"phase_budgets={tuple(phase_budgets)} must be "
+                        f"ascending: each stage continues to a LARGER "
+                        f"iteration stop (an out-of-order stop is a no-op "
+                        f"silently absorbed by the safety net)")
+
         batch = self.prepare(observations)
         b_orig = batch["rzv"].shape[0]
 
@@ -821,14 +842,6 @@ class BatchedRaggedFitter:
         if self.per_obs_penalty:
             args.append(arrays["m_stack"])
         if adaptive:
-            if adaptive not in (True, "staged"):
-                raise ValueError(f"adaptive={adaptive!r}: the ragged fitter "
-                                 f"supports False or 'staged' (True aliases "
-                                 f"'staged')")
-            if return_history:
-                raise ValueError("return_history is a fixed-length scan; "
-                                 "it cannot be combined with staged "
-                                 "compaction")
             states, row_factors = self._fit_staged(
                 args, cfg_sig,
                 phase_budgets=(8, 16) if phase_budgets is None

@@ -495,3 +495,14 @@ def test_batch_bucket_pads_and_matches_unbucketed():
     r5 = on.fit(z[:5])
     assert on._fit_batch._cache_size() == n_traces
     assert np.allclose(r5.x, r_on.x[:5], rtol=1e-6, atol=1e-9)
+
+def test_scheduling_kwargs_validated_up_front():
+    """Bad scheduling kwargs must fail fast — before scaling/transfer work —
+    with clear messages: unknown adaptive mode, non-ascending phase_budgets
+    (an out-of-order stop is a silent no-op absorbed by the safety net)."""
+    freq, z, _ = _batch(3)
+    fitter = BatchedEISFitter(freq)
+    with pytest.raises(ValueError, match="adaptive="):
+        fitter.fit(z, adaptive="stagedd")
+    with pytest.raises(ValueError, match="ascending"):
+        fitter.fit(z, adaptive="staged", phase_budgets=(16, 8))

@@ -409,3 +409,17 @@ def test_ragged_hybrid_staged_matches_plain():
     assert np.allclose(r_plain.x, r_staged.x, rtol=1e-9, atol=1e-11)
     assert np.array_equal(r_plain.n_iter, r_staged.n_iter)
     assert np.array_equal(r_plain.converged, r_staged.converged)
+
+def test_ragged_scheduling_kwargs_validated_before_prepare():
+    """fit() must reject a bad adaptive mode / non-ascending phase_budgets
+    BEFORE running prepare() + device transfer (advisor round 3): feed
+    observations whose prepare would itself fail, so reaching prepare at all
+    fails the test with the wrong exception type."""
+    fitter = BatchedRaggedFitter(TAU_SG, batch_bucket=False)
+    bad_obs = object()  # prepare() would raise TypeError on this
+    with pytest.raises(ValueError, match="adaptive="):
+        fitter.fit(bad_obs, adaptive="nope")
+    with pytest.raises(ValueError, match="ascending"):
+        fitter.fit(bad_obs, adaptive="staged", phase_budgets=(12, 6))
+    with pytest.raises(ValueError, match="return_history"):
+        fitter.fit(bad_obs, adaptive="staged", return_history=True)

@@ -198,3 +198,18 @@ def test_get_custom_file_time_gamry_dta():
     expect = calendar.timegm(_time.strptime(
         "10/25/2024 21:09:58", "%m/%d/%Y %H:%M:%S")) + 0.727375
     assert abs(ts - expect) < 1e-9
+
+def test_get_custom_file_time_missing_header_raises(tmp_path):
+    """A file without the DATE/TIME header lines (or with a truncated one)
+    must fail with a clear ValueError, not an opaque IndexError."""
+    import pytest
+    from hybdrt_tpu import fileload
+    p = tmp_path / "no_header.txt"
+    p.write_text("just some text\nwith no headers\n")
+    with pytest.raises(ValueError, match="no TIME header"):
+        fileload.get_custom_file_time(str(p))
+    # Header present but too few tab-separated fields (final unterminated line)
+    p2 = tmp_path / "trunc.txt"
+    p2.write_text("DATE\t10/25/2024\nTIME")
+    with pytest.raises(ValueError, match="malformed TIME header"):
+        fileload.get_custom_file_time(str(p2))
