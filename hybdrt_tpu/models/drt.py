@@ -3423,6 +3423,27 @@ class DRT:
             bic_fn(llh, num_special + int(npk) * 4, self.num_independent_data)
             for npk, llh in zip(candidate_num_peaks, candidate_llh)])
 
+        # Drop candidates whose likelihood evaluation failed (non-finite llh
+        # — e.g. an f32 candidate fit that diverged on TPU) instead of
+        # poisoning the max/argmax ranking below with NaNs
+        finite = np.isfinite(candidate_llh)
+        if not finite.all():
+            if finite.sum() == 0:
+                raise RuntimeError(
+                    "all candidate likelihoods are non-finite; the candidate "
+                    "fits diverged (if running in float32, refit in float64)")
+            warnings.warn(f"dropping {int((~finite).sum())} candidate(s) "
+                          "with non-finite likelihood")
+            candidate_x = candidate_x[finite]
+            candidate_hypers = [h for h, f in zip(candidate_hypers, finite) if f]
+            candidate_llh = candidate_llh[finite]
+            candidate_bic = candidate_bic[finite]
+            candidate_peak_tau = [p for p, f in
+                                  zip(candidate_peak_tau, finite) if f]
+            candidate_peak_info = [p for p, f in
+                                   zip(candidate_peak_info, finite) if f]
+            candidate_num_peaks = candidate_num_peaks[finite]
+
         self.candidate_dict = {
             "x": candidate_x, "peak_tau": candidate_peak_tau,
             "peak_info": candidate_peak_info, "num_peaks": candidate_num_peaks,
