@@ -139,7 +139,7 @@ def _timeit(fn):
     return time.time() - t0
 
 
-def make_het_map(n_eis, n_hybrid, seed=3):
+def make_het_map(n_eis, n_hybrid, seed=3, schedule="staged"):
     """Heterogeneous map: EIS observations on 3 different frequency grids +
     hybrid (chrono+EIS) observations on 2 chrono protocols, parameters
     varying smoothly over psi — the reference's real mapping workload
@@ -160,7 +160,8 @@ def make_het_map(n_eis, n_hybrid, seed=3):
     tau_super = np.logspace(-8, 3, 111)
     md = DRTMD(tau_supergrid=tau_super, psi_dim_names=["i"],
                warn=False, print_progress=False,
-               batch_fit_kw={"adaptive": "staged"})
+               batch_fit_kw={"adaptive": "staged"} if schedule == "staged"
+               else None)
     n_tot = n_eis + n_hybrid
     kinds = np.array(["eis"] * n_eis + ["hyb"] * n_hybrid)
     rng.shuffle(kinds)
@@ -202,16 +203,29 @@ def run_het_leg(mesh, n_eis=HET_EIS, n_hybrid=HET_HYBRID):
     """Heterogeneous-map throughput, end-to-end from stored observations to
     collected per-obs results (fit_all handles partitioning/prep/transfer),
     plus device-parallel group resolve."""
-    md = make_het_map(n_eis, n_hybrid)
-    n_tot = md.num_obs
-
     import jax.numpy as jnp
 
     # float32 explicitly: float64 on the tunneled chip kernel-faults the
-    # TPU worker (CLAUDE.md); every on-device leg must pin f32
-    t0 = time.time()
-    md.fit_all(batched=True, dtype=jnp.float32)
-    warm_s = time.time() - t0
+    # TPU worker (CLAUDE.md); every on-device leg must pin f32.
+    # Staged compaction first; the axon remote-compile helper has been
+    # observed to OOM (SIGKILL) on the large staged ragged program, so fall
+    # back to the plain whole-batch schedule rather than losing the leg.
+    schedule = "staged"
+    try:
+        md = make_het_map(n_eis, n_hybrid, schedule=schedule)
+        n_tot = md.num_obs
+        t0 = time.time()
+        md.fit_all(batched=True, dtype=jnp.float32)
+        warm_s = time.time() - t0
+    except Exception as exc:
+        print(f"het staged warmup failed ({type(exc).__name__}); "
+              f"retrying with the plain schedule", file=sys.stderr)
+        schedule = "plain"
+        md = make_het_map(n_eis, n_hybrid, schedule=schedule)
+        n_tot = md.num_obs
+        t0 = time.time()
+        md.fit_all(batched=True, dtype=jnp.float32)
+        warm_s = time.time() - t0
     if not md.obs_fit_status.all():
         print(f"het warmup: only {md.obs_fit_status.sum()}/{n_tot} fitted",
               file=sys.stderr)
@@ -221,16 +235,26 @@ def run_het_leg(mesh, n_eis=HET_EIS, n_hybrid=HET_HYBRID):
              for _ in range(3)]
     best = min(times)
     fitted = int(md.obs_fit_status.sum())
-
-    t0 = time.time()
-    md.resolve_group("g", psi_sort_dims=["i"], batched=True, mesh=mesh,
-                     dtype=jnp.float32)
-    resolve_s = time.time() - t0
-
     print(f"het map: {n_tot} obs ({n_eis} EIS mixed-grid + {n_hybrid} "
-          f"hybrid), warmup {warm_s:.1f}s, reps "
-          f"{[f'{t:.2f}' for t in times]} -> {n_tot / best:.0f} obs/s, "
-          f"resolve {resolve_s:.1f}s", file=sys.stderr)
+          f"hybrid), warmup {warm_s:.1f}s ({schedule}), reps "
+          f"{[f'{t:.2f}' for t in times]} -> {n_tot / best:.0f} obs/s",
+          file=sys.stderr)
+
+    # Whole-group COUPLED resolve (one matrix-free IP solve over all obs)
+    # rather than the windowed vmapped dense solver: the window program (~100
+    # windows x (7*nc)^3 dense Cholesky IP) OOM-kills the axon remote-compile
+    # helper, and the coupled path is the better solution anyway (exact group
+    # optimum, O(nr*nc^2) memory; mapping/resolve.solve_coupled_group)
+    try:
+        t0 = time.time()
+        md.resolve_group("g", psi_sort_dims=["i"], coupled=True, mesh=mesh,
+                         dtype=jnp.float32)
+        resolve_s = round(time.time() - t0, 2)
+        print(f"het coupled resolve of {n_tot} obs: {resolve_s}s",
+              file=sys.stderr)
+    except Exception as exc:
+        print(f"het resolve failed: {exc!r}"[:300], file=sys.stderr)
+        resolve_s = None
     return {
         "obs_total": n_tot,
         "eis_obs": n_eis,
@@ -238,7 +262,8 @@ def run_het_leg(mesh, n_eis=HET_EIS, n_hybrid=HET_HYBRID):
         "obs_per_sec": round(n_tot / best, 1),
         "fitted": fitted,
         "warmup_s": round(warm_s, 1),
-        "resolve_group_s": round(resolve_s, 2),
+        "resolve_coupled_s": resolve_s,
+        "schedule": schedule,
     }
 
 
