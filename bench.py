@@ -374,7 +374,8 @@ def main():
         het = run_het_leg(mesh)
     except Exception as exc:  # never lose the headline to the new leg
         print(f"het leg failed: {exc!r}", file=sys.stderr)
-        het = {"error": repr(exc)}
+        # truncate: axon compile errors embed the helper's full log
+        het = {"error": repr(exc)[:300]}
 
     out = {
         "metric": "drt_inversions_per_sec",
