@@ -311,9 +311,117 @@ class BatchedRaggedFitter:
         sys_["host_chrono_wf"] = cwf
         return sys_
 
+    def _hybrid_rescale_batch(self, tmpl, items):
+        """Vectorized ``_hybrid_rescale`` across observations sharing a
+        cached protocol template: one (k, T) filter + one batched Rp
+        estimate instead of k per-obs numpy passes. Row-for-row equal to the
+        per-obs path (tests/test_ragged.py::test_batched_prep_matches_per_obs);
+        the per-obs host loop was 29% of hybrid end-to-end wall on 512-obs
+        maps (experiments/hybrid_profile.py)."""
+        from .. import preprocessing as pp_mod
+        times = np.asarray(items[0][0], dtype=float)
+        v = np.asarray([it[1] for it in items], dtype=float)
+        z = np.asarray([it[2] for it in items], dtype=complex)
+        if tmpl["fp_filter"]:
+            v = pp_mod.filter_chrono_signal_batch(times, v,
+                                                  tmpl["fp_step_index"])
+        v_sample = v[:, tmpl["fp_sample_index"]]
+        st, ss = tmpl["fp_step_times"], tmpl["fp_step_sizes"]
+        sample_times = np.asarray(tmpl["sample_times"])
+        step_model = self._drt_kw["step_model"]
+        rp_est = pp_mod.estimate_rp_batch(sample_times, st, ss, v_sample,
+                                          step_model, z)
+        scale = rp_est / tmpl["hypers"]["rp_scale"]
+        response_scale = tmpl["input_signal_scale"] * scale
+        v_scaled = v_sample / response_scale[:, None]
+        if tmpl["fp_offset_baseline"]:
+            offset = -np.median(v_scaled[:, sample_times < st[0]], axis=1)
+        else:
+            offset = np.zeros(len(items))
+        z_scaled = z / scale[:, None]
+        ewf = tmpl.get("eis_weight_factor")
+        cwf = tmpl.get("chrono_weight_factor")
+        if tmpl.get("hybrid_weight_factor_method") == "rp" \
+                and (ewf is None or cwf is None):
+            rp_eis = pp_mod.estimate_rp_batch(None, None, None, None,
+                                              step_model, z)
+            rp_chrono = pp_mod.estimate_rp_batch(sample_times, st, ss,
+                                                 v_sample, step_model, None)
+            ewf_b = (rp_eis ** 0.75 / (rp_chrono ** 0.25 * rp_est ** 0.5)
+                     if ewf is None else np.full(len(items), ewf))
+            cwf_b = (rp_chrono ** 0.75 / (rp_eis ** 0.25 * rp_est ** 0.5)
+                     if cwf is None else np.full(len(items), cwf))
+        else:
+            ewf_b = np.full(len(items), np.nan if ewf is None else ewf)
+            cwf_b = np.full(len(items), np.nan if cwf is None else cwf)
+        outs = []
+        for i in range(len(items)):
+            sys_ = dict(tmpl)
+            sys_["rzv"] = np.concatenate([v_scaled[i] + offset[i],
+                                          z_scaled[i].real, z_scaled[i].imag])
+            sys_["coefficient_scale"] = scale[i]
+            sys_["impedance_scale"] = scale[i]
+            sys_["response_signal_scale"] = response_scale[i]
+            sys_["scaled_response_offset"] = offset[i]
+            sys_["host_eis_wf"] = None if np.isnan(ewf_b[i]) else ewf_b[i]
+            sys_["host_chrono_wf"] = None if np.isnan(cwf_b[i]) else cwf_b[i]
+            outs.append(sys_)
+        return outs
+
+    def _eis_rescale_batch(self, tmpl, z_list):
+        """Vectorized EIS fast-path rescale (the z-scaling branch of
+        ``_prep_obs``) across observations sharing a cached protocol."""
+        z = np.asarray(z_list, dtype=complex)
+        zr = z.real
+        rp_est = (np.maximum(zr.max(axis=1), 0.0)
+                  - np.minimum(zr.min(axis=1), np.inf))
+        scale = rp_est / tmpl["hypers"]["rp_scale"]
+        z_scaled = z / scale[:, None]
+        outs = []
+        for i in range(len(z_list)):
+            sys_ = dict(tmpl)
+            sys_["rzv"] = np.concatenate([z_scaled[i].real, z_scaled[i].imag])
+            sys_["coefficient_scale"] = scale[i]
+            sys_["impedance_scale"] = scale[i]
+            outs.append(sys_)
+        return outs
+
+    def _prep_systems(self, observations):
+        """Per-obs prep with cached-protocol batching: observations whose
+        protocol template is already in ``_sys_cache`` are grouped per
+        protocol and rescaled in one vectorized pass (the first observation
+        of each protocol still takes the full serial prep, populating the
+        cache for the rest of THIS batch)."""
+        systems = [None] * len(observations)
+        pending = {}
+        for idx, (c, e) in enumerate(observations):
+            times, i_sig, v_sig = (c if c is not None and c[0] is not None
+                                   else (None, None, None))
+            freq, z = (e if e is not None and e[0] is not None
+                       else (None, None))
+            key = (None if times is None else np.asarray(times).tobytes(),
+                   None if i_sig is None else np.asarray(i_sig).tobytes(),
+                   None if freq is None else np.asarray(freq).tobytes())
+            tmpl = getattr(self, "_sys_cache", {}).get(key)
+            if tmpl is not None:
+                pending.setdefault(key, []).append((idx, times, v_sig, z))
+            else:
+                systems[idx] = self._prep_obs(c, e)
+        for key, items in pending.items():
+            tmpl = self._sys_cache[key]
+            if tmpl["data_type"] == "hybrid":
+                outs = self._hybrid_rescale_batch(
+                    tmpl, [(t, v, z) for (_, t, v, z) in items])
+            else:
+                outs = self._eis_rescale_batch(tmpl,
+                                               [z for (_, _, _, z) in items])
+            for (idx, *_), s in zip(items, outs):
+                systems[idx] = s
+        return systems
+
     def prepare(self, observations):
         """Prep + pad all observations; returns the device-ready batch dict."""
-        systems = [self._prep_obs(c, e) for (c, e) in observations]
+        systems = self._prep_systems(observations)
         _check_consistent(systems)
         ref = systems[0]
         cfg = ref["cfg"]

@@ -192,6 +192,70 @@ def estimate_rp(times, step_times, input_step_sizes, response_signal, step_model
     return max(r_max_chrono, r_max_eis) - min(r_min_chrono, r_min_eis)
 
 
+def estimate_rp_batch(times, step_times, input_step_sizes, response_batch,
+                      step_model, z_batch):
+    """``estimate_rp`` vectorized over a batch of observations that SHARE a
+    measurement protocol (identical ``times``/``step_times``/step sizes).
+
+    ``response_batch`` is (k, T) or None; ``z_batch`` is (k, F) or None.
+    Returns (k,) Rp estimates, row-for-row equal to calling ``estimate_rp``
+    per observation (pinned by tests/test_ragged.py) — the per-step segment
+    reductions and the nanmean/nanpercentile aggregations act on the same
+    values in the same order, only stacked along the batch axis. Used by the
+    ragged fitter's shared-protocol prep fast paths, where the per-obs
+    Python loop is the host bottleneck on large heterogeneous maps."""
+    if response_batch is not None:
+        v = np.asarray(response_batch, dtype=float)
+        k = v.shape[0]
+        times = np.asarray(times)
+        step_times = np.asarray(step_times, dtype=float)
+        input_step_sizes = np.asarray(input_step_sizes, dtype=float)
+        if step_model == "ideal":
+            # Condense consecutive steps exactly as estimate_rp does
+            new_step_index = np.concatenate(
+                ([0], np.where(np.diff(step_times) > 2e-5)[0] + 1))
+            if len(new_step_index) < len(step_times):
+                step_times_new = step_times[new_step_index]
+                step_sizes_new = np.zeros_like(step_times_new)
+                for i, start_index in enumerate(new_step_index):
+                    end_index = len(input_step_sizes) \
+                        if i == len(new_step_index) - 1 else new_step_index[i + 1]
+                    step_sizes_new[i] = np.sum(
+                        input_step_sizes[start_index:end_index])
+                step_times, input_step_sizes = step_times_new, step_sizes_new
+
+        step_index = get_step_indices_from_step_times(times, step_times)
+        step_r_min = np.full((len(step_index), k), np.nan)
+        step_r_max = np.full((len(step_index), k), np.nan)
+        for i, start_index in enumerate(step_index):
+            end_index = len(times) if i == len(step_index) - 1 \
+                else step_index[i + 1]
+            if start_index == end_index:
+                continue
+            pre_step_val = v[:, start_index - 1]
+            step_response = v[:, start_index:end_index]
+            ratio = (step_response - pre_step_val[:, None]) / input_step_sizes[i]
+            step_r_min[i] = np.min(ratio, axis=1)
+            step_r_max[i] = np.max(ratio, axis=1)
+        r_min_chrono = np.nanmean(step_r_min, axis=0)
+        r_max_chrono = np.nanpercentile(step_r_max, 99, axis=0)
+    else:
+        k = np.asarray(z_batch).shape[0]
+        r_min_chrono = np.full(k, np.inf)
+        r_max_chrono = np.zeros(k)
+
+    if z_batch is not None:
+        zr = np.asarray(z_batch).real
+        r_min_eis = np.min(zr, axis=1)
+        r_max_eis = np.max(zr, axis=1)
+    else:
+        r_min_eis = np.full(k, np.inf)
+        r_max_eis = np.zeros(k)
+
+    return (np.maximum(r_max_chrono, r_max_eis)
+            - np.minimum(r_min_chrono, r_min_eis))
+
+
 # ------------------------------------------------------------------
 # Quantile/extreme flagging (reference :844-860)
 # ------------------------------------------------------------------
@@ -355,6 +419,34 @@ def filter_chrono_signal(times, y, step_index=None, input_signal=None,
         if median_prefilter:
             seg_y = median_filter(seg_y, size=3, mode="nearest")
         y_out[seg] = nonuniform_gaussian_filter1d(seg_y, sigmas, **kw)
+    return y_out
+
+
+def filter_chrono_signal_batch(times, y_batch, step_index, sigma_factor=0.01):
+    """``filter_chrono_signal`` vectorized over a (k, T) batch of response
+    signals that share a measurement protocol (identical ``times`` and
+    ``step_index``); mirrors the plain branch the ragged prep fast path uses
+    (no outlier removal / decimation / median prefilter).
+
+    The per-sample sigma ladder depends only on ``times``/``step_index``, so
+    every row sees the same node set and ``scipy.ndimage.gaussian_filter1d``
+    along axis=-1 applies identical arithmetic per row — output rows equal
+    the serial per-observation calls (pinned by tests/test_ragged.py)."""
+    from .filters import nonuniform_gaussian_filter1d
+    times = np.asarray(times, dtype=float)
+    y = np.asarray(y_batch, dtype=float)
+    t_sample = np.median(np.diff(times))
+    max_sigma = sigma_factor / t_sample
+    segments = np.split(np.arange(y.shape[1]), step_index)
+    y_out = y.copy()
+    for seg in segments:
+        if len(seg) < 5:
+            continue
+        t_seg = times[seg]
+        sigma_ideal = np.exp(1) * (t_seg - (t_seg[0] - t_sample)) / 2
+        sigmas = np.minimum(sigma_factor * sigma_ideal / t_sample, max_sigma)
+        y_out[:, seg] = nonuniform_gaussian_filter1d(
+            y[:, seg], np.broadcast_to(sigmas, y[:, seg].shape), axis=-1)
     return y_out
 
 

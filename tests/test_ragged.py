@@ -336,6 +336,52 @@ def test_hybrid_fast_path_matches_serial_prep():
             assert fast["rzm"] is systems[0]["rzm"]
 
 
+@pytest.mark.parametrize("fit_kw", [
+    {},
+    {"downsample": True, "downsample_kw": {"prestep_samples": 5},
+     "hybrid_weight_factor_method": "rp"},
+])
+def test_batched_prep_matches_per_obs(fit_kw):
+    """prepare() groups observations whose protocol template is cached into
+    ONE vectorized rescale per protocol (_hybrid_rescale_batch /
+    _eis_rescale_batch, filter_chrono_signal_batch, estimate_rp_batch); the
+    resulting device batch must equal the per-observation fast-path build
+    row for row."""
+    rng = np.random.default_rng(11)
+    times = np.concatenate([np.linspace(-0.05, -0.001, 10),
+                            np.logspace(-5, 0.0, 120)])
+    times2 = np.concatenate([np.linspace(-0.02, -0.001, 8),
+                             np.logspace(-4.5, -0.3, 90)])
+    freq = np.logspace(5, -1, 31)
+    freq2 = np.logspace(4, 0, 25)
+    hyb_obs = [_hybrid_obs_shared_protocol((times, times2)[k % 2], 0.0, 1.0,
+                                           freq, rng, r1)
+               for k, r1 in enumerate((0.8, 1.3, 0.5, 1.1, 0.9, 1.2))]
+    eis_obs = [(None, ((freq, freq2)[k % 2],
+                       _eis_obs((freq, freq2)[k % 2], rng)))
+               for k in range(6)]
+
+    for kind_obs, kw in ((hyb_obs, fit_kw), (eis_obs, {})):
+        fast = BatchedRaggedFitter(TAU_SG, fit_kw=kw)
+        batch_fast = fast.prepare(kind_obs)
+        # same grouping state
+        assert len(fast._first_of_proto) == 2
+
+        slow = BatchedRaggedFitter(TAU_SG, fit_kw=kw)
+        slow._prep_systems = lambda observations: [
+            slow._prep_obs(c, e) for (c, e) in observations]
+        batch_slow = slow.prepare(kind_obs)
+
+        for key in batch_fast:
+            assert np.array_equal(batch_fast[key], batch_slow[key],
+                                  equal_nan=True), key
+        assert np.array_equal(fast._scales, slow._scales)
+        assert fast._tau_indices == slow._tau_indices
+        assert np.array_equal(fast._proto_index, slow._proto_index)
+        for key in fast._uniq:
+            assert np.array_equal(fast._uniq[key], slow._uniq[key]), key
+
+
 def test_hybrid_fast_path_end_to_end_matches_serial():
     """Full ragged fit over shared-protocol hybrid observations (fast-path
     prep) matches serial fit_hybrid coefficients."""
