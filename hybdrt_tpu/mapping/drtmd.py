@@ -1099,12 +1099,18 @@ class DRTMD:
         obs_index = np.atleast_1d(obs_index)
         out = {}
         groups = {}
+        ragged_idx = []
         for i in obs_index:
             key = self._uniform_group_key(i)
-            if key is None:
-                out[i] = self.get_fit(i)
-            else:
+            if key is not None:
                 groups.setdefault(key, []).append(i)
+            elif (self.obs_fit_status[i]
+                  and isinstance(self.obs_fit_attr[i], dict)
+                  and self.obs_fit_attr[i].get("batched")
+                  and self.obs_fit_attr[i].get("ragged")):
+                ragged_idx.append(i)
+            else:
+                out[i] = self.get_fit(i)
         for idx in groups.values():
             attrs = [self.obs_fit_attr[i] for i in idx]
             fitter = self._resolve_batch_fitter(idx[0], attrs[0])
@@ -1112,6 +1118,15 @@ class DRTMD:
             for bi, i in enumerate(idx):
                 out[i] = self._make_uniform_drt(fitter, attrs[bi],
                                                 p_b[bi], q_b[bi])
+        if ragged_idx:
+            # Ragged-batched observations: one vmapped host-CPU (P, q)
+            # rebuild per protocol instead of one tunneled device dispatch
+            # per observation (_ragged_pq_batched)
+            attrs = [self.obs_fit_attr[i] for i in ragged_idx]
+            systems, p_list, q_list = self._ragged_pq_batched(attrs)
+            for k, i in enumerate(ragged_idx):
+                out[i] = self._make_ragged_drt(systems[k], attrs[k],
+                                               p_list[k], q_list[k])
         return out
 
     def _rebuild_batched_pfrt_fit(self, obs_index, attr):
@@ -1199,15 +1214,10 @@ class DRTMD:
         }
         return drt
 
-    def _rebuild_ragged_fit(self, obs_index, attr):
-        """Build a DRT carrying (P, q) for a ragged-batched observation by
-        re-assembling its (cheap, host-side) QP system and combining it with
-        the stored final weights/hyperparameters."""
-        import jax.numpy as jnp
-        from ..solver import qphb as qphb_mod
-        from ..models.drt import _hypers_to_pytree
+    def _get_ragged_fitter(self):
+        """The (cached) prep-only ragged fitter used to re-assemble stored
+        ragged observations' QP systems."""
         from ..parallel.ragged import BatchedRaggedFitter
-
         fitter = getattr(self, "_ragged_fitter", None)
         if fitter is None:
             fit_kw = {k: v for k, v in self.fit_kw.items() if k != "nonneg"}
@@ -1220,24 +1230,97 @@ class DRTMD:
                 fixed_basis_nu=self.fixed_basis_nu, fit_kw=fit_kw,
                 **self._split_batch_kw()[0])
             self._ragged_fitter = fitter
-        sys_ = fitter._prep_obs(attr["chrono_data"], attr["eis_data"])
+        return fitter
 
+    def _ragged_pq_batched(self, attrs):
+        """(P, q) + prep systems for ragged-batched observations, computed
+        as ONE vmapped calculate_pq per measurement protocol ON THE HOST
+        CPU. The previous per-observation rebuild cost one tunneled device
+        dispatch each — measured 85-95 s of a 512-obs coupled group
+        resolve's ~100 s wall, vs 0.6 s for the actual warm coupled solve.
+        Within a protocol the design/penalty matrices are shared objects
+        (ragged prep cache), so only the small per-observation vectors are
+        stacked; the hybrid vz-offset column (a function of the final
+        iterate, reference drt1d.py:972-979) is set per lane inside the
+        vmapped function. Returns (systems, p_list, q_list) aligned with
+        ``attrs``."""
+        import jax
+        import jax.numpy as jnp
+        from ..solver import qphb as qphb_mod
+        from ..models.drt import _hypers_to_pytree
+        from ..utils.device import host_cpu
+
+        fitter = self._get_ragged_fitter()
+        systems = [fitter._prep_obs(a["chrono_data"], a["eis_data"])
+                   for a in attrs]
+        out_p = [None] * len(attrs)
+        out_q = [None] * len(attrs)
+        groups = {}
+        for k, sys_ in enumerate(systems):
+            # Protocol identity: fast-path obs share the cached template's
+            # arrays; a data-dependent prep gets its own group of one
+            groups.setdefault(
+                (id(sys_["rzm"]), id(sys_["hypers"]), sys_["cfg"]),
+                []).append(k)
+        with host_cpu():
+            for ks in groups.values():
+                sys0 = systems[ks[0]]
+                hyp = _hypers_to_pytree(sys0["hypers"])
+                cfg = sys0["cfg"]
+                vz = bool(sys0["vz_offset"])
+                rzm_base = jnp.asarray(np.asarray(sys0["rzm"], dtype=float))
+                m_stack = jnp.asarray(np.asarray(sys0["m_stack"],
+                                                 dtype=float))
+                l1v = jnp.asarray(np.asarray(sys0["l1_lambda_vector"],
+                                             dtype=float))
+                ones3 = jnp.ones(3)
+                rzv_b = jnp.asarray(np.stack(
+                    [np.asarray(systems[k]["rzv"], dtype=float) for k in ks]))
+                rho_b = jnp.asarray(np.stack(
+                    [np.asarray(attrs[k]["rho"], dtype=float) for k in ks]))
+                s_b = jnp.asarray(np.stack(
+                    [np.asarray(attrs[k]["s_vectors"], dtype=float)
+                     for k in ks]))
+                w_b = jnp.asarray(np.stack(
+                    [np.asarray(attrs[k]["weights"], dtype=float)
+                     for k in ks]))
+                if vz:
+                    nc = sys0["num_chrono"]
+                    sign = np.ones(rzm_base.shape[0])
+                    sign[nc:] = -1.0
+                    vzcol_b = jnp.asarray(np.stack(
+                        [(np.asarray(systems[k]["rzm_vz"])
+                          @ np.asarray(attrs[k]["x_raw"])) * sign
+                         * np.asarray(systems[k]["vz_strength_vec"])
+                         for k in ks]))
+                    vz_index = int(sys0["vz_index"])
+                else:
+                    vzcol_b = jnp.zeros((len(ks), 1))
+                    vz_index = 0
+
+                def pq_one(rzv_i, rho_i, s_i, w_i, vzcol_i):
+                    rzm_i = (rzm_base.at[:, vz_index].set(vzcol_i)
+                             if vz else rzm_base)
+                    return qphb_mod.calculate_pq(
+                        rzm_i, rzv_i, m_stack, hyp, l1v, rho_i, ones3,
+                        s_i, w_i, cfg)
+
+                p_b, q_b = jax.vmap(pq_one)(rzv_b, rho_b, s_b, w_b, vzcol_b)
+                p_b, q_b = np.asarray(p_b), np.asarray(q_b)
+                for bi, k in enumerate(ks):
+                    out_p[k], out_q[k] = p_b[bi], q_b[bi]
+        return systems, out_p, out_q
+
+    def _rebuild_ragged_fit(self, obs_index, attr):
+        """Build a DRT carrying (P, q) for a ragged-batched observation by
+        re-assembling its (cheap, host-side) QP system and combining it with
+        the stored final weights/hyperparameters."""
+        systems, p_list, q_list = self._ragged_pq_batched([attr])
+        return self._make_ragged_drt(systems[0], attr, p_list[0], q_list[0])
+
+    def _make_ragged_drt(self, sys_, attr, p_matrix, q_vector):
+        """Lightweight DRT carrying one ragged observation's (P, q)."""
         x_raw = np.asarray(attr["x_raw"])
-        rzm = np.asarray(sys_["rzm"]).copy()
-        if sys_["vz_offset"]:
-            nc = sys_["num_chrono"]
-            sign = np.ones(rzm.shape[0])
-            sign[nc:] = -1.0
-            rzm[:, sys_["vz_index"]] = ((sys_["rzm_vz"] @ x_raw) * sign
-                                        * sys_["vz_strength_vec"])
-        hyp = _hypers_to_pytree(sys_["hypers"])
-        p_matrix, q_vector = qphb_mod.calculate_pq(
-            jnp.asarray(rzm), jnp.asarray(sys_["rzv"]),
-            jnp.asarray(sys_["m_stack"]), hyp,
-            jnp.asarray(sys_["l1_lambda_vector"]), jnp.asarray(attr["rho"]),
-            jnp.ones(3), jnp.asarray(attr["s_vectors"]),
-            jnp.asarray(attr["weights"]), sys_["cfg"])
-
         drt = DRT(interpolate_integrals=False, tau_supergrid=self.tau_supergrid,
                   tau_basis_type=self.tau_basis_type,
                   fit_inductance=self.fit_inductance, fit_ohmic=self.fit_ohmic,

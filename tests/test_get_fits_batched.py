@@ -130,3 +130,89 @@ def test_resolve_uses_grouped_rebuild(batched_md):
     md.resolve_group("g", batch_size=4, overlap=1, batched=False)
     x_s = md.obs_x_resolved.copy()
     np.testing.assert_allclose(x_b, x_s, rtol=1e-6, atol=1e-8)
+
+
+def _rc_v(t, ts, amp, r, tau0):
+    dt = t - ts
+    return amp * r * np.where(dt > 0, 1 - np.exp(-np.maximum(dt, 0) / tau0),
+                              0.0)
+
+
+def test_ragged_pq_batched_matches_unbatched():
+    """Ragged-batched observations' (P, q) rebuild is grouped per protocol
+    into one vmapped host-CPU calculate_pq (the per-observation path costs
+    one tunneled device dispatch each — it dominated the coupled group
+    resolve wall). Must match a direct unbatched calculate_pq on each
+    observation's re-assembled system, for mixed-grid EIS AND hybrid
+    (vz-offset column) observations."""
+    import jax.numpy as jnp
+    from hybdrt_tpu.solver import qphb as qphb_mod
+    from hybdrt_tpu.models.drt import _hypers_to_pytree
+
+    rng = np.random.default_rng(7)
+    md = DRTMD(TAU_SUPER, psi_dim_names=["T"], warn=False,
+               print_progress=False)
+    freq2 = np.logspace(4, 0, 31)
+    times_protos = [np.concatenate([np.linspace(-0.05, -0.001, 8),
+                                    np.geomspace(1e-4, 1.0, 60)]),
+                    np.concatenate([np.linspace(-0.02, -0.001, 6),
+                                    np.geomspace(2e-4, 0.5, 50)])]
+    n_hyb = 0
+    for k in range(8):
+        r1 = 0.9 + 0.05 * k
+        if k % 3 == 2:  # hybrid obs alternating TWO chrono protocols
+            times = times_protos[n_hyb % 2]
+            n_hyb += 1
+            i_sig = np.where(times >= 0.0, 0.1, 0.0)
+            v = (0.4 * i_sig + _rc_v(times, 0.0, 0.1, r1, 1e-3)
+                 + _rc_v(times, 0.0, 0.1, 1.2, 1e-1))
+            v = v + 5e-4 * rng.normal(size=len(times))
+            z = 0.4 + _zarc(FREQ, r1, 1e-3, 0.99) + _zarc(FREQ, 1.2, 1e-1,
+                                                          0.99)
+            z = z + 0.003 * (rng.normal(size=len(FREQ))
+                             + 1j * rng.normal(size=len(FREQ)))
+            md.add_observation([float(k)], (times, i_sig, v), (FREQ, z),
+                               group_id="g")
+        else:  # EIS obs alternating between two grids -> ragged batch
+            f = (FREQ, freq2)[k % 2]
+            z = 0.4 + _zarc(f, r1, 1e-3) + _zarc(f, 1.2, 1e-1)
+            z = z + 0.003 * (rng.normal(size=len(f))
+                             + 1j * rng.normal(size=len(f)))
+            md.add_observation([float(k)], None, (f, z), group_id="g")
+    md.fit_all(batched=True)
+    assert md.obs_fit_status.all()
+    assert all(md.obs_fit_attr[i].get("ragged") for i in range(8))
+
+    grouped = md.get_fits_batched(np.arange(8))
+
+    fitter = md._get_ragged_fitter()
+    for i in range(8):
+        attr = md.obs_fit_attr[i]
+        sys_ = fitter._prep_obs(attr["chrono_data"], attr["eis_data"])
+        rzm = np.asarray(sys_["rzm"]).copy()
+        if sys_["vz_offset"]:
+            nc = sys_["num_chrono"]
+            sign = np.ones(rzm.shape[0])
+            sign[nc:] = -1.0
+            rzm[:, sys_["vz_index"]] = (
+                (sys_["rzm_vz"] @ np.asarray(attr["x_raw"])) * sign
+                * sys_["vz_strength_vec"])
+        p_ref, q_ref = qphb_mod.calculate_pq(
+            jnp.asarray(rzm), jnp.asarray(np.asarray(sys_["rzv"],
+                                                     dtype=float)),
+            jnp.asarray(np.asarray(sys_["m_stack"], dtype=float)),
+            _hypers_to_pytree(sys_["hypers"]),
+            jnp.asarray(np.asarray(sys_["l1_lambda_vector"], dtype=float)),
+            jnp.asarray(np.asarray(attr["rho"], dtype=float)), jnp.ones(3),
+            jnp.asarray(np.asarray(attr["s_vectors"], dtype=float)),
+            jnp.asarray(np.asarray(attr["weights"], dtype=float)),
+            sys_["cfg"])
+        np.testing.assert_allclose(grouped[i].fit_parameters["p_matrix"],
+                                   np.asarray(p_ref), rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(grouped[i].fit_parameters["q_vector"],
+                                   np.asarray(q_ref), rtol=1e-9, atol=1e-11)
+        # get_fit (single-lane path) agrees too
+        one = md.get_fit(i)
+        np.testing.assert_allclose(grouped[i].fit_parameters["p_matrix"],
+                                   one.fit_parameters["p_matrix"],
+                                   rtol=1e-12, atol=1e-14)
