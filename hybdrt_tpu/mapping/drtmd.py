@@ -1474,7 +1474,8 @@ class DRTMD:
                      for k in (self.obs_special_resolved or {})}
         batch_margins = np.full((num_batches, num_obs), -1.0)
 
-        if batched and num_obs > 1:
+        use_batched = batched and num_obs > 1
+        if use_batched:
             # Assemble every window's block QP, then solve all of them in one
             # vmapped, mesh-sharded computation
             obs_drts = self.get_fits_batched(obs_index)
@@ -1490,8 +1491,21 @@ class DRTMD:
                     special_filter_sigma=special_filter_sigma)
                 systems.append((p, q, lb))
                 metas.append((meta, drt_list))
-            xs = resolve_mod.solve_resolve_batch(systems, mesh=mesh,
-                                                 dtype=dtype)
+            try:
+                xs = resolve_mod.solve_resolve_batch(systems, mesh=mesh,
+                                                     dtype=dtype)
+            except Exception as exc:
+                # The all-windows vmapped dense program can exceed the
+                # compile service's memory on tunneled-chip setups (the axon
+                # helper SIGKILLs on it); per-window solves are ~100x
+                # smaller and bitwise-identical in semantics. (The coupled=
+                # True path avoids the issue entirely and is exact.)
+                warnings.warn(
+                    f"vmapped window resolve failed to compile/run "
+                    f"({type(exc).__name__}); falling back to per-window "
+                    f"solves")
+                use_batched = False
+        if use_batched:
             for i, (x_flat, ((special_dict, mti, nr, nc), drt_list)) \
                     in enumerate(zip(xs, metas)):
                 start, end = windows[i]

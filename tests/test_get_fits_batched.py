@@ -216,3 +216,21 @@ def test_ragged_pq_batched_matches_unbatched():
         np.testing.assert_allclose(grouped[i].fit_parameters["p_matrix"],
                                    one.fit_parameters["p_matrix"],
                                    rtol=1e-12, atol=1e-14)
+
+
+def test_resolve_batched_falls_back_per_window(batched_md, monkeypatch):
+    """If the all-windows vmapped dense resolve fails (the compile service
+    OOM-kills that program on tunneled-chip setups), resolve_group must warn
+    and fall back to per-window solves with identical results."""
+    import hybdrt_tpu.mapping.resolve as resolve_mod
+    md = batched_md
+    md.resolve_group("g", batch_size=4, overlap=1, batched=True)
+    x_ok = md.obs_x_resolved.copy()
+
+    def boom(*a, **k):
+        raise RuntimeError("compile helper SIGKILL")
+
+    monkeypatch.setattr(resolve_mod, "solve_resolve_batch", boom)
+    with pytest.warns(UserWarning, match="falling back to per-window"):
+        md.resolve_group("g", batch_size=4, overlap=1, batched=True)
+    np.testing.assert_allclose(md.obs_x_resolved, x_ok, rtol=1e-6, atol=1e-8)
