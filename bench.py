@@ -124,8 +124,11 @@ def chip_health(jax, jnp):
 
     @jax.jit
     def chain(a):
+        # 1/1024 rescale keeps entries ~1e-3 (c' = c^2 + c) so all 16
+        # matmuls stay finite in f32 — without it entries hit inf by
+        # iteration 8 and the probe times inf@inf instead of real values.
         for _ in range(16):
-            a = a @ a + a
+            a = (a @ a) * (1.0 / 1024.0) + a
         return a[0, 0]
 
     np.asarray(chain(a))  # compile / server load

@@ -56,11 +56,10 @@ def main():
 
         # dispatch-only: reuse the cached staged jit via the scaled input
         rzv, _ = fitter.scale_batch(z)
-        rzv_pad = rzv
         disp = []
         for _ in range(8):
             t0 = time.time()
-            states = fitter._fit_staged(rzv_pad)
+            states = fitter._fit_staged(rzv)
             np.asarray(states.converged[:1])
             disp.append(time.time() - t0)
 

@@ -1416,8 +1416,8 @@ class DRTMD:
         optimum of the objective that the reference's overlapping
         batch_size=7 windows + overlap-averaging only approximate (a cvxopt
         size workaround, reference drtmd.py:513-545). Solved matrix-free by
-        projected-Newton-CG (resolve.solve_coupled_group); batch_size and
-        overlap are ignored."""
+        a Mehrotra interior-point method with PCG normal-equation solves
+        (resolve.solve_coupled_group); batch_size and overlap are ignored."""
         obs_index = self.get_group_index(group_id)
         include = self.obs_fit_status[obs_index] & ~self.obs_ignore_flag[obs_index]
         obs_index = obs_index[include]
@@ -1494,6 +1494,10 @@ class DRTMD:
             try:
                 xs = resolve_mod.solve_resolve_batch(systems, mesh=mesh,
                                                      dtype=dtype)
+            except (TypeError, ValueError):
+                # Caller bugs (bad dtype/mesh/shape) must surface, not
+                # silently degrade to the ~100x-slower per-window path.
+                raise
             except Exception as exc:
                 # The all-windows vmapped dense program can exceed the
                 # compile service's memory on tunneled-chip setups (the axon
@@ -1502,8 +1506,8 @@ class DRTMD:
                 # True path avoids the issue entirely and is exact.)
                 warnings.warn(
                     f"vmapped window resolve failed to compile/run "
-                    f"({type(exc).__name__}); falling back to per-window "
-                    f"solves")
+                    f"({type(exc).__name__}: {exc}); falling back to "
+                    f"per-window solves")
                 use_batched = False
         if use_batched:
             for i, (x_flat, ((special_dict, mti, nr, nc), drt_list)) \

@@ -428,9 +428,10 @@ def _coupled_core(p, q, lb, my, cmat, tol_gap, tol_feas, max_iter, cg_iters):
     z0 = jnp.maximum(jnp.abs(hv_e(x0) + q_e), 1.0)
 
     def converged(x, s, z):
-        r_d = hv_e(x) + q_e - z
+        hx = hv_e(x)
+        r_d = hx + q_e - z
         gap = jnp.vdot(s, z) / n
-        obj = 0.5 * jnp.vdot(x, hv_e(x)) + jnp.vdot(q_e, x)
+        obj = 0.5 * jnp.vdot(x, hx) + jnp.vdot(q_e, x)
         ok_gap = gap <= tol_gap * (1.0 + jnp.abs(obj))
         ok_dual = jnp.max(jnp.abs(r_d)) <= tol_feas * q_scale
         return ok_gap & ok_dual
