@@ -234,3 +234,18 @@ def test_resolve_batched_falls_back_per_window(batched_md, monkeypatch):
     with pytest.warns(UserWarning, match="falling back to per-window"):
         md.resolve_group("g", batch_size=4, overlap=1, batched=True)
     np.testing.assert_allclose(md.obs_x_resolved, x_ok, rtol=1e-6, atol=1e-8)
+
+
+def test_resolve_batched_caller_bugs_raise(batched_md, monkeypatch):
+    """TypeError/ValueError from the vmapped resolve are caller bugs (bad
+    dtype/mesh/shape) and must propagate, not silently degrade to the
+    ~100x-slower per-window fallback."""
+    import hybdrt_tpu.mapping.resolve as resolve_mod
+    md = batched_md
+
+    def bad_kwarg(*a, **k):
+        raise TypeError("unsupported dtype object")
+
+    monkeypatch.setattr(resolve_mod, "solve_resolve_batch", bad_kwarg)
+    with pytest.raises(TypeError, match="unsupported dtype"):
+        md.resolve_group("g", batch_size=4, overlap=1, batched=True)
