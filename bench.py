@@ -356,7 +356,11 @@ def main():
     # (device compute + 1 round trip), minus the measured RTT floor
     rzv, _ = fitter.scale_batch(z)
     def dispatch_only():
-        states = fitter._fit_staged(rzv)
+        # Same (8, 14, 22) schedule as fit(adaptive="staged") — the schedule
+        # is part of the jit cache key, so matching it both reuses fit()'s
+        # compiled program (no second cold server-side load) and makes the
+        # e2e-vs-device split compare the SAME program
+        states = fitter._fit_staged(rzv, phase_budgets=(8, 14, 22))
         np.asarray(states.converged[:1])
     disp = [_timeit(dispatch_only) for _ in range(8)]
     device_sps = BATCH / max(min(disp) - rtt_s, 1e-9)

@@ -54,12 +54,15 @@ def main():
         e2e = [_timeit(lambda: fitter.fit(z, adaptive="staged"))
                for _ in range(8)]
 
-        # dispatch-only: reuse the cached staged jit via the scaled input
+        # dispatch-only: reuse the cached staged jit via the scaled input.
+        # Pass fit()'s (8, 14, 22) default explicitly — the schedule is part
+        # of the jit cache key, so _fit_staged's own (8, 16) default would
+        # compile a DIFFERENT program and corrupt the e2e/device split
         rzv, _ = fitter.scale_batch(z)
         disp = []
         for _ in range(8):
             t0 = time.time()
-            states = fitter._fit_staged(rzv)
+            states = fitter._fit_staged(rzv, phase_budgets=(8, 14, 22))
             np.asarray(states.converged[:1])
             disp.append(time.time() - t0)
 

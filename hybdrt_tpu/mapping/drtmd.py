@@ -128,6 +128,9 @@ class DRTMD:
         self.obs_special_resolved = None
         self.obs_x_filt = np.zeros((0, len(self.tau_supergrid)))
         self.obs_special_filt = None
+        # Diagnostics from the last resolve_group call (coupled path fills
+        # in n_iter / kkt_residual / kkt_tol)
+        self.resolve_info = None
 
         self.print_diagnostics = print_diagnostics
         self.print_progress = print_progress
@@ -1251,8 +1254,11 @@ class DRTMD:
         from ..utils.device import host_cpu
 
         fitter = self._get_ragged_fitter()
-        systems = [fitter._prep_obs(a["chrono_data"], a["eis_data"])
-                   for a in attrs]
+        # _prep_systems groups cached-protocol observations and rescales
+        # each group in one vectorized pass (the serial per-obs loop was
+        # 29% of hybrid wall in experiments/hybrid_profile.py)
+        systems = fitter._prep_systems(
+            [(a["chrono_data"], a["eis_data"]) for a in attrs])
         out_p = [None] * len(attrs)
         out_q = [None] * len(attrs)
         groups = {}
@@ -1444,8 +1450,25 @@ class DRTMD:
                     tau_filter_sigma=tau_filter_sigma,
                     special_filter_sigma=special_filter_sigma)
             special_dict, mti, nr, nc = meta
-            x, _, _ = resolve_mod.solve_coupled_group(
+            x, rn_iter, kkt = resolve_mod.solve_coupled_group(
                 p_stack, q_stack, lb, my, cmat, mesh=mesh, dtype=dtype)
+            # Surface solver health: the matrix-free IP can stall on
+            # pathological groups (max_iter/cg exhaustion). Calibrated on
+            # representative systems: relative KKT ~1e-14 (f64) / ~1e-5
+            # (f32), so these thresholds leave 2+ orders of headroom while
+            # catching genuinely unconverged iterates.
+            kkt_scale = max(1.0, float(np.abs(q_stack).max()))
+            kkt_tol = (1e-3 if np.dtype(dtype or np.float64) == np.float32
+                       else 1e-6) * kkt_scale
+            self.resolve_info = {"coupled": True, "n_iter": rn_iter,
+                                 "kkt_residual": kkt, "kkt_tol": kkt_tol}
+            if not np.isfinite(kkt) or kkt > kkt_tol:
+                warnings.warn(
+                    f"Coupled group resolve did not fully converge "
+                    f"(KKT residual {kkt:.3g} > {kkt_tol:.3g} after "
+                    f"{rn_iter} IP iterations); the stored resolved "
+                    f"distributions may be inaccurate. Consider dtype="
+                    f"float64 or the windowed resolve (coupled=False).")
             x_drt, x_sp = resolve_mod.unpack_resolved_x(x, drt_list, special_dict)
             self.obs_x_resolved[obs_index[:, None],
                                 np.arange(mti[0], mti[1])[None, :]] = x_drt

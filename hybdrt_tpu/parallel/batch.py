@@ -905,6 +905,18 @@ class BatchedHybridFitter:
         hybrid continuation reconstructs the in-loop vz-offset column from
         the resumed iterate, so lane trajectories stay identical to the
         uninterrupted loop."""
+        if adaptive and adaptive not in (True, "staged"):
+            raise ValueError(f"adaptive={adaptive!r}: expected False, True "
+                             f"(host-driven compaction) or 'staged' "
+                             f"(single-dispatch)")
+        if adaptive and phase_budgets is not None:
+            budgets = [int(x) for x in phase_budgets]
+            if budgets != sorted(budgets):
+                raise ValueError(
+                    f"phase_budgets={tuple(phase_budgets)} must be "
+                    f"ascending: each stage continues to a LARGER iteration "
+                    f"stop (an out-of-order stop is a no-op silently "
+                    f"absorbed by the safety net)")
         rzv, scale = self.scale_batch(v_batch, z_batch)
         b_orig = rzv.shape[0]
         if return_history and adaptive:

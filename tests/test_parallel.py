@@ -375,11 +375,14 @@ def test_staged_matches_plain_bitwise(pred_stop):
     assert np.array_equal(r_plain.converged, r_staged.converged)
 
 
-def test_hybrid_staged_matches_plain_bitwise():
+@pytest.mark.parametrize("pred_stop", [False, True])
+def test_hybrid_staged_matches_plain_bitwise(pred_stop):
     """Staged compaction on the HYBRID fitter: the continuation must
     reconstruct the in-loop vz-offset column from the resumed iterate
     (fitcore rewrites rzm[:, vz_index] from x each iteration), so the staged
-    trajectory matches the uninterrupted loop lane-for-lane."""
+    trajectory matches the uninterrupted loop lane-for-lane. With pred_stop
+    the prediction history must additionally survive the compaction gather
+    while interacting with the per-iteration vz-column rewrite."""
     rng = np.random.default_rng(11)
     times = np.concatenate([np.linspace(-0.005, -0.0005, 8),
                             np.logspace(-5, 0, 60)])
@@ -399,7 +402,8 @@ def test_hybrid_staged_matches_plain_bitwise():
 
     vs, zs = zip(*[sim(100 + i) for i in range(6)])
     from hybdrt_tpu.parallel.batch import BatchedHybridFitter
-    fitter = BatchedHybridFitter(times, i_sig, freq2, max_iter=50)
+    fitter = BatchedHybridFitter(times, i_sig, freq2, max_iter=50,
+                                 pred_stop=pred_stop, pred_rtol=3e-2)
     r_plain = fitter.fit(np.stack(vs), np.stack(zs))
     # caps (3, 1) force capacity overflow through the full-width safety net
     r_staged = fitter.fit(np.stack(vs), np.stack(zs), adaptive="staged",
@@ -411,6 +415,24 @@ def test_hybrid_staged_matches_plain_bitwise():
                          phase_budgets=(6, 15))
     assert np.array_equal(r_plain.x, r_adapt.x)
     assert np.array_equal(r_plain.n_iter, r_adapt.n_iter)
+
+
+def test_hybrid_scheduling_kwargs_validated():
+    """The hybrid fitter must fail fast on a typo'd adaptive mode or
+    non-ascending phase_budgets, like the EIS and ragged fitters (a bad
+    mode would otherwise silently fall into the host-driven scheduler)."""
+    from hybdrt_tpu.parallel.batch import BatchedHybridFitter
+    times = np.concatenate([np.linspace(-0.005, -0.0005, 4),
+                            np.logspace(-5, 0, 20)])
+    i_sig = np.where(times >= 0, 0.1, 0.0)
+    fitter = BatchedHybridFitter(times, i_sig, np.logspace(4, 0, 11),
+                                 max_iter=10)
+    bad = np.zeros((2, len(times)))
+    with pytest.raises(ValueError, match="adaptive="):
+        fitter.fit(bad, np.zeros((2, 11), dtype=complex), adaptive="stagedd")
+    with pytest.raises(ValueError, match="ascending"):
+        fitter.fit(bad, np.zeros((2, 11), dtype=complex), adaptive="staged",
+                   phase_budgets=(12, 6))
 
 
 def test_pred_stop_early_stop_accuracy():

@@ -432,11 +432,14 @@ def test_ragged_staged_matches_plain(pred_stop):
     assert np.allclose(r_plain.r_inf, r_staged.r_inf, rtol=1e-9, atol=1e-12)
 
 
-def test_ragged_hybrid_staged_matches_plain():
+@pytest.mark.parametrize("pred_stop", [False, True])
+def test_ragged_hybrid_staged_matches_plain(pred_stop):
     """Staged compaction on ragged HYBRID lanes: the continuation must
     reconstruct each lane's in-loop vz-offset column from the resumed
     iterate using the per-lane vz_sign (+1 chrono rows, -1 EIS rows), so
-    the staged trajectory matches the uninterrupted loop exactly."""
+    the staged trajectory matches the uninterrupted loop exactly — with
+    pred_stop, including the prediction history carried through the
+    compaction gather."""
     rng = np.random.default_rng(3)
     protos = [
         (np.concatenate([np.linspace(-0.05, -0.001, 10),
@@ -448,7 +451,8 @@ def test_ragged_hybrid_staged_matches_plain():
     ]
     obs = [_hybrid_obs(t, st, amp, f, rng) for (t, st, amp, f) in protos]
 
-    fitter = BatchedRaggedFitter(TAU_SG, batch_bucket=False)
+    fitter = BatchedRaggedFitter(TAU_SG, batch_bucket=False,
+                                 pred_stop=pred_stop, pred_rtol=3e-2)
     r_plain = fitter.fit(obs)
     r_staged = fitter.fit(obs, adaptive=True, phase_budgets=(5,),
                           staged_capacities=(1,))

@@ -209,6 +209,40 @@ def test_coupled_resolve_ill_conditioned_group():
     md.resolve_group("g", psi_sort_dims=["T"], coupled=True)
     rp = md.predict_r_p(resolved=True)
     assert np.max(np.abs(rp - (1.0 + 0.5 * psis))) < 0.05
+    # Solver diagnostics are surfaced and within the converged tolerance
+    info = md.resolve_info
+    assert info["coupled"] and info["n_iter"] > 0
+    assert np.isfinite(info["kkt_residual"])
+    assert info["kkt_residual"] <= info["kkt_tol"]
+
+
+def test_coupled_resolve_warns_on_unconverged(monkeypatch):
+    """resolve_group(coupled=True) must not silently mark success when the
+    matrix-free IP solve stalls: a KKT residual above the calibrated
+    tolerance raises a UserWarning pointing at the fallback options."""
+    import warnings as _warnings
+    rng = np.random.default_rng(1)
+    freq = np.logspace(5, -1, 41)
+    md = DRTMD(np.logspace(-7, 2, 61), psi_dim_names=["T"], warn=False,
+               print_progress=False)
+    for p in np.linspace(0, 1, 3):
+        zz = 0.3 + 1.0 / (1 + (2j * np.pi * freq * 1e-3) ** 0.9)
+        zz = zz + (rng.normal(size=41) + 1j * rng.normal(size=41)) * 0.003
+        md.add_observation([p], None, (freq, zz), group_id="g")
+    md.fit_all(batched=True)
+
+    orig = resolve_mod.solve_coupled_group
+
+    def stalled(*args, **kwargs):
+        x, n_iter, _ = orig(*args, **kwargs)
+        return x, n_iter, 1e3  # simulate max_iter exhaustion
+
+    monkeypatch.setattr(resolve_mod, "solve_coupled_group", stalled)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        md.resolve_group("g", psi_sort_dims=["T"], coupled=True)
+    assert any("did not fully converge" in str(w.message) for w in rec)
+    assert md.resolve_info["kkt_residual"] == 1e3
 
 
 def test_coupled_resolve_mesh_matches(fitted_map):
