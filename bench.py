@@ -51,8 +51,10 @@ BASELINE_SPECTRA_PER_SEC_PER_CHIP = 12.5
 # degraded-tunnel windows measure 10-100x that. Pinned from a session whose
 # staged throughput measured 5156 spectra/s e2e (healthy range).
 HEALTHY_PROBE_S = 0.025
-HET_EIS = 384          # heterogeneous leg: mixed-grid EIS observations
-HET_HYBRID = 128       # + hybrid (chrono+EIS) observations
+HET_EIS = 768          # heterogeneous leg: mixed-grid EIS observations
+HET_HYBRID = 256       # + hybrid (chrono+EIS) observations
+# (768 + 256 = 1024 obs: BASELINE config 5's "1000+-spectrum
+# multi-dimensional map, fit < 10 s" measured literally, not pro-rated)
 
 
 def make_batch(batch, n_freq, seed=1):
@@ -263,6 +265,9 @@ def run_het_leg(mesh, n_eis=HET_EIS, n_hybrid=HET_HYBRID):
         "eis_obs": n_eis,
         "hybrid_obs": n_hybrid,
         "obs_per_sec": round(n_tot / best, 1),
+        # BASELINE config 5: the full 1000+-obs map fit, wall-clock seconds
+        # (target < 10 s on TPU)
+        "map_fit_s": round(best, 3),
         "fitted": fitted,
         "warmup_s": round(warm_s, 1),
         "resolve_coupled_s": resolve_s,
