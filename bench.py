@@ -95,9 +95,14 @@ def wait_for_tpu(max_wait_s=None, probe_timeout_s=180):
         t0 = time.time()
         try:
             out = subprocess.run(
-                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                [sys.executable, "-c",
+                 # init AND a real dispatch+readback: degraded windows have
+                 # been observed where jax.devices() succeeds in seconds but
+                 # the first computation hangs (r4, 20:42 session)
+                 "import jax; jax.devices(); import jax.numpy as jnp; "
+                 "print(int(jnp.ones(8).sum()))"],
                 capture_output=True, text=True, timeout=probe_timeout_s)
-            if out.returncode == 0 and out.stdout.strip().isdigit():
+            if out.returncode == 0 and out.stdout.strip() == "8":
                 print(f"TPU backend probe ok ({time.time() - t0:.0f}s)",
                       file=sys.stderr)
                 return True
@@ -345,9 +350,11 @@ def main():
     compile_warmup_s = time.time() - t0
     print(f"compile+warmup: {compile_warmup_s:.1f}s", file=sys.stderr)
 
-    def timed_reps(n=8):
-        # 8 reps (~0.2 s each): single-rep timings on the shared tunneled
-        # chip vary ~2x within a session; best-of-8 reflects the hardware
+    def timed_reps(n=12):
+        # best-of-12 (~0.25 s each): single-rep timings on the shared
+        # tunneled chip vary ~2x within a session, and even healthy
+        # (health ~1.0) sessions show ±15% best-rep spread at n=8 from
+        # contention bursts; 4 more reps cost ~1 s and tighten the tail
         return [_timeit(fit) for _ in range(n)]
 
     # e2e: full fit() including host collect + result transfer
@@ -396,6 +403,12 @@ def main():
         print(f"het leg failed: {exc!r}", file=sys.stderr)
         # truncate: axon compile errors embed the helper's full log
         het = {"error": repr(exc)[:300]}
+    # A degraded window can open mid-run: probe again so the artifact
+    # shows whether the het numbers were measured under the same health
+    # as the headline
+    het_health, _ = chip_health(jax, jnp)
+    if isinstance(het, dict):
+        het["chip_health"] = round(het_health, 3)
 
     out = {
         "metric": "drt_inversions_per_sec",

@@ -105,6 +105,16 @@ rough = lambda x: np.sum(np.diff(x, n=2, axis=0) ** 2)  # noqa: E731
 print(f"resolve: distribution-field roughness along T "
       f"{rough(md.obs_x):.3e} -> {rough(md.obs_x_resolved):.3e}")
 
+# coupled=True skips the reference's overlapping-window approximation and
+# solves the WHOLE psi-sorted group as one box QP (matrix-free interior
+# point; the exact optimum of the coupled objective). Solver diagnostics
+# land in md.resolve_info.
+md.resolve_group("ramp", psi_sort_dims=["T"], coupled=True,
+                 mesh=mesh if mesh.devices.size > 1 else None)
+info = md.resolve_info
+print(f"coupled resolve: roughness -> {rough(md.obs_x_resolved):.3e} "
+      f"({info['n_iter']} IP iters, KKT {info['kkt_residual']:.1e})")
+
 # ----------------------------------------------------------------------
 # 6. Raw throughput path: a single shared-grid batch straight through
 #    BatchedEISFitter (what bench.py measures on the TPU chip). float32
