@@ -311,6 +311,76 @@ class BatchedEISFitter:
             return state, (y_prev, y_prev2)
         return out[0], None
 
+    # ------------------------------------------------------------------
+    # Frame-to-frame warm starting (fit(warm_from=...)): operando /
+    # time-series maps re-acquire a whole batch of spectra every frame with
+    # parameters drifting slowly, yet a cold fit re-derives the
+    # hyperparameter fixed point from scratch each time. Seeding the solver
+    # state from the previous frame's converged solutions is the reference's
+    # continue-from-init concept (hybdrt/models/drt1d.py:1270
+    # _continue_from_init: xmx_norms inherited and held FIXED, weight_factor
+    # active from iteration 0, min_iter enforced) applied batched across
+    # acquisitions — the outer loop then only tracks the drift instead of
+    # re-converging s/rho/weights from their priors.
+    def _warm_fcfg(self):
+        return self.fcfg._replace(continue_mode=True)
+
+    def _fit_single_warm(self, rzv, x0, s0, rho0, dop_rho0, xmx0, dop_xmx0):
+        """One spectrum seeded from a previous frame's converged state.
+
+        Data weights are freshly estimated from THIS frame's data (noise is
+        frame-local); only the solver state (x, penalty s/rho, penalty
+        norms) carries over. The hybrid vz-offset column is reconstructed
+        from the seed iterate exactly as in _cont_single."""
+        from ..solver.qphb import QPHBState
+        args, _ = _loop_inputs(self, rzv, fcfg=self._warm_fcfg())
+        (rzm, rzv_, vmm, m_stack, dop_gmat, l1v, lb, hyp, _x0, _s0, _rho0,
+         _dr0, init_w, est_w, out_t, rzm_vz, vz_strength, one, _o2, _o3,
+         fcfg) = args
+        state0 = QPHBState(
+            x=x0, s_vectors=s0, rho_vector=rho0, dop_rho_vector=dop_rho0,
+            weights=init_w, outlier_t=out_t,
+            xmx_norms=xmx0, dop_xmx_norms=dop_xmx0,
+            it=jnp.array(0, dtype=jnp.int32), converged=jnp.array(False),
+            qp_dual=jnp.zeros_like(x0))
+        if fcfg.data_type == "hybrid" and fcfg.vz_offset:
+            y_hat = rzm_vz @ x0
+            vz_sep = y_hat.at[fcfg.num_chrono:].multiply(-1.0)
+            rzm = rzm.at[:, fcfg.vz_index].set(vz_sep * vz_strength)
+        state, _ = fitcore.qphb_fit_loop_from_state(
+            state0, rzm, rzv_, vmm, m_stack, dop_gmat, l1v, lb, hyp, est_w,
+            rzm_vz, vz_strength, one, one, one, fcfg,
+            seed_pred_history=fcfg.pred_stop)
+        return state
+
+    def _warm_arrays(self, warm_from, b_orig, scale):
+        """Per-lane seed arrays from a previous frame's BatchFitResult,
+        rescaled from the old frame's lane scales to the new ones (in-loop
+        x is the physical solution divided by the lane scale)."""
+        prev_x = np.asarray(warm_from.x_raw)
+        if prev_x.shape[0] != b_orig:
+            raise ValueError(
+                f"warm_from has {prev_x.shape[0]} lanes; this batch has "
+                f"{b_orig} (warm seeding is lane-aligned: fit the same "
+                f"observations in the same order each frame)")
+        ratio = np.asarray(warm_from.scale) / np.asarray(scale)
+        return [prev_x * ratio[:, None],
+                np.asarray(warm_from.s_vectors),
+                np.asarray(warm_from.rho),
+                np.asarray(warm_from.dop_rho),
+                np.asarray(warm_from.xmx_norms),
+                np.asarray(warm_from.dop_xmx_norms)]
+
+    def _dispatch_warm(self, rzv, warm):
+        rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
+        warm_dev = [jnp.asarray(a, dtype=self.dtype) for a in warm]
+        if self.mesh is not None:
+            rzv_dev = sh.shard_batch(rzv_dev, self.mesh)
+            warm_dev = [sh.shard_batch(a, self.mesh) for a in warm_dev]
+        if not hasattr(self, "_fit_batch_warm"):
+            self._fit_batch_warm = jax.jit(jax.vmap(self._fit_single_warm))
+        return self._fit_batch_warm(rzv_dev, *warm_dev)
+
     @staticmethod
     def _quantize_tail(n, n_min=32):
         m = n_min
@@ -472,8 +542,18 @@ class BatchedEISFitter:
         return rzv, scale
 
     def fit(self, z_batch, return_states=False, adaptive=False,
-            phase_budgets=None, return_history=False, staged_capacities=None):
+            phase_budgets=None, return_history=False, staged_capacities=None,
+            warm_from=None):
         """Fit a (B, n_freq) batch of complex spectra; returns BatchFitResult.
+
+        warm_from=<previous frame's BatchFitResult> seeds each lane's solver
+        state from that frame's converged solution (reference
+        continue-from-init semantics, drt1d.py:1270): on slowly-drifting
+        time-series/operando maps the outer loop then tracks the drift in a
+        few iterations instead of re-converging from the priors. Lanes must
+        be the same observations in the same order; results agree with a
+        cold fit to solver tolerance (not bitwise — penalty norms are
+        inherited from the seed frame rather than re-derived).
 
         adaptive=True enables compacted-continuation scheduling (see
         _fit_adaptive): numerically identical lane trajectories, but early
@@ -503,17 +583,27 @@ class BatchedEISFitter:
                     f"ascending: each stage continues to a LARGER iteration "
                     f"stop (an out-of-order stop is a no-op silently "
                     f"absorbed by the safety net)")
+        if warm_from is not None and (adaptive or return_history):
+            raise ValueError("warm_from seeds a plain whole-batch dispatch; "
+                             "it cannot be combined with adaptive scheduling "
+                             "or return_history")
         z_batch = np.asarray(z_batch)
         rzv, scale = self.scale_batch(z_batch)
         b_orig = rzv.shape[0]
+        warm = None if warm_from is None \
+            else self._warm_arrays(warm_from, b_orig, scale)
 
         if self.mesh is not None:
             rzv, _ = sh.pad_batch(rzv, self.mesh)
+            if warm is not None:
+                warm = [sh.pad_batch(a, self.mesh)[0] for a in warm]
         elif self.batch_bucket and b_orig > 1 and not return_history:
             # (the diagnostic history path keeps the exact batch shape:
             # padding changes XLA's shape-dependent rounding, which the
             # iteration-by-iteration serial-parity guarantee can't absorb)
             rzv = _bucket_pad(rzv, b_orig)
+            if warm is not None:
+                warm = [_bucket_pad(a, b_orig) for a in warm]
 
         if return_history:
             if adaptive:
@@ -534,7 +624,9 @@ class BatchedEISFitter:
                 return (*result, history)
             return result, history
 
-        if adaptive == "staged":
+        if warm is not None:
+            states = self._dispatch_warm(rzv, warm)
+        elif adaptive == "staged":
             # Default schedule measured best on the bench workload (B=1024,
             # max_iter=50): 3 stages at (8, 14, 22) with halving capacities
             # beat 2-stage (8, 16) and the 4-stage variants (6192/s vs
@@ -894,7 +986,8 @@ class BatchedHybridFitter:
         return state, history
 
     def fit(self, v_batch, z_batch, return_states=False, return_history=False,
-            adaptive=False, phase_budgets=None, staged_capacities=None):
+            adaptive=False, phase_budgets=None, staged_capacities=None,
+            warm_from=None):
         """Fit (B, n_times) responses + (B, n_freq) spectra; returns
         BatchFitResult (x in physical units). return_history=True appends a
         (B, max_iter, ...) per-iteration history dict (batched analog of
@@ -904,7 +997,9 @@ class BatchedHybridFitter:
         schedulers shared with BatchedEISFitter (see its fit docstring); the
         hybrid continuation reconstructs the in-loop vz-offset column from
         the resumed iterate, so lane trajectories stay identical to the
-        uninterrupted loop."""
+        uninterrupted loop. warm_from=<previous frame's BatchFitResult>
+        seeds each lane from that frame's converged solution (see the EIS
+        fit docstring; the vz-offset column is rebuilt from the seed)."""
         if adaptive and adaptive not in (True, "staged"):
             raise ValueError(f"adaptive={adaptive!r}: expected False, True "
                              f"(host-driven compaction) or 'staged' "
@@ -917,15 +1012,25 @@ class BatchedHybridFitter:
                     f"ascending: each stage continues to a LARGER iteration "
                     f"stop (an out-of-order stop is a no-op silently "
                     f"absorbed by the safety net)")
+        if warm_from is not None and (adaptive or return_history):
+            raise ValueError("warm_from seeds a plain whole-batch dispatch; "
+                             "it cannot be combined with adaptive scheduling "
+                             "or return_history")
         rzv, scale = self.scale_batch(v_batch, z_batch)
         b_orig = rzv.shape[0]
         if return_history and adaptive:
             raise ValueError("return_history is a fixed-length scan; "
                              "use it without adaptive scheduling")
+        warm = None if warm_from is None \
+            else self._warm_arrays(warm_from, b_orig, scale)
         if self.mesh is not None:
             rzv, _ = sh.pad_batch(rzv, self.mesh)
+            if warm is not None:
+                warm = [sh.pad_batch(a, self.mesh)[0] for a in warm]
         elif self.batch_bucket and b_orig > 1 and not return_history:
             rzv = _bucket_pad(rzv, b_orig)
+            if warm is not None:
+                warm = [_bucket_pad(a, b_orig) for a in warm]
         if return_history:
             rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
             if self.mesh is not None:
@@ -940,7 +1045,9 @@ class BatchedHybridFitter:
             if return_states:
                 return (*result, history)
             return result, history
-        if adaptive == "staged":
+        if warm is not None:
+            states = self._dispatch_warm(rzv, warm)
+        elif adaptive == "staged":
             states = self._fit_staged(
                 rzv, phase_budgets=(8, 14, 22) if phase_budgets is None
                 else phase_budgets, capacities=staged_capacities)
@@ -966,6 +1073,12 @@ class BatchedHybridFitter:
     _quantize_tail = staticmethod(BatchedEISFitter._quantize_tail)
     _fit_adaptive = BatchedEISFitter._fit_adaptive
     _fit_staged = BatchedEISFitter._fit_staged
+    # frame-to-frame warm starting (_fit_single_warm reconstructs the
+    # hybrid vz-offset column from the seed iterate)
+    _warm_fcfg = BatchedEISFitter._warm_fcfg
+    _fit_single_warm = BatchedEISFitter._fit_single_warm
+    _warm_arrays = BatchedEISFitter._warm_arrays
+    _dispatch_warm = BatchedEISFitter._dispatch_warm
 
 
 def _pfrt_sweep_single(fitter, rzv, factors, max_init_iter, max_iter_per_step,

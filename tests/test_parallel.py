@@ -417,6 +417,116 @@ def test_hybrid_staged_matches_plain_bitwise(pred_stop):
     assert np.array_equal(r_plain.n_iter, r_adapt.n_iter)
 
 
+def test_warm_from_previous_frame():
+    """fit(warm_from=prev) — frame-to-frame warm starting for operando
+    sequences (reference continue-from-init semantics, drt1d.py:1270,
+    batched across acquisitions). The warm fit must (a) converge every lane
+    in fewer iterations than cold, (b) land on the same physics: residuals
+    at the noise level and predictions agreeing with the cold fit at the
+    noise scale (x itself is NOT compared — cold fits stop mid limit-cycle
+    with mass shuffled between adjacent basis columns)."""
+    rng = np.random.default_rng(0)
+    freq = np.logspace(5, -1, 61)
+    B, noise = 10, 0.003
+
+    def frame(drift):
+        z = np.zeros((B, 61), dtype=complex)
+        for i in range(B):
+            r1 = 1.0 + 0.03 * i + drift
+            t1 = 10 ** (-3 + 0.05 * i + drift)
+            z[i] = (0.5 + 0.1 * drift
+                    + r1 / (1 + (2j * np.pi * freq * t1) ** 0.9)
+                    + 0.8 / (1 + (2j * np.pi * freq * 1e-1) ** 0.85))
+        return z + noise * (rng.normal(size=(B, 61))
+                            + 1j * rng.normal(size=(B, 61)))
+
+    f0, f1 = frame(0.0), frame(0.02)
+    fitter = BatchedEISFitter(freq, max_iter=50, pred_stop=True,
+                              pred_rtol=1e-2)
+    r0 = fitter.fit(f0)
+    cold = fitter.fit(f1)
+    warm = fitter.fit(f1, warm_from=r0)
+
+    assert warm.converged.all()
+    assert warm.n_iter.mean() < cold.n_iter.mean()
+    z_c, z_w = fitter.predict_z(cold), fitter.predict_z(warm)
+    assert np.median(np.abs(z_w - f1)) < 1.5 * np.median(np.abs(z_c - f1))
+    assert np.max(np.abs(z_w - z_c)) < 3 * noise
+    rp_c, rp_w = fitter.predict_r_p(cold), fitter.predict_r_p(warm)
+    assert np.max(np.abs(rp_w - rp_c) / rp_c) < 0.02
+
+    # Same-data reseed: near-instant re-convergence onto the seed solution
+    # (median — an occasional lane wanders its benign limit cycle longer)
+    again = fitter.fit(f0, warm_from=r0)
+    assert again.converged.all()
+    assert np.median(again.n_iter) <= 8
+    assert np.max(np.abs(fitter.predict_z(again)
+                         - fitter.predict_z(r0))) < noise
+
+    # Validation: lane misalignment and scheduler combination fail fast
+    with pytest.raises(ValueError, match="lanes"):
+        fitter.fit(f1[:-1], warm_from=r0)
+    with pytest.raises(ValueError, match="warm_from"):
+        fitter.fit(f1, warm_from=r0, adaptive="staged")
+
+
+def test_warm_from_mesh_matches_single_device():
+    from hybdrt_tpu.parallel.sharding import make_mesh
+    rng = np.random.default_rng(3)
+    freq = np.logspace(5, -1, 41)
+    B = 13  # 13 % 8 != 0: exercises warm-array mesh padding
+    z0 = np.stack([0.4 + (1.0 + 0.02 * i)
+                   / (1 + (2j * np.pi * freq * 10 ** (-3 + 0.1 * i)) ** 0.9)
+                   for i in range(B)])
+    z0 = z0 + 0.002 * (rng.normal(size=z0.shape)
+                       + 1j * rng.normal(size=z0.shape))
+    z1 = z0 * 1.01
+    plain = BatchedEISFitter(freq, max_iter=30)
+    mesh = make_mesh(jax.devices("cpu"))
+    shard = BatchedEISFitter(freq, max_iter=30, mesh=mesh)
+    r0p, r0s = plain.fit(z0), shard.fit(z0)
+    wp = plain.fit(z1, warm_from=r0p)
+    ws = shard.fit(z1, warm_from=r0s)
+    assert np.array_equal(wp.n_iter, ws.n_iter)
+    assert np.allclose(wp.x, ws.x, rtol=1e-8, atol=1e-10)
+
+
+def test_warm_from_hybrid_frames():
+    """Hybrid warm starting: the vz-offset column is reconstructed from the
+    seed iterate, so a reseeded same-data fit re-converges quickly onto the
+    seed solution."""
+    rng = np.random.default_rng(11)
+    times = np.concatenate([np.linspace(-0.005, -0.0005, 8),
+                            np.logspace(-5, 0, 60)])
+    i_sig = np.where(times >= 0, 0.1, 0.0)
+    freq2 = np.logspace(5, -1, 25)
+    w = 2j * np.pi * freq2
+
+    def sim(seed, drift=0.0):
+        r = np.random.default_rng(seed)
+        tau0 = 10 ** (-2.5 + drift)
+        r0 = 1.5 + drift
+        v = 0.3 * i_sig + 0.1 * r0 * (1 - np.exp(
+            -np.maximum(times, 0) / tau0)) * (times >= 0) \
+            + r.normal(0, 2e-4, len(times))
+        z_ = 0.3 + r0 / (1 + (w * tau0) ** 1.0) \
+            + r.normal(0, 1e-3, 25) + 1j * r.normal(0, 1e-3, 25)
+        return v, z_
+
+    from hybdrt_tpu.parallel.batch import BatchedHybridFitter
+    vs0, zs0 = zip(*[sim(100 + i) for i in range(4)])
+    vs1, zs1 = zip(*[sim(200 + i, drift=0.02) for i in range(4)])
+    fitter = BatchedHybridFitter(times, i_sig, freq2, max_iter=40,
+                                 pred_stop=True, pred_rtol=1e-2)
+    r0 = fitter.fit(np.stack(vs0), np.stack(zs0))
+    cold = fitter.fit(np.stack(vs1), np.stack(zs1))
+    warm = fitter.fit(np.stack(vs1), np.stack(zs1), warm_from=r0)
+    assert warm.converged.all()
+    rp_c, rp_w = fitter.predict_r_p(cold), fitter.predict_r_p(warm)
+    assert np.max(np.abs(rp_w - rp_c) / rp_c) < 0.02
+    assert np.max(np.abs(warm.r_inf - cold.r_inf)) < 5e-3
+
+
 def test_hybrid_scheduling_kwargs_validated():
     """The hybrid fitter must fail fast on a typo'd adaptive mode or
     non-ascending phase_budgets, like the EIS and ragged fitters (a bad
