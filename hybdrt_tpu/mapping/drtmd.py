@@ -1500,19 +1500,23 @@ class DRTMD:
         use_batched = batched and num_obs > 1
         if use_batched:
             # Assemble every window's block QP, then solve all of them in one
-            # vmapped, mesh-sharded computation
+            # vmapped, mesh-sharded matrix-free computation (each window
+            # keeps its blockdiag(P_i) + psi-coupling structure; the dense
+            # kron form OOM-killed the axon compile helper at production
+            # window counts, see resolve.solve_resolve_batch)
             obs_drts = self.get_fits_batched(obs_index)
             systems, metas = [], []
             for (start, end) in windows:
                 bidx = obs_index[start:end]
                 drt_list = [obs_drts[i] for i in bidx]
                 ti_list = [self.obs_tau_indices[i] for i in bidx]
-                p, q, lb, meta = resolve_mod.assemble_resolve_system(
-                    drt_list, ti_list, self.fit_kw.get("nonneg", True),
-                    truncate=truncate, sigma=sigma, lambda_psi=lambda_psi,
-                    tau_filter_sigma=tau_filter_sigma,
-                    special_filter_sigma=special_filter_sigma)
-                systems.append((p, q, lb))
+                p_stack, q_stack, lb, my, cmat, meta = \
+                    resolve_mod.prepare_group_blocks(
+                        drt_list, ti_list, self.fit_kw.get("nonneg", True),
+                        truncate=truncate, sigma=sigma, lambda_psi=lambda_psi,
+                        tau_filter_sigma=tau_filter_sigma,
+                        special_filter_sigma=special_filter_sigma)
+                systems.append((p_stack, q_stack, lb, my, cmat))
                 metas.append((meta, drt_list))
             try:
                 xs = resolve_mod.solve_resolve_batch(systems, mesh=mesh,
@@ -1522,23 +1526,22 @@ class DRTMD:
                 # silently degrade to the ~100x-slower per-window path.
                 raise
             except Exception as exc:
-                # The all-windows vmapped dense program can exceed the
-                # compile service's memory on tunneled-chip setups (the axon
-                # helper SIGKILLs on it); per-window solves are ~100x
-                # smaller and bitwise-identical in semantics. (The coupled=
-                # True path avoids the issue entirely and is exact.)
+                # Insurance only (the matrix-free window program is ~30x
+                # smaller than the dense form that used to OOM the axon
+                # compile helper; tests/test_resolve_program_size.py bounds
+                # it): per-window solves are semantically identical.
                 warnings.warn(
                     f"vmapped window resolve failed to compile/run "
                     f"({type(exc).__name__}: {exc}); falling back to "
                     f"per-window solves")
                 use_batched = False
         if use_batched:
-            for i, (x_flat, ((special_dict, mti, nr, nc), drt_list)) \
+            for i, (x_win, ((special_dict, mti, nr, nc), drt_list)) \
                     in enumerate(zip(xs, metas)):
                 start, end = windows[i]
                 bidx = obs_index[start:end]
                 x_drt, x_sp = resolve_mod.unpack_resolved_x(
-                    x_flat.reshape(nr, nc), drt_list, special_dict)
+                    np.asarray(x_win), drt_list, special_dict)
                 self.obs_x_resolved[bidx[:, None],
                                     np.arange(mti[0], mti[1])[None, :]] = x_drt
                 for key, val in x_sp.items():

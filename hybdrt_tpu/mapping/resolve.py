@@ -246,50 +246,76 @@ def resolve_observations(obs_drt_list, obs_tau_indices, nonneg, obs_psi=None,
     return x_opt, match_tau_indices
 
 
-def solve_resolve_batch(systems, mesh=None, dtype=None):
+def solve_resolve_batch(blocks, mesh=None, dtype=None, tol_gap=1e-12,
+                        tol_feas=1e-10, max_iter=60, cg_iters=200):
     """Solve many resolve-window block QPs as ONE vmapped (optionally
-    mesh-sharded) computation instead of a serial python loop — the
-    device-parallel replacement for the reference's per-window cvxopt calls
-    inside resolve_group (reference drtmd.py:486-560).
+    mesh-sharded) MATRIX-FREE computation — the device-parallel replacement
+    for the reference's per-window cvxopt calls inside resolve_group
+    (reference drtmd.py:486-560).
 
-    systems: list of (p_matrix, q_vector, lb) of possibly different sizes;
-    windows are padded to the largest size with unit-diagonal / unit-cost
-    pinned columns (exactly zero in the solution, strictly complementary).
-    Returns a list of solution vectors at the original sizes."""
-    import jax
+    Each window keeps its H = blockdiag(P_i) + My (x) Cmat structure and is
+    solved by the coupled IP-PCG core (see solve_coupled_group) with the
+    window axis vmapped. An earlier dense variant materialized each
+    window's (w*nc)^2 kron matrix; at production window counts (~100
+    windows x (7*95)^3 dense IP) that program reliably OOM-killed the axon
+    remote-compile helper, so the windowed resolve could not run on the
+    tunneled chip at all. The matrix-free program is ~30x smaller and
+    O(w*nc^2) memory per window.
+
+    blocks: list of (p_stack (w, nc_i, nc_i), q_stack (w, nc_i), lb (nc_i,),
+    my (w, w), cmat (nc_i, nc_i)) from prepare_group_blocks; windows with
+    narrower tau spans are padded to the widest nc with pinned identity
+    columns (exactly zero in the solution, strictly complementary).
+    Returns a list of x (w, nc_i) at the original sizes."""
     from ..parallel import sharding as sh
 
     dtype = dtype or jnp.float64
-    sizes = [len(q) for (_, q, _) in systems]
-    n_max = max(sizes)
-    b = len(systems)
-    p_b = np.zeros((b, n_max, n_max))
-    q_b = np.zeros((b, n_max))
-    lb_b = np.zeros((b, n_max))
-    for i, (p, q, lb) in enumerate(systems):
-        n = len(q)
-        p_b[i, :n, :n] = p
-        p_b[i, n:, n:] = np.eye(n_max - n)
-        q_b[i, :n] = q
-        q_b[i, n:] = 1.0  # pinned at lb=0 with dual 1 (non-degenerate)
-        lb_b[i, :n] = lb
+    sizes = [q.shape[1] for (_, q, _, _, _) in blocks]
+    w = blocks[0][1].shape[0]
+    nc_max = max(sizes)
+    b = len(blocks)
+    p_b = np.zeros((b, w, nc_max, nc_max))
+    q_b = np.ones((b, w, nc_max))  # pad cols pinned at lb=0 with dual 1
+    lb_b = np.zeros((b, w, nc_max))
+    my_b = np.zeros((b, w, w))
+    c_b = np.zeros((b, nc_max, nc_max))
+    pad_idx = None
+    for i, (p, q, lb, my, cmat) in enumerate(blocks):
+        n = q.shape[1]
+        p_b[i, :, :n, :n] = p
+        if n < nc_max:
+            if pad_idx is None or len(pad_idx) != nc_max - n:
+                pad_idx = np.arange(n, nc_max)
+            p_b[i][:, pad_idx, pad_idx] = 1.0
+        q_b[i, :, :n] = q
+        lb_b[i, :, :n] = np.broadcast_to(lb, (w, n))
+        my_b[i] = my
+        c_b[i, :n, :n] = cmat
 
-    arrays = (p_b, q_b, lb_b)
+    arrays = (p_b, q_b, lb_b, my_b, c_b)
     if mesh is not None:
         arrays = tuple(sh.shard_batch(jnp.asarray(
             sh.pad_batch(a, mesh)[0], dtype=dtype), mesh) for a in arrays)
     else:
         arrays = tuple(jnp.asarray(a, dtype=dtype) for a in arrays)
 
-    x_b = np.asarray(_solve_batch_jit(*arrays))
-    return [x_b[i, :n] for i, n in enumerate(sizes)]
+    x_b, _, _ = _coupled_batch_core(
+        *arrays, jnp.asarray(tol_gap, dtype=dtype),
+        jnp.asarray(tol_feas, dtype=dtype),
+        jnp.asarray(max_iter, dtype=jnp.int32),
+        jnp.asarray(cg_iters, dtype=jnp.int32))
+    x_b = np.asarray(x_b)
+    return [x_b[i, :, :n] for i, n in enumerate(sizes)]
 
 
 # Module-level jitted solver so repeat resolve calls reuse the compiled
 # executable instead of retracing per call
 @jax.jit
-def _solve_batch_jit(p_b, q_b, lb_b):
-    return jax.vmap(lambda p, q, lb: solve_qp_box(p, q, lb).x)(p_b, q_b, lb_b)
+def _coupled_batch_core(p, q, lb, my, cmat, tol_gap, tol_feas, max_iter,
+                        cg_iters):
+    return jax.vmap(
+        _coupled_body, in_axes=(0, 0, 0, 0, 0, None, None, None, None)
+    )(p, q, lb, my, cmat, tol_gap, tol_feas, max_iter, cg_iters)
 
 
 def solve_coupled_group(p_stack, q_stack, lb, my, cmat, mesh=None, dtype=None,
@@ -352,8 +378,7 @@ def solve_coupled_group(p_stack, q_stack, lb, my, cmat, mesh=None, dtype=None,
     return np.asarray(x)[:nr], int(n_iter), float(kkt)
 
 
-@jax.jit
-def _coupled_core(p, q, lb, my, cmat, tol_gap, tol_feas, max_iter, cg_iters):
+def _coupled_body(p, q, lb, my, cmat, tol_gap, tol_feas, max_iter, cg_iters):
     """Matrix-free Mehrotra predictor-corrector for
     min 1/2 sum_i x_i P_i x_i + q.x + 1/2 psi-coupling, s.t. x >= lb,
     mirroring ops.qp._solve_qp_box_core's trajectory (equilibration, sigma
@@ -489,29 +514,39 @@ def _coupled_core(p, q, lb, my, cmat, tol_gap, tol_feas, max_iter, cg_iters):
         cond, body, (x0, s0, z0, jnp.asarray(0, jnp.int32),
                      jnp.asarray(False)))
 
-    # --- Active-set polish (equilibrated diag(H) == 1, so activity is s < z)
-    active = s < z
-    fm = (~active).astype(dt)
+    # --- Active-set polish (equilibrated diag(H) == 1, so activity is s < z).
+    # Iterated: the IP's s/z classification can misplace a handful of
+    # coordinates (a free coordinate whose true optimum sits AT the bound
+    # comes out slightly primal-infeasible and a single-shot polish gets
+    # discarded wholesale); each round clamps primal violators and releases
+    # negative multipliers, keeping the last valid polished point.
+    def polish_round(_, carry):
+        active, x_acc = carry
+        fm = (~active).astype(dt)
 
-    def apply_pol(v):
-        return fm * hv_e(fm * v) + (1.0 - fm) * v
+        def apply_pol(v):
+            return fm * hv_e(fm * v) + (1.0 - fm) * v
 
-    lfac_pol = jax.vmap(spd_factor)(
-        fm[:, :, None] * mj * fm[:, None, :]
-        + jax.vmap(jnp.diag)(1.0 - fm))
+        lfac_pol = jax.vmap(spd_factor)(
+            fm[:, :, None] * mj * fm[:, None, :]
+            + jax.vmap(jnp.diag)(1.0 - fm))
 
-    def prec_pol(r):
-        return jax.vmap(spd_solve_factored)(lfac_pol, r)
+        def prec_pol(r):
+            return jax.vmap(spd_solve_factored)(lfac_pol, r)
 
-    rhs_pol = jnp.where(active, lb_e,
-                        -q_e - hv_e(jnp.where(active, lb_e, 0.0)))
-    x_pol = pcg(apply_pol, prec_pol, rhs_pol)
-    x_pol = jnp.where(active, lb_e, x_pol)
-    grad = hv_e(x_pol) + q_e
-    z_pol = jnp.where(active, grad, 0.0)
-    valid = jnp.all(x_pol >= lb_e - 1e-9 * (1 + jnp.abs(lb_e))) \
-        & jnp.all(z_pol >= -tol_feas * q_scale)
-    x = jnp.where(valid, x_pol, x)
+        rhs_pol = jnp.where(active, lb_e,
+                            -q_e - hv_e(jnp.where(active, lb_e, 0.0)))
+        x_pol = pcg(apply_pol, prec_pol, rhs_pol)
+        x_pol = jnp.where(active, lb_e, x_pol)
+        grad = hv_e(x_pol) + q_e
+        z_pol = jnp.where(active, grad, 0.0)
+        valid = jnp.all(x_pol >= lb_e - 1e-9 * (1 + jnp.abs(lb_e))) \
+            & jnp.all(z_pol >= -tol_feas * q_scale)
+        x_acc = jnp.where(valid, x_pol, x_acc)
+        active = (active & (z_pol >= 0)) | (x_pol < lb_e)
+        return active, x_acc
+
+    _, x = jax.lax.fori_loop(0, 3, polish_round, (s < z, x))
 
     # --- Report in ORIGINAL units
     x_out = dvec * x
@@ -519,6 +554,10 @@ def _coupled_core(p, q, lb, my, cmat, tol_gap, tol_feas, max_iter, cg_iters):
     at_b = x_out <= lb + jnp.sqrt(eps) * (1.0 + jnp.abs(lb))
     kkt = jnp.max(jnp.abs(jnp.where(at_b, jnp.minimum(g, 0.0), g)))
     return x_out, n_iter, kkt
+
+
+# Single-group jitted entry (used by solve_coupled_group)
+_coupled_core = jax.jit(_coupled_body)
 
 
 def unpack_resolved_x(x, obs_drt_list, special_dict):
