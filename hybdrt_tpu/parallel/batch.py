@@ -449,7 +449,8 @@ class BatchedEISFitter:
             ph = jax.tree.map(scatter, ph, out_ph)
         return states
 
-    def _fit_staged(self, rzv_np, phase_budgets=(8, 16), capacities=None):
+    def _fit_staged(self, rzv_np, phase_budgets=(8, 16), capacities=None,
+                    buckets=None):
         """Single-dispatch staged compaction: the adaptive scheduler's
         phase/compact/continue structure executed INSIDE one jitted XLA
         program with static tail capacities.
@@ -466,13 +467,24 @@ class BatchedEISFitter:
         every lane is converged, so in the common case it costs one
         reduction, not an iteration.
 
+        buckets > 1 splits every stage's gathered lanes into that many
+        difficulty-ordered sub-batches (difficulty = how much the lane's
+        prediction moved between its last two iterations, the pred_stop
+        settled signal): each vmapped continuation runs to the max iteration
+        of ITS bucket only, so one slow lane no longer pins the whole stage
+        — the straggler tax that made per-spectrum throughput FALL with
+        batch size (experiments/batch_scaling.py r4: 1.5x from B=1024 to
+        8192). Requires pred_stop (the difficulty signal); defaults to 2
+        when pred_stop is on, else 1.
+
         Per-lane trajectories are identical to the uninterrupted loop (the
         body is Markovian in state; continuing an already-converged lane is
-        a no-op, so padding lanes gathered to fill a stage are unchanged).
-        With pred_stop the settled check's prediction history is gathered
-        and scattered alongside the solver state, so the composition is
-        bitwise too (tests/test_parallel.py staged-parity tests run with
-        pred_stop both off and on)."""
+        a no-op, so padding lanes gathered to fill a stage are unchanged;
+        bucketing only changes WHICH sub-dispatch a lane runs in). With
+        pred_stop the settled check's prediction history is gathered and
+        scattered alongside the solver state, so the composition is bitwise
+        too (tests/test_parallel.py staged-parity tests run with pred_stop
+        both off and on)."""
         b = rzv_np.shape[0]
         max_iter = self.fcfg.max_iter
         budgets = [int(x) for x in phase_budgets if int(x) < max_iter]
@@ -492,13 +504,31 @@ class BatchedEISFitter:
             if n_dev > 1:
                 c = min(-(-c // n_dev) * n_dev, b)
             caps.append(c)
+        if buckets is None:
+            buckets = 2 if self.fcfg.pred_stop else 1
+        buckets = max(int(buckets), 1)
+        if not self.fcfg.pred_stop:
+            buckets = 1  # no difficulty signal without the pred history
 
         jits = getattr(self, "_staged_jits", None)
         if jits is None:
             jits = self._staged_jits = {}
-        key = (b, b1, tuple(stops), tuple(caps), str(self.dtype))
+        key = (b, b1, tuple(stops), tuple(caps), buckets, str(self.dtype))
         fn = jits.get(key)
         if fn is None:
+            def bucket_widths(cap):
+                if buckets == 1 or cap < 2 * max(n_dev, 8):
+                    return [cap]
+                w = -(-cap // buckets)
+                if n_dev > 1:
+                    w = -(-w // n_dev) * n_dev
+                widths = []
+                left = cap
+                while left > 0:
+                    widths.append(min(w, left))
+                    left -= widths[-1]
+                return widths
+
             def staged(rzv):
                 states, est, ph = jax.vmap(
                     lambda rv: self._fit_phase_single(rv, b1))(rzv)
@@ -508,15 +538,27 @@ class BatchedEISFitter:
                     # original order; converged lanes pad the tail (their
                     # continuation is a no-op)
                     idx = jnp.argsort(~active, stable=True)[:cap]
-                    take = lambda a: jnp.take(a, idx, axis=0)
-                    sub = jax.tree.map(take, states)
-                    out, out_ph = jax.vmap(
-                        lambda st, e, rv, p: self._cont_single(st, e, rv,
-                                                               stop_at, p)
-                    )(sub, take(est), take(rzv), jax.tree.map(take, ph))
-                    scatter = lambda full, part: full.at[idx].set(part)
-                    states = jax.tree.map(scatter, states, out)
-                    ph = jax.tree.map(scatter, ph, out_ph)
+                    widths = bucket_widths(cap)
+                    if len(widths) > 1:
+                        # Order the stage's lanes easiest-first (converged
+                        # pad lanes last) so each bucket's while_loop stops
+                        # at its own members' max iteration
+                        diff = jnp.sum((ph[0] - ph[1]) ** 2, axis=1)
+                        key_d = jnp.where(states.converged, jnp.inf, diff)
+                        idx = idx[jnp.argsort(key_d[idx], stable=True)]
+                    lo = 0
+                    for w in widths:
+                        sub_idx = idx[lo:lo + w]
+                        lo += w
+                        take = lambda a: jnp.take(a, sub_idx, axis=0)
+                        sub = jax.tree.map(take, states)
+                        out, out_ph = jax.vmap(
+                            lambda st, e, rv, p: self._cont_single(
+                                st, e, rv, stop_at, p)
+                        )(sub, take(est), take(rzv), jax.tree.map(take, ph))
+                        scatter = lambda full, part: full.at[sub_idx].set(part)
+                        states = jax.tree.map(scatter, states, out)
+                        ph = jax.tree.map(scatter, ph, out_ph)
                 # Full-width safety net for capacity overflow (free when all
                 # lanes are already converged or at max_iter)
                 states, _ = jax.vmap(
@@ -543,7 +585,7 @@ class BatchedEISFitter:
 
     def fit(self, z_batch, return_states=False, adaptive=False,
             phase_budgets=None, return_history=False, staged_capacities=None,
-            warm_from=None):
+            staged_buckets=None, warm_from=None):
         """Fit a (B, n_freq) batch of complex spectra; returns BatchFitResult.
 
         warm_from=<previous frame's BatchFitResult> seeds each lane's solver
@@ -633,7 +675,8 @@ class BatchedEISFitter:
             # 5635-4301/s in one session; plain 3432/s)
             states = self._fit_staged(
                 rzv, phase_budgets=(8, 14, 22) if phase_budgets is None
-                else phase_budgets, capacities=staged_capacities)
+                else phase_budgets, capacities=staged_capacities,
+                buckets=staged_buckets)
         elif adaptive:
             states = self._fit_adaptive(
                 rzv, phase_budgets=(12, 24) if phase_budgets is None
@@ -987,7 +1030,7 @@ class BatchedHybridFitter:
 
     def fit(self, v_batch, z_batch, return_states=False, return_history=False,
             adaptive=False, phase_budgets=None, staged_capacities=None,
-            warm_from=None):
+            staged_buckets=None, warm_from=None):
         """Fit (B, n_times) responses + (B, n_freq) spectra; returns
         BatchFitResult (x in physical units). return_history=True appends a
         (B, max_iter, ...) per-iteration history dict (batched analog of
@@ -1050,7 +1093,8 @@ class BatchedHybridFitter:
         elif adaptive == "staged":
             states = self._fit_staged(
                 rzv, phase_budgets=(8, 14, 22) if phase_budgets is None
-                else phase_budgets, capacities=staged_capacities)
+                else phase_budgets, capacities=staged_capacities,
+                buckets=staged_buckets)
         elif adaptive:
             states = self._fit_adaptive(
                 rzv, phase_budgets=(12, 24) if phase_budgets is None

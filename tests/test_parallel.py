@@ -375,6 +375,27 @@ def test_staged_matches_plain_bitwise(pred_stop):
     assert np.array_equal(r_plain.converged, r_staged.converged)
 
 
+def test_staged_buckets_match_plain():
+    """Difficulty-ordered lane bucketing (staged_buckets>1) splits each
+    stage's gathered lanes into sub-dispatches ordered easiest-first so one
+    slow lane no longer pins the whole stage at its max iteration (the
+    straggler tax: experiments/batch_scaling.py, r4 throughput FELL 1.5x
+    from B=1024 to 8192). Bucketing only changes WHICH vmapped continuation
+    a lane runs in — per-lane math is unchanged, so results must match the
+    uninterrupted loop lane-for-lane including stop iterations. B=24 with
+    cap 16+ actually exercises the multi-bucket branch (small test batches
+    fall back to one bucket below 2*max(n_dev, 8) lanes)."""
+    freq, z, rs = _batch(24, seed=3)
+    fitter = BatchedEISFitter(freq, max_iter=50, pred_stop=True,
+                              pred_rtol=3e-2)
+    r_plain = fitter.fit(z)
+    r_b = fitter.fit(z, adaptive="staged", phase_budgets=(6,),
+                     staged_capacities=(24,), staged_buckets=3)
+    assert np.allclose(r_plain.x, r_b.x, rtol=1e-9, atol=1e-11)
+    assert np.array_equal(r_plain.n_iter, r_b.n_iter)
+    assert np.array_equal(r_plain.converged, r_b.converged)
+
+
 @pytest.mark.parametrize("pred_stop", [False, True])
 def test_hybrid_staged_matches_plain_bitwise(pred_stop):
     """Staged compaction on the HYBRID fitter: the continuation must
