@@ -250,11 +250,36 @@ def run_het_leg(mesh, n_eis=HET_EIS, n_hybrid=HET_HYBRID):
           f"{[f'{t:.2f}' for t in times]} -> {n_tot / best:.0f} obs/s",
           file=sys.stderr)
 
-    # Whole-group COUPLED resolve (one matrix-free IP solve over all obs)
-    # rather than the windowed vmapped dense solver: the window program (~100
-    # windows x (7*nc)^3 dense Cholesky IP) OOM-kills the axon remote-compile
-    # helper, and the coupled path is the better solution anyway (exact group
-    # optimum, O(nr*nc^2) memory; mapping/resolve.solve_coupled_group)
+    # Windowed resolve (the reference-parity overlapping-window path), now
+    # matrix-free (vmapped coupled IP-PCG per window, ~105 KB MLIR at these
+    # shapes vs the 2.5 MB dense kron program that used to OOM-kill the axon
+    # compile helper; tests/test_resolve_program_size.py). Must run on-chip
+    # WITHOUT the per-window fallback warning.
+    import warnings as _warnings
+    win_s = win_warm_s = None
+    windowed_fallback = None
+    try:
+        with _warnings.catch_warnings(record=True) as wrec:
+            _warnings.simplefilter("always")
+            t0 = time.time()
+            md.resolve_group("g", psi_sort_dims=["i"], batched=True,
+                             mesh=mesh, dtype=jnp.float32)
+            win_s = round(time.time() - t0, 2)
+            t0 = time.time()
+            md.resolve_group("g", psi_sort_dims=["i"], batched=True,
+                             mesh=mesh, dtype=jnp.float32)
+            win_warm_s = round(time.time() - t0, 2)
+        windowed_fallback = any("falling back to per-window"
+                                in str(w.message) for w in wrec)
+        print(f"het windowed resolve of {n_tot} obs: {win_s}s cold, "
+              f"{win_warm_s}s warm, fallback={windowed_fallback}",
+              file=sys.stderr)
+    except Exception as exc:
+        print(f"het windowed resolve failed: {exc!r}"[:300], file=sys.stderr)
+
+    # Whole-group COUPLED resolve (one matrix-free IP solve over all obs):
+    # the exact group optimum the reference's overlapping windows only
+    # approximate (mapping/resolve.solve_coupled_group)
     try:
         t0 = time.time()
         md.resolve_group("g", psi_sort_dims=["i"], coupled=True, mesh=mesh,
@@ -272,6 +297,20 @@ def run_het_leg(mesh, n_eis=HET_EIS, n_hybrid=HET_HYBRID):
         print(f"het resolve failed: {exc!r}"[:300], file=sys.stderr)
         resolve_s = None
         resolve_warm_s = None
+
+    # Post-fit map pipeline at full map scale (VERDICT r4: after a 400x fit
+    # speedup, Amdahl says the postprocessing number is the honest number):
+    # assemble_ndx -> filter_ndx -> flag_bad_obs -> coef_to_ridges ->
+    # optimize_extrema, all host-side (reference ndx.py:71,261,
+    # nddata.py:178, surface.py:150-330, extrema.py:175-221)
+    try:
+        postproc = run_postproc_pipeline(md)
+        postproc["postproc_over_fit"] = round(postproc["total_s"] / best, 2)
+        print(f"het postproc pipeline: {postproc}", file=sys.stderr)
+    except Exception as exc:
+        print(f"het postproc failed: {exc!r}"[:300], file=sys.stderr)
+        postproc = {"error": repr(exc)[:200]}
+
     return {
         "obs_total": n_tot,
         "eis_obs": n_eis,
@@ -282,10 +321,85 @@ def run_het_leg(mesh, n_eis=HET_EIS, n_hybrid=HET_HYBRID):
         "map_fit_s": round(best, 3),
         "fitted": fitted,
         "warmup_s": round(warm_s, 1),
+        "resolve_windowed_s": win_s,
+        "resolve_windowed_warm_s": win_warm_s,
+        "windowed_fallback": windowed_fallback,
         "resolve_coupled_s": resolve_s,
         "resolve_coupled_warm_s": resolve_warm_s,
+        "postproc": postproc,
         "schedule": schedule,
     }
+
+
+def run_postproc_pipeline(md):
+    """Wall-clock split of the host-side post-fit map pipeline at map scale
+    (everything downstream of the fits that the framework exists to feed)."""
+    from hybdrt_tpu.mapping import ndx as ndx_mod
+    from hybdrt_tpu.mapping import nddata as nddata_mod
+    from hybdrt_tpu.mapping import surface as surface_mod
+    from hybdrt_tpu.mapping import extrema as extrema_mod
+
+    out = {}
+    t0 = time.time()
+    _, x_nd = ndx_mod.assemble_ndx(md.obs_x, md.obs_psi, md.psi_dim_names,
+                                   md.tau_supergrid, sort_by=["i"])
+    out["assemble_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    x_filt = ndx_mod.filter_ndx(x_nd, 0, sigma=(2, 1))
+    out["filter_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    bad = nddata_mod.flag_bad_obs(x_nd, x_filt)
+    out["flag_s"] = round(time.time() - t0, 3)
+    out["bad_obs"] = int(np.sum(bad))
+    t0 = time.time()
+    ridge_mask, trough_mask, p_ridge, p_trough = surface_mod.coef_to_ridges(
+        x_filt, md, num_group_dims=0)
+    out["ridges_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    extrema_mod.optimize_extrema(ridge_mask, trough_mask, p_ridge, p_trough)
+    out["extrema_s"] = round(time.time() - t0, 3)
+    out["total_s"] = round(sum(out[k] for k in
+                               ("assemble_s", "filter_s", "flag_s",
+                                "ridges_s", "extrema_s")), 3)
+    return out
+
+
+def run_single_fit_leg(jax, jnp):
+    """Warm single-spectrum fit latency: the B=1 case of the BASELINE
+    'single-fit wall-time vs cvxopt CPU' row (reference per-obs timing hook
+    at hybdrt/mapping/drtmd.py:319). The reference itself cannot run on this
+    host (cvxopt is not installed), so the comparison is chip f32 vs this
+    framework's own CPU f64 reference-parity path."""
+    from hybdrt_tpu.parallel import BatchedEISFitter
+    import hybdrt_tpu
+
+    freq, z = make_batch(1, N_FREQ, seed=9)
+    fitter = BatchedEISFitter(freq, dtype=jnp.float32, max_iter=MAX_ITER,
+                              qp_max_iter=20, qp_max_iter_warm=8,
+                              pred_stop=True, pred_rtol=3e-2)
+    t0 = time.time()
+    fitter.fit(z)
+    tpu_cold = time.time() - t0
+    tpu_warm = min(_timeit(lambda: fitter.fit(z)) for _ in range(10))
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        drt = hybdrt_tpu.DRT()
+        t0 = time.time()
+        drt.fit_eis(freq, z[0])
+        cpu_cold = time.time() - t0
+        cpu_warm = min(_timeit(lambda: drt.fit_eis(freq, z[0]))
+                       for _ in range(3))
+    out = {
+        "tpu_b1_warm_s": round(tpu_warm, 4),
+        "tpu_b1_cold_s": round(tpu_cold, 1),
+        "cpu_f64_warm_s": round(cpu_warm, 3),
+        "cpu_f64_cold_s": round(cpu_cold, 1),
+        "cvxopt_s": None,  # reference deps (cvxopt) not installed here
+        "n_freq": N_FREQ,
+    }
+    print(f"single fit: {out}", file=sys.stderr)
+    return out
 
 
 def main():
@@ -396,7 +510,17 @@ def main():
     print(f"median |z_hat - z| = {med_resid:.4g} (noise sigma 0.0057); "
           f"converged {int(res.converged.sum())}/{BATCH}", file=sys.stderr)
 
-    # Heterogeneous-map leg (the workload the framework exists for)
+    # Heterogeneous-map leg (the workload the framework exists for).
+    # Gate it on chip health like the headline: r4 captured this leg in a
+    # mildly degraded window (health 0.864) and it became the most variable
+    # number in the artifact — wait for health >= 0.95 before timing.
+    for attempt in range(3):
+        het_health, _ = chip_health(jax, jnp)
+        if het_health >= 0.95:
+            break
+        print(f"pre-het health {het_health:.2f} < 0.95; waiting 120s "
+              f"({attempt + 1}/3)", file=sys.stderr)
+        time.sleep(120)
     try:
         het = run_het_leg(mesh)
     except Exception as exc:  # never lose the headline to the new leg
@@ -409,6 +533,20 @@ def main():
     het_health, _ = chip_health(jax, jnp)
     if isinstance(het, dict):
         het["chip_health"] = round(het_health, 3)
+
+    # Warm single-spectrum latency (BASELINE 'single-fit wall-time' row)
+    try:
+        single_fit = run_single_fit_leg(jax, jnp)
+    except Exception as exc:
+        print(f"single-fit leg failed: {exc!r}", file=sys.stderr)
+        single_fit = {"error": repr(exc)[:300]}
+
+    # One-number cold-start budget: every first-dispatch program load a
+    # fresh session pays before its first full map result (r4: ~162 s)
+    cold_parts = [compile_warmup_s,
+                  het.get("warmup_s"), het.get("resolve_windowed_s"),
+                  het.get("resolve_coupled_s")]
+    cold_total_s = round(sum(p for p in cold_parts if p), 1)
 
     out = {
         "metric": "drt_inversions_per_sec",
@@ -424,7 +562,9 @@ def main():
         "median_resid": round(med_resid, 5),
         "mode": {"adaptive": "staged", "pred_stop": True, "pred_rtol": 3e-2,
                  "qp_max_iter": 20, "qp_max_iter_warm": 8, "dtype": "float32"},
+        "cold_total_s": cold_total_s,
         "het_map": het,
+        "single_fit": single_fit,
     }
     print(json.dumps(out))
 
