@@ -24,7 +24,18 @@ sys.path.insert(0, ".")
 
 
 def main():
-    sizes = [int(s) for s in sys.argv[1:]] or [1024, 2048, 4096, 8192]
+    # args: [--buckets=N,M,...] [sizes...]; each (B, buckets) pair is run.
+    # buckets=1 is the r4 behavior (whole stage runs to its slowest lane);
+    # buckets>1 is the round-5 difficulty-ordered sub-dispatch split
+    # (parallel/batch.py _fit_staged) that attacks the straggler tax.
+    bucket_list = [None]
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--buckets="):
+            bucket_list = [int(x) for x in a.split("=", 1)[1].split(",")]
+        else:
+            argv.append(a)
+    sizes = [int(s) for s in argv] or [1024, 2048, 4096, 8192]
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_enable_x64", True)
@@ -42,16 +53,18 @@ def main():
 
     results = []
     for b in sizes:
+      for buckets in bucket_list:
         freq, z = make_batch(b, N_FREQ)
         fitter = BatchedEISFitter(freq, dtype=jnp.float32, max_iter=MAX_ITER,
                                   qp_max_iter=20, qp_max_iter_warm=8,
                                   pred_stop=True, pred_rtol=3e-2)
         t0 = time.time()
-        res = fitter.fit(z, adaptive="staged")
+        res = fitter.fit(z, adaptive="staged", staged_buckets=buckets)
         warm = time.time() - t0
-        print(f"B={b}: warmup {warm:.1f}s", flush=True)
+        print(f"B={b} buckets={buckets}: warmup {warm:.1f}s", flush=True)
 
-        e2e = [_timeit(lambda: fitter.fit(z, adaptive="staged"))
+        e2e = [_timeit(lambda: fitter.fit(z, adaptive="staged",
+                                          staged_buckets=buckets))
                for _ in range(8)]
 
         # dispatch-only: reuse the cached staged jit via the scaled input.
@@ -62,12 +75,13 @@ def main():
         disp = []
         for _ in range(8):
             t0 = time.time()
-            states = fitter._fit_staged(rzv, phase_budgets=(8, 14, 22))
+            states = fitter._fit_staged(rzv, phase_budgets=(8, 14, 22),
+                                        buckets=buckets)
             np.asarray(states.converged[:1])
             disp.append(time.time() - t0)
 
         row = {
-            "B": b, "warmup_s": round(warm, 1),
+            "B": b, "buckets": buckets, "warmup_s": round(warm, 1),
             "e2e_best_s": round(min(e2e), 4),
             "e2e_spectra_per_sec": round(b / min(e2e), 1),
             "dispatch_best_s": round(min(disp), 4),
@@ -80,7 +94,7 @@ def main():
 
     print("\nsummary:")
     for r in results:
-        print(f"  B={r['B']:5d}: e2e {r['e2e_spectra_per_sec']:7.1f}/s  "
+        print(f"  B={r['B']:5d} buckets={r['buckets']}: e2e {r['e2e_spectra_per_sec']:7.1f}/s  "
               f"device {r['device_spectra_per_sec']:7.1f}/s  "
               f"warmup {r['warmup_s']:.0f}s", flush=True)
 

@@ -1,0 +1,279 @@
+"""Roofline accounting for the staged EIS fit step (round 5, VERDICT #1).
+
+Question: where does the device time of one staged B=1024 fit batch go,
+kernel group by kernel group, and is each group near ITS hardware roof
+(v5e: HBM 819 GB/s, MXU ~197 bf16 / ~49 f32 TFLOP/s, VMEM ~several TB/s)
+— or is there a 2-5x gap to attack?
+
+Method: rebuild the bench fitter at bench shapes, then time each kernel
+group of one outer QPHB iteration as its own jitted fori_loop(REPS) probe
+(data-dependent chaining so XLA cannot elide iterations; per-call time =
+(best - rtt) / REPS). Groups mirror solver/qphb.py::iterate_qphb:
+
+  p_assembly   wrm = rm*w, P = wrm.T@wrm, q = -wrm.T@wrv   (the MXU work)
+  l2_assembly  calculate_qp_l2_matrix: k x N^2 elementwise (bandwidth)
+  qp_warm      solve_qp_box warm-started, qp_max_iter_warm Mehrotra steps
+               + active-set polish (Cholesky factor+solves dominate)
+  s_rho        per-order quadratic forms + g-matrix (bandwidth)
+  weights      estimate_weights: residual matvec + vmm smoothing
+
+Analytic flops/bytes per group are computed from the actual shapes; bytes
+are the HBM-traffic floor (inputs read once + outputs written once;
+intermediates assumed fused/VMEM-resident — so achieved-GB/s against the
+HBM roof is an UPPER bound on how roofline-bound the group is).
+
+The sum-of-groups time x mean outer iterations is compared against the
+measured whole-program dispatch time to validate the decomposition
+(residual = while_loop overhead, convergence checks, scatter/gather of
+the staged schedule, anything not modeled).
+
+Run on the real chip:  python experiments/roofline.py [B]
+Writes experiments/roofline_results.json and prints the table.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+REPS = 30
+
+# v5e roofs (public): HBM ~819 GB/s; MXU 197 TFLOP/s bf16; f32 matmul via
+# bf16x3 passes ~1/4 effective -> ~49 TFLOP/s (the conservative figure).
+HBM_GBS = 819.0
+MXU_F32_TFLOPS = 49.0
+
+
+def _timeit(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def main():
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_enable_x64", True)
+    from bench import make_batch, N_FREQ, MAX_ITER
+    from hybdrt_tpu.parallel import BatchedEISFitter
+    from hybdrt_tpu.solver import qphb as qphb_mod
+    from hybdrt_tpu.ops import qp as qp_mod
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind}", flush=True)
+
+    freq, z = make_batch(b, N_FREQ)
+    fitter = BatchedEISFitter(freq, dtype=jnp.float32, max_iter=MAX_ITER,
+                              qp_max_iter=20, qp_max_iter_warm=8,
+                              pred_stop=True, pred_rtol=3e-2)
+    rzv, _ = fitter.scale_batch(z)
+    rzm = jnp.asarray(fitter.rzm, dtype=jnp.float32)
+    m_stack = jnp.asarray(fitter.m_stack, dtype=jnp.float32)
+    vmm = jnp.asarray(fitter.vmm, dtype=jnp.float32)
+    lb = jnp.asarray(fitter.lb, dtype=jnp.float32)
+    m, n = rzm.shape
+    kr = fitter.fcfg.cfg.k_range
+    print(f"shapes: B={b} M={m} N={n} k_range={kr}", flush=True)
+
+    # RTT floor
+    tiny = jax.jit(lambda a: a + 1.0)
+    s0 = jnp.zeros((), dtype=jnp.float32)
+    np.asarray(tiny(s0))
+    rtt = min(_timeit(lambda: np.asarray(tiny(s0))) for _ in range(10))
+    print(f"rtt floor: {rtt * 1e3:.1f} ms", flush=True)
+
+    # ---- whole-program reference: staged dispatch time + iteration counts
+    t0 = time.time()
+    res = fitter.fit(z, adaptive="staged")
+    print(f"staged warmup {time.time() - t0:.1f}s", flush=True)
+    disp = []
+    for _ in range(5):
+        t0 = time.time()
+        states = fitter._fit_staged(rzv, phase_budgets=(8, 14, 22))
+        np.asarray(states.converged[:1])
+        disp.append(time.time() - t0)
+    t_total = max(min(disp) - rtt, 1e-9)
+    n_iter = np.asarray(res.n_iter, dtype=float)
+    it_mean = float(n_iter.mean())
+    # Staged schedule runs lanes in stage-width programs; the device executes
+    # roughly stage_width x stage_budget lane-iterations. Count the actual
+    # lane-iterations the schedule pays (iterations quantized up to each
+    # lane's stage stop), which is what the per-iteration probes model.
+    stops = [8, 14, 22, MAX_ITER]
+    it_paid = np.zeros_like(n_iter)
+    prev = 0
+    for stp in stops:
+        sel = (n_iter > prev)
+        it_paid[sel] = stp
+        prev = stp
+    it_paid_mean = float(np.minimum(it_paid, MAX_ITER).mean())
+    print(f"dispatch best {min(disp):.4f}s -> device {t_total:.4f}s for "
+          f"B={b}; outer iters mean {it_mean:.1f} (schedule-paid "
+          f"{it_paid_mean:.1f})", flush=True)
+
+    w0 = jnp.abs(jnp.asarray(res.weights, dtype=jnp.float32))
+    x0 = jnp.asarray(res.x_raw, dtype=jnp.float32)
+    z0 = jnp.abs(x0) + 1e-3
+
+    def timed_loop(body, init):
+        """jit fori_loop(REPS) with carried dependency; returns per-call s."""
+        f = jax.jit(lambda c: jax.lax.fori_loop(0, REPS, body, c))
+        out = f(init)
+        jax.tree.map(lambda a: a.block_until_ready(), out)
+        # force a readback (async tunnel under-reports otherwise)
+        leaf = jax.tree.leaves(out)[0]
+        best = min(_timeit(lambda: np.asarray(jax.tree.leaves(f(init))[0].ravel()[0]))
+                   for _ in range(5))
+        return max(best - rtt, 1e-9) / REPS
+
+    groups = {}
+
+    # ---- p_assembly: wrm = rm * w, P = wrm.T @ wrm, q = -wrm.T @ (w*rv)
+    def p_body(i, c):
+        w, acc = c
+        wrm = rzm[None] * w[:, :, None]
+        p = jnp.einsum("bmi,bmj->bij", wrm, wrm)
+        q = -jnp.einsum("bmi,bm->bi", wrm, rzv * w)
+        return (w + 1e-12 * p[:, 0, 0, None], acc + q[:, 0])
+
+    groups["p_assembly"] = {
+        "t": timed_loop(p_body, (w0, jnp.zeros(b, jnp.float32))),
+        # syrk counted as full matmul (XLA does not exploit symmetry here)
+        "flops": b * (2 * m * n * n + 2 * m * n + 2 * m * n),
+        "bytes": 4 * (m * n + b * m + b * n * n + b * n),
+    }
+
+    # ---- l2_assembly: k x N^2 elementwise combine of m_stack
+    hyp = fitter.hyp
+    cfg = fitter.fcfg.cfg
+    sv0 = jnp.asarray(np.ones((b, kr, n)), jnp.float32)
+    rho0 = jnp.ones((b, kr), jnp.float32)
+
+    def l2_body(i, c):
+        sv, acc = c
+        l2 = jax.vmap(lambda s, r: qphb_mod.calculate_qp_l2_matrix(
+            hyp, r, r, m_stack, s, cfg))(sv, rho0)
+        return (sv + 1e-12 * l2[:, 0, 0, None, None], acc + l2[:, 0, 0])
+
+    groups["l2_assembly"] = {
+        "t": timed_loop(l2_body, (sv0, jnp.zeros(b, jnp.float32))),
+        "flops": b * (3 * kr * n * n),
+        "bytes": 4 * (kr * n * n + b * kr * n + b * n * n),
+    }
+
+    # ---- qp_warm: warm-started box QP, qp_max_iter_warm Mehrotra steps
+    # (each: diag update + Cholesky factor + 4 triangular solve pairs) +
+    # active-set polish (1 masked factor + solves)
+    p_fix = jnp.einsum("bmi,bmj->bij", rzm[None] * w0[:, :, None],
+                       rzm[None] * w0[:, :, None])
+    p_fix = p_fix + jnp.eye(n, dtype=jnp.float32)[None] * 1e-2
+    q_fix = -jnp.einsum("bmi,bm->bi", rzm[None] * w0[:, :, None], rzv * w0)
+
+    def qp_body(i, c):
+        q_in, acc = c
+        r = jax.vmap(lambda p, q, x, zz: qp_mod.solve_qp_box(
+            p, q, lb, max_iter=8, x_init=x, z_init=zz))(
+            p_fix, q_in, x0, z0)
+        return (q_in + 1e-12 * r.x, acc + r.x[:, 0])
+
+    groups["qp_warm"] = {
+        "t": timed_loop(qp_body, (q_fix, jnp.zeros(b, jnp.float32))),
+        # 8 Mehrotra steps + 1 polish factor; factor n^3/3, 4 solve pairs
+        # per step at 2n^2 each
+        "flops": b * 9 * (n ** 3 / 3 + 8 * n * n),
+        "bytes": 4 * b * 9 * (2 * n * n),
+    }
+
+    # ---- s_rho: per-order quadratic forms + g-matrix + closed-form updates
+    def srho_body(i, c):
+        x, acc = c
+
+        def one(xl, svl):
+            outs = []
+            for k in range(kr):
+                pm = m_stack[k]
+                sx = jnp.sign(xl) * jnp.sqrt(jnp.abs(xl))
+                g = m_stack[1] * sx[:, None] * sx[None, :] if k == 0 \
+                    else jnp.zeros_like(pm)
+                sv = qphb_mod.solve_s_integral(
+                    pm, xl, svl[k], 1.0, hyp["s_alpha"][k],
+                    (hyp["s_alpha"][k] - 1) / hyp["s_0"][k], g,
+                    hyp["sigma_ds"][k])
+                outs.append(sv)
+            return jnp.stack(outs)
+
+        sv = jax.vmap(one)(x, sv0)
+        return (x + 1e-12 * sv[:, 0], acc + sv[:, 0, 0])
+
+    groups["s_rho"] = {
+        "t": timed_loop(srho_body, (x0, jnp.zeros(b, jnp.float32))),
+        "flops": b * kr * (6 * n * n),
+        "bytes": 4 * (kr * n * n + b * kr * n * 3),
+    }
+
+    # ---- weights: residual + vmm smoothing matvec + irls updates
+    est_w = jnp.asarray(fitter.est_weights, jnp.float32) \
+        if hasattr(fitter, "est_weights") else jnp.ones(m, jnp.float32)
+
+    def w_body(i, c):
+        x, acc = c
+        w, _, _ = jax.vmap(lambda xl, rv: qphb_mod.estimate_weights(
+            xl, rv, vmm, rzm, est_weights=est_w))(x, rzv)
+        return (x + 1e-12 * w[:, 0, None], acc + w[:, 0])
+
+    groups["weights"] = {
+        "t": timed_loop(w_body, (x0, jnp.zeros(b, jnp.float32))),
+        "flops": b * (2 * m * n + 2 * m * m),
+        "bytes": 4 * (m * m + m * n + b * (n + 3 * m)),
+    }
+
+    # ---- table
+    t_iter = sum(g["t"] for g in groups.values())
+    t_model = t_iter * it_paid_mean
+    rows = []
+    for name, g in groups.items():
+        tflops = g["flops"] / g["t"] / 1e12
+        gbs = g["bytes"] / g["t"] / 1e9
+        rows.append({
+            "group": name,
+            "t_per_iter_ms": round(g["t"] * 1e3, 3),
+            "share_of_iter": round(g["t"] / t_iter, 3),
+            "gflop_per_call": round(g["flops"] / 1e9, 3),
+            "achieved_tflops": round(tflops, 3),
+            "pct_mxu_f32": round(100 * tflops / MXU_F32_TFLOPS, 1),
+            "hbm_floor_gb": round(g["bytes"] / 1e9, 4),
+            "achieved_gbs_floor": round(gbs, 1),
+            "pct_hbm": round(100 * gbs / HBM_GBS, 1),
+        })
+    out = {
+        "B": b, "M": m, "N": n, "k_range": kr,
+        "rtt_ms": round(rtt * 1e3, 1),
+        "dispatch_s": round(min(disp), 4),
+        "device_total_s": round(t_total, 4),
+        "outer_iters_mean": round(it_mean, 2),
+        "outer_iters_schedule_paid": round(it_paid_mean, 2),
+        "t_iter_groups_ms": round(t_iter * 1e3, 3),
+        "t_model_s": round(t_model, 4),
+        "model_over_measured": round(t_model / t_total, 3),
+        "groups": rows,
+    }
+    with open("experiments/roofline_results.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1), flush=True)
+
+    print("\nper-iteration group table:")
+    for r in rows:
+        print(f"  {r['group']:12s} {r['t_per_iter_ms']:8.3f} ms "
+              f"({100 * r['share_of_iter']:4.1f}%)  "
+              f"{r['achieved_tflops']:7.3f} TF/s ({r['pct_mxu_f32']:4.1f}% MXU)  "
+              f"{r['achieved_gbs_floor']:7.1f} GB/s floor ({r['pct_hbm']:4.1f}% HBM)",
+          flush=True)
+    print(f"  model {t_model:.3f}s vs measured {t_total:.3f}s "
+          f"({100 * t_model / t_total:.0f}% accounted)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
