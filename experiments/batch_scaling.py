@@ -29,10 +29,16 @@ def main():
     # buckets>1 is the round-5 difficulty-ordered sub-dispatch split
     # (parallel/batch.py _fit_staged) that attacks the straggler tax.
     bucket_list = [None]
+    fused = False
     argv = []
     for a in sys.argv[1:]:
         if a.startswith("--buckets="):
             bucket_list = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a == "--fused":
+            # qp_fused: fixed-count fused Mehrotra pallas loop kernel for
+            # warm QP solves (r3: per-iter 1.35x but straggler-dragged at
+            # batch level; bucketing may change that verdict)
+            fused = True
         else:
             argv.append(a)
     sizes = [int(s) for s in argv] or [1024, 2048, 4096, 8192]
@@ -57,7 +63,8 @@ def main():
         freq, z = make_batch(b, N_FREQ)
         fitter = BatchedEISFitter(freq, dtype=jnp.float32, max_iter=MAX_ITER,
                                   qp_max_iter=20, qp_max_iter_warm=8,
-                                  pred_stop=True, pred_rtol=3e-2)
+                                  pred_stop=True, pred_rtol=3e-2,
+                                  qp_fused=fused)
         t0 = time.time()
         res = fitter.fit(z, adaptive="staged", staged_buckets=buckets)
         warm = time.time() - t0
@@ -81,7 +88,8 @@ def main():
             disp.append(time.time() - t0)
 
         row = {
-            "B": b, "buckets": buckets, "warmup_s": round(warm, 1),
+            "B": b, "buckets": buckets, "fused": fused,
+            "warmup_s": round(warm, 1),
             "e2e_best_s": round(min(e2e), 4),
             "e2e_spectra_per_sec": round(b / min(e2e), 1),
             "dispatch_best_s": round(min(disp), 4),

@@ -1,4 +1,7 @@
-from . import batch, sharding
-from .batch import BatchedEISFitter
+from . import batch, ragged, sharding
+from .batch import BatchedEISFitter, BatchedHybridFitter, BatchFitResult
+from .ragged import BatchedRaggedFitter, RaggedFitResult
 
-__all__ = ["batch", "sharding", "BatchedEISFitter"]
+__all__ = ["batch", "ragged", "sharding", "BatchedEISFitter",
+           "BatchedHybridFitter", "BatchFitResult", "BatchedRaggedFitter",
+           "RaggedFitResult"]

@@ -759,14 +759,20 @@ class BatchedRaggedFitter:
         return out[0], None
 
     def _fit_staged(self, args, cfg_sig, phase_budgets=(8, 16),
-                    capacities=None):
+                    capacities=None, buckets=None):
         """Single-dispatch staged compaction over the prepared per-lane
         arrays; returns (states, row_factors). See
         BatchedEISFitter._fit_staged for the scheduler rationale (phase to a
         small budget, gather still-active lanes first via stable argsort into
         a static-capacity sub-batch, continue, scatter back; full-width
         safety net covers capacity overflow and is free when every lane is
-        converged)."""
+        converged).
+
+        buckets > 1 splits each stage's gathered lanes into that many
+        difficulty-ordered sub-dispatches (parallel/batch.py rationale:
+        one slow lane no longer pins the whole stage at its max iteration).
+        Requires pred_stop for the difficulty signal; defaults to 2 when
+        pred_stop is on."""
         per_obs = self.per_obs_penalty
         b = int(args[0].shape[0])
         max_iter = self.fcfg.max_iter
@@ -785,12 +791,31 @@ class BatchedRaggedFitter:
                 c = min(-(-c // n_dev) * n_dev, b)
             caps.append(c)
 
+        if buckets is None:
+            buckets = 2 if self.fcfg.pred_stop else 1
+        buckets = max(int(buckets), 1)
+        if not self.fcfg.pred_stop:
+            buckets = 1  # no difficulty signal without the pred history
+
         jits = getattr(self, "_staged_jits", None)
         if jits is None:
             jits = self._staged_jits = {}
-        key = (cfg_sig, b, b1, tuple(stops), tuple(caps))
+        key = (cfg_sig, b, b1, tuple(stops), tuple(caps), buckets)
         fn = jits.get(key)
         if fn is None:
+            def bucket_widths(cap):
+                if buckets == 1 or cap < 2 * max(n_dev, 8):
+                    return [cap]
+                w = -(-cap // buckets)
+                if n_dev > 1:
+                    w = -(-w // n_dev) * n_dev
+                widths = []
+                left = cap
+                while left > 0:
+                    widths.append(min(w, left))
+                    left -= widths[-1]
+                return widths
+
             def phase_one(*a):
                 return self._phase_single(
                     b1, *a[:13], m_stack=(a[13] if per_obs else None))
@@ -811,14 +836,28 @@ class BatchedRaggedFitter:
                     # in original order; converged lanes pad the tail (their
                     # continuation is a no-op)
                     idx = jnp.argsort(states.converged, stable=True)[:cap]
-                    take = lambda a: jnp.take(a, idx, axis=0)
-                    sub = jax.tree.map(take, states)
-                    out, out_ph = jax.vmap(cont_stage(stop_at))(
-                        sub, take(est), take(row_factors),
-                        jax.tree.map(take, ph), *[take(a) for a in arr])
-                    scatter = lambda full, part: full.at[idx].set(part)
-                    states = jax.tree.map(scatter, states, out)
-                    ph = jax.tree.map(scatter, ph, out_ph)
+                    widths = bucket_widths(cap)
+                    if len(widths) > 1:
+                        # Order the stage's lanes easiest-first (converged
+                        # pad lanes last) so each bucket's while_loop stops
+                        # at its own members' max iteration (padded rows
+                        # predict 0 in both history slots, so they don't
+                        # skew the settledness score)
+                        diff = jnp.sum((ph[0] - ph[1]) ** 2, axis=1)
+                        key_d = jnp.where(states.converged, jnp.inf, diff)
+                        idx = idx[jnp.argsort(key_d[idx], stable=True)]
+                    lo = 0
+                    for w in widths:
+                        sub_idx = idx[lo:lo + w]
+                        lo += w
+                        take = lambda a: jnp.take(a, sub_idx, axis=0)
+                        sub = jax.tree.map(take, states)
+                        out, out_ph = jax.vmap(cont_stage(stop_at))(
+                            sub, take(est), take(row_factors),
+                            jax.tree.map(take, ph), *[take(a) for a in arr])
+                        scatter = lambda full, part: full.at[sub_idx].set(part)
+                        states = jax.tree.map(scatter, states, out)
+                        ph = jax.tree.map(scatter, ph, out_ph)
                 # Full-width safety net for capacity overflow
                 states, _ = jax.vmap(cont_stage(max_iter))(
                     states, est, row_factors, ph, *arr)
@@ -828,7 +867,8 @@ class BatchedRaggedFitter:
 
     # ------------------------------------------------------------------
     def fit(self, observations, return_states=False, return_history=False,
-            adaptive=False, phase_budgets=None, staged_capacities=None):
+            adaptive=False, phase_budgets=None, staged_capacities=None,
+            staged_buckets=None):
         """Fit heterogeneous observations as one vmapped computation.
 
         return_history=True appends a (B, max_iter, ...) per-iteration
@@ -953,7 +993,8 @@ class BatchedRaggedFitter:
             states, row_factors = self._fit_staged(
                 args, cfg_sig,
                 phase_budgets=(8, 16) if phase_budgets is None
-                else phase_budgets, capacities=staged_capacities)
+                else phase_budgets, capacities=staged_capacities,
+                buckets=staged_buckets)
             return self.collect(states, b_orig, row_factors=row_factors,
                                 return_states=return_states)
         if return_history:

@@ -12,7 +12,7 @@ sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
 import bench
 
 
-def _completed(rc=0, out="1\n"):
+def _completed(rc=0, out="8\n"):  # probe prints int(jnp.ones(8).sum())
     return subprocess.CompletedProcess(args=[], returncode=rc, stdout=out,
                                        stderr="")
 

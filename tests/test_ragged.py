@@ -432,6 +432,33 @@ def test_ragged_staged_matches_plain(pred_stop):
     assert np.allclose(r_plain.r_inf, r_staged.r_inf, rtol=1e-9, atol=1e-12)
 
 
+def test_ragged_staged_buckets_match_plain():
+    """Difficulty-ordered lane bucketing on the RAGGED staged scheduler
+    (staged_buckets>1, the parallel/batch.py straggler fix applied to
+    heterogeneous maps): splitting a stage's gathered lanes into
+    easiest-first sub-dispatches only changes WHICH vmapped continuation a
+    lane runs in — per-lane systems travel with the lane, so results must
+    match the uninterrupted loop lane-for-lane. 16 lanes with cap 16
+    exercises the multi-bucket branch (below 2*max(n_dev, 8) lanes the
+    scheduler falls back to one bucket)."""
+    rng = np.random.default_rng(5)
+    grids = [np.logspace(5, -1, 57), np.logspace(3, 0, 31),
+             np.logspace(6, -2, 81), np.logspace(4, -1, 45)]
+    obs = [(None, (grids[i % 4],
+                   _eis_obs(grids[i % 4], rng,
+                            tau1=10 ** rng.uniform(-3, -2))))
+           for i in range(16)]
+
+    fitter = BatchedRaggedFitter(TAU_SG, batch_bucket=False,
+                                 pred_stop=True, pred_rtol=3e-2)
+    r_plain = fitter.fit(obs)
+    r_b = fitter.fit(obs, adaptive="staged", phase_budgets=(6,),
+                     staged_capacities=(16,), staged_buckets=2)
+    assert np.allclose(r_plain.x, r_b.x, rtol=1e-9, atol=1e-11)
+    assert np.array_equal(r_plain.n_iter, r_b.n_iter)
+    assert np.array_equal(r_plain.converged, r_b.converged)
+
+
 @pytest.mark.parametrize("pred_stop", [False, True])
 def test_ragged_hybrid_staged_matches_plain(pred_stop):
     """Staged compaction on ragged HYBRID lanes: the continuation must
