@@ -70,6 +70,7 @@ def main():
                               qp_max_iter=20, qp_max_iter_warm=8,
                               pred_stop=True, pred_rtol=3e-2)
     rzv, _ = fitter.scale_batch(z)
+    rzv = jnp.asarray(rzv, dtype=jnp.float32)  # scale_batch returns f64 numpy
     rzm = jnp.asarray(fitter.rzm, dtype=jnp.float32)
     m_stack = jnp.asarray(fitter.m_stack, dtype=jnp.float32)
     vmm = jnp.asarray(fitter.vmm, dtype=jnp.float32)
