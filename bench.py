@@ -39,9 +39,11 @@ import time
 import numpy as np
 
 
-BATCH = 1024  # experiments/batch_scaling.py: no knee above 1024; larger
-              # batches LOWER per-spectrum device throughput (stage-tail
-              # stragglers grow with lane count)
+BATCH = 8192  # round 5: with difficulty-ordered lane bucketing the r4
+              # straggler tax is gone — device throughput is flat from
+              # B=1024 to 8192 and e2e PEAKS at B>=4096 because the fixed
+              # per-dispatch cost amortizes (experiments/batch_scaling.py
+              # r5 table; r4 had adopted 1024 when larger batches lost)
 N_FREQ = 71
 MAX_ITER = 50
 BASELINE_SPECTRA_PER_SEC_PER_CHIP = 12.5

@@ -36,11 +36,11 @@ def main():
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_enable_x64", True)
-    from bench import make_batch, N_FREQ, MAX_ITER, BATCH
+    from bench import make_batch, N_FREQ, MAX_ITER
     from hybdrt_tpu.parallel import BatchedEISFitter
 
     print(f"devices: {jax.devices()}", flush=True)
-    b = BATCH
+    b = 1024  # roofline.py's shape, for comparability of per-iter numbers
     freq, z = make_batch(b, N_FREQ)
 
     tiny = jax.jit(lambda a: a + 1.0)

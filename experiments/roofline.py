@@ -120,15 +120,25 @@ def main():
     z0 = jnp.abs(x0) + 1e-3
 
     def timed_loop(body, init):
-        """jit fori_loop(REPS) with carried dependency; returns per-call s."""
-        f = jax.jit(lambda c: jax.lax.fori_loop(0, REPS, body, c))
-        out = f(init)
-        jax.tree.map(lambda a: a.block_until_ready(), out)
-        # force a readback (async tunnel under-reports otherwise)
-        leaf = jax.tree.leaves(out)[0]
-        best = min(_timeit(lambda: np.asarray(jax.tree.leaves(f(init))[0].ravel()[0]))
-                   for _ in range(5))
-        return max(best - rtt, 1e-9) / REPS
+        """jit fori_loop(reps) with carried dependency; returns per-call s.
+
+        Cheap groups (sub-ms per call) sit below the tunnel's RTT jitter at
+        REPS=30 — best-minus-rtt can even go negative (the r5 first capture
+        emitted a 0.0 ms weights group and petahertz derived numbers). The
+        probe escalates reps 10x until the on-device portion is at least
+        ~half the RTT floor, so per-call time is resolvable."""
+        reps = REPS
+        for _ in range(3):
+            f = jax.jit(lambda c, r=reps: jax.lax.fori_loop(0, r, body, c))
+            out = f(init)
+            jax.tree.map(lambda a: a.block_until_ready(), out)
+            # force a readback (async tunnel under-reports otherwise)
+            best = min(_timeit(lambda: np.asarray(
+                jax.tree.leaves(f(init))[0].ravel()[0])) for _ in range(5))
+            if best - rtt > 0.5 * rtt:
+                break
+            reps *= 10
+        return max(best - rtt, 1e-9) / reps
 
     groups = {}
 

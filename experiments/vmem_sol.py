@@ -62,16 +62,19 @@ def main():
     @partial(jax.jit)
     def sol(a):
         a_t = jnp.transpose(a, (1, 2, 0))
-        o = pl.pallas_call(
-            sol_kernel,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            out_shape=jax.ShapeDtypeStruct((n, n, a_t.shape[-1]), a.dtype),
-            grid=(a_t.shape[-1] // lanes,),
-            in_specs=[pl.BlockSpec((n, n, lanes), lambda i: (0, 0, i))],
-            out_specs=pl.BlockSpec((n, n, lanes), lambda i: (0, 0, i)),
-            input_output_aliases={0: 0},
-        )(a_t)
+        # x64 is enabled package-wide; mosaic index maps must stay 32-bit
+        # (ops/pallas_chol_lane.py does the same)
+        with jax.enable_x64(False):
+            o = pl.pallas_call(
+                sol_kernel,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                out_shape=jax.ShapeDtypeStruct((n, n, a_t.shape[-1]), a.dtype),
+                grid=(a_t.shape[-1] // lanes,),
+                in_specs=[pl.BlockSpec((n, n, lanes), lambda i: (0, 0, i))],
+                out_specs=pl.BlockSpec((n, n, lanes), lambda i: (0, 0, i)),
+                input_output_aliases={0: 0},
+            )(a_t)
         return jnp.transpose(o, (2, 0, 1))
 
     rng = np.random.default_rng(0)

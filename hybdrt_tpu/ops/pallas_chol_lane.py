@@ -47,15 +47,26 @@ def _make_kernel(n):
         a_s[...] = a_ref[...]
 
         # ---- in-place Cholesky, static column loop -------------------------
+        # The rank-1 trailing update is banded into fixed-height row chunks
+        # whose column span stops at the band's last row: everything the
+        # factorization (and the solves below) ever reads is the LOWER
+        # triangle, so updating only ceil-to-band of it halves the VMEM
+        # traffic of the full-block update — which is what bounds this
+        # kernel (experiments/vmem_sol.py). Elements above the diagonal
+        # inside a band receive partial updates and are never read.
+        chunk = 16
         for j in range(n):
             ajj = a_s[j, j:j + 1, :]                    # (1, lanes)
             inv = _refined_rsqrt(ajj)
             col = a_s[j:, j, :] * inv                   # (n-j, lanes) = L[j:, j]
             a_s[j:, j, :] = col
-            if j + 1 < n:
-                u = col[1:]                             # (n-j-1, lanes)
-                blk = a_s[j + 1:, j + 1:, :]
-                a_s[j + 1:, j + 1:, :] = blk - u[:, None, :] * u[None, :, :]
+            for i0 in range(j + 1, n, chunk):
+                i1 = min(i0 + chunk, n)
+                u_rows = a_s[i0:i1, j, :]               # (i1-i0, lanes)
+                u_cols = a_s[j + 1:i1, j, :]            # (i1-j-1, lanes)
+                blk = a_s[i0:i1, j + 1:i1, :]
+                a_s[i0:i1, j + 1:i1, :] = (
+                    blk - u_rows[:, None, :] * u_cols[None, :, :])
 
         # ---- forward substitution: L y = b (column-oriented) ---------------
         r_s[...] = b_ref[...]
@@ -121,9 +132,12 @@ def _make_factor_kernel(n):
         # kernel inside the scoped-VMEM budget (in-block is double-buffered
         # by the pipeline, so every extra (n, n, lanes) buffer counts)
         l_ref[...] = a_ref[...]
-        # Chunk the trailing rank-1 update into fixed-height row bands: the
+        # Chunk the trailing rank-1 update into fixed-height row bands (the
         # unrolled column loop otherwise keeps several O(n^2 * lanes)
-        # temporaries live at once and blows the scoped-VMEM budget
+        # temporaries live at once and blows the scoped-VMEM budget), and
+        # stop each band's column span at its last row: only the lower
+        # triangle is ever read, so the triangular band update halves the
+        # VMEM traffic that bounds this kernel (experiments/vmem_sol.py)
         chunk = 16
         for j in range(n):
             ajj = l_ref[j, j:j + 1, :]
@@ -134,9 +148,10 @@ def _make_factor_kernel(n):
             for i0 in range(j + 1, n, chunk):
                 i1 = min(i0 + chunk, n)
                 u_rows = l_ref[i0:i1, j, :]             # (i1-i0, lanes)
-                u_cols = l_ref[j + 1:, j, :]            # (n-j-1, lanes)
-                blk = l_ref[i0:i1, j + 1:, :]
-                l_ref[i0:i1, j + 1:, :] = blk                     - u_rows[:, None, :] * u_cols[None, :, :]
+                u_cols = l_ref[j + 1:i1, j, :]          # (i1-j-1, lanes)
+                blk = l_ref[i0:i1, j + 1:i1, :]
+                l_ref[i0:i1, j + 1:i1, :] = (
+                    blk - u_rows[:, None, :] * u_cols[None, :, :])
     return kernel
 
 
@@ -226,15 +241,21 @@ def _make_factor_solve_kernel(n):
         re-factoring (the Mehrotra corrector reuses the predictor's factor).
         """
         l_ref[...] = a_ref[...]
+        # triangular banded trailing update (see _make_factor_kernel): only
+        # the lower triangle is ever read, halving the bounding VMEM traffic
+        chunk = 16
         for j in range(n):
             ajj = l_ref[j, j:j + 1, :]
             inv = _refined_rsqrt(ajj)
             col = l_ref[j:, j, :] * inv
             l_ref[j:, j, :] = col
-            if j + 1 < n:
-                u = col[1:]
-                blk = l_ref[j + 1:, j + 1:, :]
-                l_ref[j + 1:, j + 1:, :] = blk - u[:, None, :] * u[None, :, :]
+            for i0 in range(j + 1, n, chunk):
+                i1 = min(i0 + chunk, n)
+                u_rows = l_ref[i0:i1, j, :]
+                u_cols = l_ref[j + 1:i1, j, :]
+                blk = l_ref[i0:i1, j + 1:i1, :]
+                l_ref[i0:i1, j + 1:i1, :] = (
+                    blk - u_rows[:, None, :] * u_cols[None, :, :])
         # forward then backward substitution (x_ref doubles as the residual)
         x_ref[...] = b_ref[...]
         for j in range(n):

@@ -51,13 +51,17 @@ def _make_ip_kernel(n, n_steps, row_chunk=16):
             col = h_s[j:, j, :] * inv
             h_s[j:, j, :] = col
             if j + 1 < n:
+                # triangular banded trailing update (pallas_chol_lane.py):
+                # only the lower triangle is ever read — the next step's
+                # H assembly overwrites h_s from p_ref wholesale — so the
+                # band's column span stops at its last row, halving traffic
                 for i0 in range(j + 1, n, row_chunk):
                     i1 = min(i0 + row_chunk, n)
                     u_rows = h_s[i0:i1, j, :]
-                    u_cols = h_s[j + 1:, j, :]
-                    h_s[i0:i1, j + 1:, :] = (h_s[i0:i1, j + 1:, :]
-                                             - u_rows[:, None, :]
-                                             * u_cols[None, :, :])
+                    u_cols = h_s[j + 1:i1, j, :]
+                    h_s[i0:i1, j + 1:i1, :] = (h_s[i0:i1, j + 1:i1, :]
+                                               - u_rows[:, None, :]
+                                               * u_cols[None, :, :])
 
     def solve_factored(h_s, rhs, y_s, out_s):
         # L y = rhs (forward), L^T x = y (backward); out_s may alias rhs mem

@@ -474,8 +474,8 @@ class BatchedEISFitter:
         of ITS bucket only, so one slow lane no longer pins the whole stage
         — the straggler tax that made per-spectrum throughput FALL with
         batch size (experiments/batch_scaling.py r4: 1.5x from B=1024 to
-        8192). Requires pred_stop (the difficulty signal); defaults to 2
-        when pred_stop is on, else 1.
+        8192). Requires pred_stop (the difficulty signal); the default
+        scales with batch size (2 at B<=2048 up to 8 at B>=8192), else 1.
 
         Per-lane trajectories are identical to the uninterrupted loop (the
         body is Markovian in state; continuing an already-converged lane is
@@ -505,7 +505,14 @@ class BatchedEISFitter:
                 c = min(-(-c // n_dev) * n_dev, b)
             caps.append(c)
         if buckets is None:
-            buckets = 2 if self.fcfg.pred_stop else 1
+            # Scale with batch size: a larger lane pool samples deeper into
+            # the iteration distribution's tail at every stage, so it takes
+            # more difficulty-ordered splits to keep each sub-dispatch's
+            # while_loop near its own members' stopping point. Measured
+            # (experiments/batch_scaling.py r5): at B=8192, buckets
+            # 1/2/4/8 -> 7392/8436/10362/11243 device spectra/s — buckets=8
+            # makes B=8192 flat with B=1024 (the r4 1.5x straggler tax gone)
+            buckets = max(2, min(8, b // 1024)) if self.fcfg.pred_stop else 1
         buckets = max(int(buckets), 1)
         if not self.fcfg.pred_stop:
             buckets = 1  # no difficulty signal without the pred history

@@ -771,8 +771,8 @@ class BatchedRaggedFitter:
         buckets > 1 splits each stage's gathered lanes into that many
         difficulty-ordered sub-dispatches (parallel/batch.py rationale:
         one slow lane no longer pins the whole stage at its max iteration).
-        Requires pred_stop for the difficulty signal; defaults to 2 when
-        pred_stop is on."""
+        Requires pred_stop for the difficulty signal; the default scales
+        with batch size (2 at B<=2048 up to 8 at B>=8192)."""
         per_obs = self.per_obs_penalty
         b = int(args[0].shape[0])
         max_iter = self.fcfg.max_iter
@@ -792,7 +792,10 @@ class BatchedRaggedFitter:
             caps.append(c)
 
         if buckets is None:
-            buckets = 2 if self.fcfg.pred_stop else 1
+            # Scale with batch size (parallel/batch.py rationale: more lanes
+            # sample deeper into the straggler tail; measured flat-to-B=8192
+            # device throughput at buckets=8)
+            buckets = max(2, min(8, b // 1024)) if self.fcfg.pred_stop else 1
         buckets = max(int(buckets), 1)
         if not self.fcfg.pred_stop:
             buckets = 1  # no difficulty signal without the pred history
