@@ -76,7 +76,7 @@ def make_batch(batch, n_freq, seed=1):
     return freq, z + noise * 0.004
 
 
-def wait_for_tpu(max_wait_s=None, probe_timeout_s=180):
+def wait_for_tpu(max_wait_s=None, probe_timeout_s=420):
     """Wait for a healthy tunnel window before initializing jax in-process.
 
     The tunneled chip's degraded windows don't just slow execution ~100x —
@@ -85,7 +85,15 @@ def wait_for_tpu(max_wait_s=None, probe_timeout_s=180):
     (observed during a multi-hour outage), and a hung in-process init
     cannot be interrupted. Probe init in a subprocess with a timeout and
     retry until it completes quickly. Returns False if the tunnel never
-    came back within max_wait_s (override: HYBDRT_TPU_BENCH_MAX_WAIT)."""
+    came back within max_wait_s (override: HYBDRT_TPU_BENCH_MAX_WAIT).
+
+    probe_timeout_s must cover the axon SERVER-side per-process program
+    load, not just init: loads of 44-77 s are normal in healthy windows
+    and ~8 min loads have been observed in sessions whose COMPUTE was
+    fast (r5: a 180 s probe timeout rejected a window that benched at
+    15.8k device spectra/s minutes earlier) — load latency and compute
+    health are decoupled, and the in-process health probes after init
+    are what gate the timings."""
     import os
     import subprocess
     if max_wait_s is None:
@@ -377,7 +385,7 @@ def run_single_fit_leg(jax, jnp):
 
     freq, z = make_batch(1, N_FREQ, seed=9)
     fitter = BatchedEISFitter(freq, dtype=jnp.float32, max_iter=MAX_ITER,
-                              qp_max_iter=20, qp_max_iter_warm=8,
+                              qp_max_iter=20, qp_max_iter_warm=4,
                               pred_stop=True, pred_rtol=3e-2)
     t0 = time.time()
     fitter.fit(z)
@@ -446,6 +454,10 @@ def main():
     # qp_max_iter_warm caps warm-started interior-point steps: under vmap the
     # QP loop runs to the max over the batch, and at B=1024 a handful of hard
     # tail spectra otherwise cost ~45 Cholesky trips per outer iteration.
+    # warm cap 4 is the sweep optimum (experiments/qp_knob_sweep.py: caps
+    # 8/6/4/3 -> 12936/14282/15813/12865 device spectra/s in one session,
+    # outer iterations 7.37 -> 7.46, median resid and converged count
+    # unchanged; at 3 the under-solved QP starts paying back outer iters).
     # qp_max_iter=20 similarly caps the cold solves (init weights + it 0).
     # Accuracy is unchanged by either cap (active-set polish restores
     # exactness; median |z_hat - z| identical to 4 digits with and without).
@@ -456,7 +468,7 @@ def main():
     # "mode" in the JSON records them; reference-semantics (plain loop,
     # default tolerances) numbers live in experiments/README.md.
     fitter = BatchedEISFitter(freq, dtype=jnp.float32, max_iter=MAX_ITER, mesh=mesh,
-                              qp_max_iter=20, qp_max_iter_warm=8,
+                              qp_max_iter=20, qp_max_iter_warm=4,
                               pred_stop=True, pred_rtol=3e-2)
     fit = lambda: fitter.fit(z, adaptive="staged")
 
@@ -563,7 +575,7 @@ def main():
         "batch": BATCH,
         "median_resid": round(med_resid, 5),
         "mode": {"adaptive": "staged", "pred_stop": True, "pred_rtol": 3e-2,
-                 "qp_max_iter": 20, "qp_max_iter_warm": 8, "dtype": "float32"},
+                 "qp_max_iter": 20, "qp_max_iter_warm": 4, "dtype": "float32"},
         "cold_total_s": cold_total_s,
         "het_map": het,
         "single_fit": single_fit,
