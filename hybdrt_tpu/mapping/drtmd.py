@@ -320,10 +320,10 @@ class DRTMD:
         scale_b = np.array([float(a["scale"]) for a in attrs])
 
         # Basis -> supergrid evaluation matrix (shared; order 0)
-        em = np.asarray(basis_mod.construct_func_eval_matrix(
+        em = basis_mod.func_eval_matrix_host(
             np.log(np.asarray(template.basis_tau)),
             np.log(np.asarray(self.tau_supergrid)), template.tau_basis_type,
-            template.tau_epsilon, 0, template.zga_params), dtype=float)
+            template.tau_epsilon, 0, template.zga_params)
 
         with host_cpu():
             def var_one(p):
@@ -1613,9 +1613,9 @@ class DRTMD:
         if tau is None:
             tau = self.tau_supergrid
         x = self.predict_x(psi, obs_index, resolved)
-        em = np.asarray(basis_mod.construct_func_eval_matrix(
-            np.log(self.tau_supergrid), np.log(np.asarray(tau)), self.tau_basis_type,
-            self.tau_epsilon, order))
+        em = basis_mod.func_eval_matrix_host(
+            np.log(self.tau_supergrid), np.log(np.asarray(tau)),
+            self.tau_basis_type, self.tau_epsilon, order)
         return x @ em.T
 
     def predict_r_p(self, psi=None, obs_index=None, resolved=True):
@@ -1922,9 +1922,9 @@ class DRTMD:
             nu_epsilon = getattr(self.drt1d, "nu_epsilon", None)
         if nu_epsilon is None:
             nu_epsilon = 1 / np.abs(np.median(np.diff(np.sort(basis_nu))))
-        em = np.asarray(basis_mod.construct_func_eval_matrix(
+        em = basis_mod.func_eval_matrix_host(
             np.asarray(basis_nu), np.asarray(nu), self.nu_basis_type,
-            nu_epsilon, 0))
+            nu_epsilon, 0)
         dop = x_dop @ em.T
         if normalize:
             sv = np.asarray(phasance.phasor_scale_vector(np.asarray(nu),

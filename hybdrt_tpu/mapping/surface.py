@@ -11,6 +11,9 @@ from . import ndx
 from ..filters import std_filter, flexible_hysteresis_threshold
 
 
+from ..ops.basis import func_eval_matrix_host
+
+
 # ------------------------------------------------------------------
 # Probability maps
 # ------------------------------------------------------------------
@@ -150,11 +153,10 @@ def coef_to_ridges(x, drtmd, num_group_dims, normalize=True, ndx_filter=True,
     else:
         x_norm = x
 
-    from ..ops import basis as basis_mod
     def eval_order(order):
-        em = np.asarray(basis_mod.construct_func_eval_matrix(
-            np.log(drtmd.tau_supergrid), np.log(drtmd.tau_supergrid),
-            drtmd.tau_basis_type, drtmd.tau_epsilon, order))
+        em = func_eval_matrix_host(np.log(drtmd.tau_supergrid), None,
+                                   drtmd.tau_basis_type,
+                                   drtmd.tau_epsilon, order)
         return x_norm @ em.T
 
     f = eval_order(0)

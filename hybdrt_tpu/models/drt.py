@@ -1697,9 +1697,9 @@ class DRT:
         """gamma(ln tau) (and derivatives) on an evaluation grid."""
         if tau is None:
             tau = self.get_tau_eval(ppd)
-        em = np.asarray(basis.construct_func_eval_matrix(
-            np.log(self.basis_tau), np.log(np.asarray(tau)), self.tau_basis_type,
-            self.tau_epsilon, order, self.zga_params))
+        em = basis.func_eval_matrix_host(
+            np.log(self.basis_tau), np.log(np.asarray(tau)),
+            self.tau_basis_type, self.tau_epsilon, order, self.zga_params)
         if sign is None:
             sign = 0 if self.series_neg else 1
         if x is None:
@@ -1838,9 +1838,9 @@ class DRT:
             nu = np.linspace(-1, 1, 201)
         if x is None:
             x = self.fit_parameters["x_dop"]
-        em = np.asarray(basis.construct_func_eval_matrix(
+        em = basis.func_eval_matrix_host(
             np.asarray(self.basis_nu), np.asarray(nu), self.nu_basis_type,
-            self.nu_epsilon, order))
+            self.nu_epsilon, order)
         out = em @ np.asarray(x)
         if normalize:
             tau_ref = normalize_tau if normalize_tau is not None else self.basis_tau
@@ -2327,9 +2327,9 @@ class DRT:
             return None
         ns = self.get_qp_mat_offset()
         cov_drt = cov[ns:, ns:]
-        em = np.asarray(basis.construct_func_eval_matrix(
-            np.log(self.basis_tau), np.log(np.asarray(tau)), self.tau_basis_type,
-            self.tau_epsilon, order, self.zga_params))
+        em = basis.func_eval_matrix_host(
+            np.log(self.basis_tau), np.log(np.asarray(tau)),
+            self.tau_basis_type, self.tau_epsilon, order, self.zga_params)
         if self.series_neg:
             if sign is None:
                 sign = 0
@@ -2391,9 +2391,9 @@ class DRT:
             raise ValueError("DOP was not fitted")
         if nu is None:
             nu = self.basis_nu
-        em = np.asarray(basis.construct_func_eval_matrix(
+        em = basis.func_eval_matrix_host(
             np.asarray(self.basis_nu), np.asarray(nu), self.nu_basis_type,
-            self.nu_epsilon, order))
+            self.nu_epsilon, order)
         x_cov = self.estimate_param_cov(p_matrix=p_matrix)
         if x_cov is None:
             return None

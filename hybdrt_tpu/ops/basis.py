@@ -279,6 +279,50 @@ def construct_func_eval_matrix(basis_grid, eval_grid=None, basis_type="gaussian"
     return func(eval_grid[:, None] - basis_grid[None, :], epsilon)
 
 
+_EVAL_MATRIX_HOST_CACHE = {}
+_EVAL_MATRIX_HOST_CACHE_MAX = 64
+
+
+def func_eval_matrix_host(basis_grid, eval_grid=None, basis_type="gaussian",
+                          epsilon=1.0, order=0, zga_params=None):
+    """CPU-pinned, cached :func:`construct_func_eval_matrix` for host-side
+    getters (predict_gamma/predict_dop, map postprocessing).
+
+    The matrix is tiny but built with eager jnp ops: on a process whose
+    default device is a remote accelerator every distinct op pays a
+    per-process server-side compile (measured ~2 s per derivative order on
+    the tunneled chip — 6.3 s of a 6.5 s map postproc pipeline before this
+    helper existed). Host-side callers must use this instead of calling
+    construct_func_eval_matrix directly; device compute paths (mat1d,
+    resolve) keep the direct traced call."""
+    from ..utils.device import host_cpu
+    import numpy as np
+    basis_grid = np.asarray(basis_grid, dtype=float)
+    eval_grid = basis_grid if eval_grid is None \
+        else np.asarray(eval_grid, dtype=float)
+    if zga_params is None:
+        zkey = None
+    else:
+        try:
+            zkey = tuple(np.asarray(p, dtype=float).tobytes()
+                         for p in zga_params)
+        except TypeError:
+            zkey = np.asarray(zga_params, dtype=float).tobytes()
+    key = (basis_grid.tobytes(), eval_grid.tobytes(), basis_type,
+           float(epsilon), int(order), zkey)
+    em = _EVAL_MATRIX_HOST_CACHE.get(key)
+    if em is None:
+        with host_cpu():
+            em = np.asarray(construct_func_eval_matrix(
+                basis_grid, eval_grid, basis_type, epsilon, order,
+                zga_params), dtype=float)
+        if len(_EVAL_MATRIX_HOST_CACHE) >= _EVAL_MATRIX_HOST_CACHE_MAX:
+            # user-supplied eval grids vary per call; bound the cache
+            _EVAL_MATRIX_HOST_CACHE.pop(next(iter(_EVAL_MATRIX_HOST_CACHE)))
+        _EVAL_MATRIX_HOST_CACHE[key] = em
+    return em
+
+
 # ------------------------------------------------------------------
 # Impedance and time-response integrands
 # ------------------------------------------------------------------

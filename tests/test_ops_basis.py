@@ -219,3 +219,24 @@ def test_drt_set_zga_params_computes():
     x_basis, coef, eps = drt.zga_params
     assert len(x_basis) == 5 and len(coef) == 6
     assert 0 < eps <= 1
+
+
+def test_func_eval_matrix_host_caches_and_matches():
+    """Host-side getters use the CPU-pinned cached eval matrix: same values
+    as the traced builder, and the second call is a cache hit (the eager
+    jnp build costs a per-process server-side compile on a remote default
+    device — 6.3 s of a 6.5 s postproc pipeline before the helper)."""
+    import numpy as np
+    from hybdrt_tpu.ops import basis as B
+
+    grid = np.log(np.logspace(-6, 1, 41))
+    em1 = B.func_eval_matrix_host(grid, None, "gaussian", 1.1, 2)
+    em2 = B.func_eval_matrix_host(grid.copy(), None, "gaussian", 1.1, 2)
+    assert em1 is em2  # cache hit on equal key, not just equal values
+    ref = np.asarray(B.construct_func_eval_matrix(grid, None, "gaussian",
+                                                  1.1, 2), dtype=float)
+    np.testing.assert_allclose(em1, ref, rtol=1e-12, atol=1e-12)
+    # bounded: the cache never grows past its cap
+    for i in range(B._EVAL_MATRIX_HOST_CACHE_MAX + 8):
+        B.func_eval_matrix_host(grid, grid + 1e-9 * (i + 1), "gaussian", 1.1, 0)
+    assert len(B._EVAL_MATRIX_HOST_CACHE) <= B._EVAL_MATRIX_HOST_CACHE_MAX
