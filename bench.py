@@ -178,10 +178,15 @@ def make_het_map(n_eis, n_hybrid, seed=3, schedule="staged"):
          np.logspace(4, 0, 41)),
     ]
     tau_super = np.logspace(-8, 3, 111)
+    # warm-QP cap 4 carries over from the uniform-leg sweep (the ragged
+    # fitter shares the solver core): A/B on this leg measured 1334 vs
+    # 1277 obs/s with 1024/1024 fitted both ways (+4.5% — the het leg is
+    # prep/dispatch-bound, not QP-bound like the uniform leg)
+    qp_kw = {"qp_max_iter": 20, "qp_max_iter_warm": 4}
     md = DRTMD(tau_supergrid=tau_super, psi_dim_names=["i"],
                warn=False, print_progress=False,
-               batch_fit_kw={"adaptive": "staged"} if schedule == "staged"
-               else None)
+               batch_fit_kw={"adaptive": "staged", **qp_kw}
+               if schedule == "staged" else dict(qp_kw))
     n_tot = n_eis + n_hybrid
     kinds = np.array(["eis"] * n_eis + ["hyb"] * n_hybrid)
     rng.shuffle(kinds)
