@@ -54,6 +54,7 @@ def _timeit(fn):
 
 def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    warm_cap = int(sys.argv[2]) if len(sys.argv) > 2 else 4  # bench mode (r5 sweep optimum)
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_enable_x64", True)
@@ -67,7 +68,7 @@ def main():
 
     freq, z = make_batch(b, N_FREQ)
     fitter = BatchedEISFitter(freq, dtype=jnp.float32, max_iter=MAX_ITER,
-                              qp_max_iter=20, qp_max_iter_warm=8,
+                              qp_max_iter=20, qp_max_iter_warm=warm_cap,
                               pred_stop=True, pred_rtol=3e-2)
     rzv, _ = fitter.scale_batch(z)
     rzv = jnp.asarray(rzv, dtype=jnp.float32)  # scale_batch returns f64 numpy
@@ -186,16 +187,16 @@ def main():
     def qp_body(i, c):
         q_in, acc = c
         r = jax.vmap(lambda p, q, x, zz: qp_mod.solve_qp_box(
-            p, q, lb, max_iter=8, x_init=x, z_init=zz))(
+            p, q, lb, max_iter=warm_cap, x_init=x, z_init=zz))(
             p_fix, q_in, x0, z0)
         return (q_in + 1e-12 * r.x, acc + r.x[:, 0])
 
+    n_factor = warm_cap + 1  # warm_cap Mehrotra steps + 1 polish factor
     groups["qp_warm"] = {
         "t": timed_loop(qp_body, (q_fix, jnp.zeros(b, jnp.float32))),
-        # 8 Mehrotra steps + 1 polish factor; factor n^3/3, 4 solve pairs
-        # per step at 2n^2 each
-        "flops": b * 9 * (n ** 3 / 3 + 8 * n * n),
-        "bytes": 4 * b * 9 * (2 * n * n),
+        # factor n^3/3; 4 triangular solve pairs per step at 2n^2 each
+        "flops": b * n_factor * (n ** 3 / 3 + 8 * n * n),
+        "bytes": 4 * b * n_factor * (2 * n * n),
     }
 
     # ---- s_rho: per-order quadratic forms + g-matrix + closed-form updates
@@ -260,7 +261,8 @@ def main():
             "pct_hbm": round(100 * gbs / HBM_GBS, 1),
         })
     out = {
-        "B": b, "M": m, "N": n, "k_range": kr,
+        "B": b,
+        "qp_max_iter_warm": warm_cap, "M": m, "N": n, "k_range": kr,
         "rtt_ms": round(rtt * 1e3, 1),
         "dispatch_s": round(min(disp), 4),
         "device_total_s": round(t_total, 4),
