@@ -469,13 +469,18 @@ def main():
     # pred_stop adds the opt-in data-space stopping criterion; see
     # tests/test_parallel.py. adaptive="staged" runs the compacted-
     # continuation schedule as ONE jitted dispatch (parallel/batch.py
-    # _fit_staged). These knobs are the documented throughput mode —
-    # "mode" in the JSON records them; reference-semantics (plain loop,
-    # default tolerances) numbers live in experiments/README.md.
+    # _fit_staged). collect="lazy" defers the two big solver internals
+    # (weights + s_vectors = 80% of the result bytes) as device arrays
+    # fetched on demand — over the tunnel's ~35 MB/s link that is a
+    # measured 1.755x e2e (experiments/lazy_collect_ab.py: 6826 vs 11976
+    # spectra/s in one session, all fields bitwise equal). These knobs are
+    # the documented throughput mode — "mode" in the JSON records them;
+    # reference-semantics (plain loop, default tolerances) numbers live in
+    # experiments/README.md.
     fitter = BatchedEISFitter(freq, dtype=jnp.float32, max_iter=MAX_ITER, mesh=mesh,
                               qp_max_iter=20, qp_max_iter_warm=4,
                               pred_stop=True, pred_rtol=3e-2)
-    fit = lambda: fitter.fit(z, adaptive="staged")
+    fit = lambda: fitter.fit(z, adaptive="staged", collect="lazy")
 
     # Warmup / compile at the SAME batch shape as the timed run
     t0 = time.time()
@@ -580,7 +585,8 @@ def main():
         "batch": BATCH,
         "median_resid": round(med_resid, 5),
         "mode": {"adaptive": "staged", "pred_stop": True, "pred_rtol": 3e-2,
-                 "qp_max_iter": 20, "qp_max_iter_warm": 4, "dtype": "float32"},
+                 "qp_max_iter": 20, "qp_max_iter_warm": 4, "dtype": "float32",
+                 "collect": "lazy"},
         "cold_total_s": cold_total_s,
         "het_map": het,
         "single_fit": single_fit,

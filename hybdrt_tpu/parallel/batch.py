@@ -25,7 +25,7 @@ from ..utils.device import host_cpu, on_host
 _PACK_JITS = {}
 
 
-def _fetch_states(states, drop=()):
+def _fetch_states(states, drop=(), lazy=()):
     """Transfer a device FitState to host as ONE packed array.
 
     collect() reads ~11 state fields; a per-field ``np.asarray`` costs one
@@ -40,6 +40,12 @@ def _fetch_states(states, drop=()):
     bytes but are only consumed device-side, so the default collect path
     skips them (return_states=True keeps everything).
 
+    ``lazy`` names fields to leave out of the transfer but KEEP as device
+    arrays: a later ``np.asarray`` on one fetches it on demand. Over the
+    tunneled chip the download runs at ~35 MB/s, so deferring the solver
+    internals nobody may read (weights + s_vectors = 80% of the packed
+    bytes at bench shapes) is a direct e2e win (fit(collect="lazy")).
+
     Returns the same NamedTuple type with host numpy fields. No-op when the
     state is already on host (adaptive scheduling assembles host arrays).
     """
@@ -48,7 +54,8 @@ def _fetch_states(states, drop=()):
     if drop:
         states = states._replace(**{f: None for f in drop
                                     if getattr(states, f) is not None})
-    fields = [f for f in states._fields if getattr(states, f) is not None]
+    fields = [f for f in states._fields
+              if getattr(states, f) is not None and f not in lazy]
     dtype = states.x.dtype  # f32 on TPU, f64 on the CPU parity path
     shapes = tuple((f, tuple(getattr(states, f).shape)) for f in fields)
     key = (type(states), shapes, str(dtype))
@@ -592,7 +599,7 @@ class BatchedEISFitter:
 
     def fit(self, z_batch, return_states=False, adaptive=False,
             phase_budgets=None, return_history=False, staged_capacities=None,
-            staged_buckets=None, warm_from=None):
+            staged_buckets=None, warm_from=None, collect="full"):
         """Fit a (B, n_freq) batch of complex spectra; returns BatchFitResult.
 
         warm_from=<previous frame's BatchFitResult> seeds each lane's solver
@@ -619,7 +626,18 @@ class BatchedEISFitter:
         with shape (B, max_iter, ...) — the batched analog of the
         reference's qphb_history (hybdrt/models/qphb.py:950-966); entries
         past a lane's convergence repeat its converged state (mask with
-        history['it'])."""
+        history['it']).
+
+        collect="lazy" leaves the solver internals (result.weights,
+        result.s_vectors — 80% of the result bytes at bench shapes) on the
+        device; np.asarray on either fetches it on demand. Values are
+        identical to collect="full" — only the transfer time moves. Use it
+        on tunneled/remote chips (~35 MB/s link) when the downstream
+        consumer only reads the coefficient fields; keep the default for
+        anything that pickles the result (device arrays don't pickle)."""
+        if collect not in ("full", "lazy"):
+            raise ValueError(f"collect={collect!r}: expected 'full' or "
+                             f"'lazy'")
         if adaptive and adaptive not in (True, "staged"):
             raise ValueError(f"adaptive={adaptive!r}: expected False, True "
                              f"(host-driven compaction) or 'staged' "
@@ -638,6 +656,10 @@ class BatchedEISFitter:
                              "or return_history")
         z_batch = np.asarray(z_batch)
         rzv, scale = self.scale_batch(z_batch)
+        # Cast to the compute dtype BEFORE the host->device transfer: the
+        # tunneled chip uploads at ~35 MB/s, so shipping f64 for an f32 fit
+        # doubles the upload time (measured 0.28 s vs 0.12 s at B=8192)
+        rzv = np.asarray(rzv, dtype=np.dtype(self.dtype))
         b_orig = rzv.shape[0]
         warm = None if warm_from is None \
             else self._warm_arrays(warm_from, b_orig, scale)
@@ -693,14 +715,22 @@ class BatchedEISFitter:
             if self.mesh is not None:
                 rzv_dev = sh.shard_batch(rzv_dev, self.mesh)
             states = self._fit_batch(rzv_dev)
-        return self.collect(states, scale, b_orig, return_states=return_states)
+        return self.collect(states, scale, b_orig,
+                            return_states=return_states,
+                            lazy=(collect == "lazy"))
 
-    def collect(self, states, scale, b_orig, return_states=False):
+    def collect(self, states, scale, b_orig, return_states=False,
+                lazy=False):
         # ONE device->host transfer; the warm-start duals and outlier
         # weights (~1/3 of the packed bytes) are only needed when the
-        # caller keeps the raw states
+        # caller keeps the raw states. lazy=True additionally defers the
+        # big solver internals (weights, s_vectors) as device arrays —
+        # np.asarray on them fetches on first use (fit(collect="lazy")).
+        lazy_fields = ("weights", "s_vectors") if lazy and not return_states \
+            else ()
         states = _fetch_states(
-            states, drop=() if return_states else ("qp_dual", "outlier_t"))
+            states, drop=() if return_states else ("qp_dual", "outlier_t"),
+            lazy=lazy_fields)
         x_full = np.asarray(states.x)[:b_orig]
         scale = np.asarray(scale)[:b_orig]
         ns = self.num_special
@@ -724,9 +754,11 @@ class BatchedEISFitter:
             c_inv=special("C_inv", self.template.capacitance_scale or 1.0),
             x_dop=x_dop,
             scale=scale,
-            weights=np.asarray(states.weights)[:b_orig],
+            weights=(states.weights[:b_orig] if lazy_fields
+                     else np.asarray(states.weights)[:b_orig]),
             rho=np.asarray(states.rho_vector)[:b_orig],
-            s_vectors=np.asarray(states.s_vectors)[:b_orig],
+            s_vectors=(states.s_vectors[:b_orig] if lazy_fields
+                       else np.asarray(states.s_vectors)[:b_orig]),
             n_iter=np.asarray(states.it)[:b_orig],
             converged=np.asarray(states.converged)[:b_orig],
             x_raw=x_full,
@@ -1037,11 +1069,13 @@ class BatchedHybridFitter:
 
     def fit(self, v_batch, z_batch, return_states=False, return_history=False,
             adaptive=False, phase_budgets=None, staged_capacities=None,
-            staged_buckets=None, warm_from=None):
+            staged_buckets=None, warm_from=None, collect="full"):
         """Fit (B, n_times) responses + (B, n_freq) spectra; returns
         BatchFitResult (x in physical units). return_history=True appends a
         (B, max_iter, ...) per-iteration history dict (batched analog of
         the reference's qphb_history, hybdrt/models/qphb.py:950-966).
+        collect="lazy" defers result.weights/result.s_vectors as device
+        arrays (see the EIS fit docstring).
 
         adaptive=True / adaptive="staged" enable the compacted-continuation
         schedulers shared with BatchedEISFitter (see its fit docstring); the
@@ -1050,6 +1084,9 @@ class BatchedHybridFitter:
         uninterrupted loop. warm_from=<previous frame's BatchFitResult>
         seeds each lane from that frame's converged solution (see the EIS
         fit docstring; the vz-offset column is rebuilt from the seed)."""
+        if collect not in ("full", "lazy"):
+            raise ValueError(f"collect={collect!r}: expected 'full' or "
+                             f"'lazy'")
         if adaptive and adaptive not in (True, "staged"):
             raise ValueError(f"adaptive={adaptive!r}: expected False, True "
                              f"(host-driven compaction) or 'staged' "
@@ -1067,6 +1104,7 @@ class BatchedHybridFitter:
                              "it cannot be combined with adaptive scheduling "
                              "or return_history")
         rzv, scale = self.scale_batch(v_batch, z_batch)
+        rzv = np.asarray(rzv, dtype=np.dtype(self.dtype))
         b_orig = rzv.shape[0]
         if return_history and adaptive:
             raise ValueError("return_history is a fixed-length scan; "
@@ -1112,7 +1150,8 @@ class BatchedHybridFitter:
                 rzv_dev = sh.shard_batch(rzv_dev, self.mesh)
             states = self._fit_batch(rzv_dev)
         return BatchedEISFitter.collect(self, states, scale, b_orig,
-                                        return_states=return_states)
+                                        return_states=return_states,
+                                        lazy=(collect == "lazy"))
 
     # Reuse the EIS fitter's physical-units extraction, Rp helper, and the
     # compacted-continuation schedulers (the continuation body is shared;

@@ -659,3 +659,30 @@ def test_scheduling_kwargs_validated_up_front():
         fitter.fit(z, adaptive="stagedd")
     with pytest.raises(ValueError, match="ascending"):
         fitter.fit(z, adaptive="staged", phase_budgets=(16, 8))
+
+
+def test_lazy_collect_matches_full():
+    """fit(collect="lazy") defers the big solver internals (weights,
+    s_vectors) as device arrays fetched on demand; every field is bitwise
+    identical to the default eager collect (only the transfer time moves).
+    Motivation: over the tunneled chip's ~35 MB/s link those two fields are
+    80% of the result download at bench shapes."""
+    freq, z, rs = _batch(6, seed=7)
+    fitter = BatchedEISFitter(freq, max_iter=12)
+    r_full = fitter.fit(z)
+    r_lazy = fitter.fit(z, collect="lazy")
+    for name in r_full._fields:
+        a, b = getattr(r_full, name), getattr(r_lazy, name)
+        if a is None:
+            assert b is None
+            continue
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+    # deferred fields are jax arrays until touched; eager fields are numpy
+    assert isinstance(r_lazy.weights, jax.Array)
+    assert isinstance(r_lazy.s_vectors, jax.Array)
+    assert isinstance(r_lazy.x, np.ndarray)
+    # staged scheduling composes with lazy collect
+    r_staged = fitter.fit(z, adaptive="staged", collect="lazy")
+    assert np.allclose(r_staged.x, r_full.x, rtol=1e-6, atol=1e-9)
+    with pytest.raises(ValueError, match="collect="):
+        fitter.fit(z, collect="light")
