@@ -49,8 +49,24 @@ def _fetch_states(states, drop=(), lazy=()):
     Returns the same NamedTuple type with host numpy fields. No-op when the
     state is already on host (adaptive scheduling assembles host arrays).
     """
-    if isinstance(states.x, np.ndarray):
+    enq = _enqueue_pack(states, drop=drop, lazy=lazy)
+    if enq is None:
         return states
+    return _finish_pack(*enq)
+
+
+def _enqueue_pack(states, drop=(), lazy=()):
+    """Enqueue the packed-readback program WITHOUT blocking on the fetch.
+
+    Returns (packed_device_array, shapes, states) for _finish_pack, or None
+    when the state is already on host. Split from _fetch_states so
+    fit_stream can enqueue batch N's readback BEFORE dispatching batch
+    N+1's compute: the device stream executes in enqueue order, so the
+    tiny pack runs immediately after batch N's fit and the host-side fetch
+    overlaps batch N+1's compute instead of queueing behind it.
+    """
+    if isinstance(states.x, np.ndarray):
+        return None
     if drop:
         states = states._replace(**{f: None for f in drop
                                     if getattr(states, f) is not None})
@@ -67,7 +83,12 @@ def _fetch_states(states, drop=(), lazy=()):
                 [jnp.reshape(getattr(s, f), (b, -1)).astype(dtype)
                  for f in fields], axis=1)
         pack = _PACK_JITS[key] = jax.jit(pack_fn)
-    packed = np.asarray(pack(states))
+    return pack(states), shapes, states
+
+
+def _finish_pack(packed_dev, shapes, states):
+    """Block on the packed readback and unpack to host numpy fields."""
+    packed = np.asarray(packed_dev)
     out, col = {}, 0
     for f, shape in shapes:
         size = int(np.prod(shape[1:], dtype=np.int64)) if len(shape) > 1 else 1
@@ -697,27 +718,90 @@ class BatchedEISFitter:
 
         if warm is not None:
             states = self._dispatch_warm(rzv, warm)
-        elif adaptive == "staged":
-            # Default schedule measured best on the bench workload (B=1024,
-            # max_iter=50): 3 stages at (8, 14, 22) with halving capacities
-            # beat 2-stage (8, 16) and the 4-stage variants (6192/s vs
-            # 5635-4301/s in one session; plain 3432/s)
-            states = self._fit_staged(
-                rzv, phase_budgets=(8, 14, 22) if phase_budgets is None
-                else phase_budgets, capacities=staged_capacities,
-                buckets=staged_buckets)
-        elif adaptive:
+        elif adaptive is True:
             states = self._fit_adaptive(
                 rzv, phase_budgets=(12, 24) if phase_budgets is None
                 else phase_budgets)
         else:
-            rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
-            if self.mesh is not None:
-                rzv_dev = sh.shard_batch(rzv_dev, self.mesh)
-            states = self._fit_batch(rzv_dev)
+            # staged default schedule measured best on the bench workload
+            # (B=1024, max_iter=50): 3 stages at (8, 14, 22) with halving
+            # capacities beat 2-stage (8, 16) and the 4-stage variants
+            # (6192/s vs 5635-4301/s in one session; plain 3432/s)
+            states = self._dispatch_fit(rzv, adaptive, phase_budgets,
+                                        staged_capacities, staged_buckets)
         return self.collect(states, scale, b_orig,
                             return_states=return_states,
                             lazy=(collect == "lazy"))
+
+    def _dispatch_fit(self, rzv, adaptive, phase_budgets, staged_capacities,
+                      staged_buckets):
+        """Enqueue one batch's fit program (non-blocking); host-prep done."""
+        if adaptive == "staged":
+            return self._fit_staged(
+                rzv, phase_budgets=(8, 14, 22) if phase_budgets is None
+                else phase_budgets, capacities=staged_capacities,
+                buckets=staged_buckets)
+        rzv_dev = jnp.asarray(rzv, dtype=self.dtype)
+        if self.mesh is not None:
+            rzv_dev = sh.shard_batch(rzv_dev, self.mesh)
+        return self._fit_batch(rzv_dev)
+
+    def fit_stream(self, z_batches, adaptive="staged", collect="lazy",
+                   phase_budgets=None, staged_capacities=None,
+                   staged_buckets=None):
+        """Pipelined fits over an iterable of (B, n_freq) complex batches:
+        a generator yielding one BatchFitResult per input batch, with the
+        host work of consecutive batches software-pipelined against device
+        compute (the input-pipeline / double-buffering pattern of the TPU
+        ecosystem applied to fit dispatch; no reference analog — the
+        reference fits maps strictly serially, hybdrt/mapping/drtmd.py:303).
+
+        Sequential fit() calls serialize upload -> compute -> readback per
+        batch; on a tunneled chip transfers are ~20-35% of wall. Here, per
+        step: batch N's packed-readback program is enqueued BEFORE batch
+        N+1's compute program, so on the device's in-order stream it runs
+        immediately after batch N's fit; the host then blocks only on that
+        small fetch, and batch N+1 computes on-device while the host
+        unpacks, yields, and preps batch N+2.
+
+        Results are identical to sequential fit(..., adaptive=adaptive,
+        collect=collect) calls — same compiled programs, same collect
+        semantics. Supports adaptive=False | "staged" (host-driven
+        adaptive=True needs per-phase readbacks, which would serialize the
+        pipeline). Batches may have different sizes (bucketing reuses
+        compiled shapes per power-of-two bucket)."""
+        if adaptive not in (False, "staged"):
+            raise ValueError(f"adaptive={adaptive!r}: fit_stream supports "
+                             f"False or 'staged' (host-driven compaction "
+                             f"would serialize the pipeline)")
+        if collect not in ("full", "lazy"):
+            raise ValueError(f"collect={collect!r}: expected 'full' or "
+                             f"'lazy'")
+        lazy = collect == "lazy"
+        lazy_fields = ("weights", "s_vectors") if lazy else ()
+        drop = ("qp_dual", "outlier_t")
+        prev = None  # (states, scale, b_orig)
+        for z_batch in z_batches:
+            z_batch = np.asarray(z_batch)
+            rzv, scale = self.scale_batch(z_batch)
+            rzv = np.asarray(rzv, dtype=np.dtype(self.dtype))
+            b_orig = rzv.shape[0]
+            if self.mesh is not None:
+                rzv, _ = sh.pad_batch(rzv, self.mesh)
+            elif self.batch_bucket and b_orig > 1:
+                rzv = _bucket_pad(rzv, b_orig)
+            enq = None
+            if prev is not None:
+                enq = _enqueue_pack(prev[0], drop=drop, lazy=lazy_fields)
+            states = self._dispatch_fit(rzv, adaptive, phase_budgets,
+                                        staged_capacities, staged_buckets)
+            if prev is not None:
+                fetched = prev[0] if enq is None else _finish_pack(*enq)
+                # collect() sees host fields -> no second fetch
+                yield self.collect(fetched, prev[1], prev[2], lazy=lazy)
+            prev = (states, scale, b_orig)
+        if prev is not None:
+            yield self.collect(prev[0], prev[1], prev[2], lazy=lazy)
 
     def collect(self, states, scale, b_orig, return_states=False,
                 lazy=False):

@@ -686,3 +686,34 @@ def test_lazy_collect_matches_full():
     assert np.allclose(r_staged.x, r_full.x, rtol=1e-6, atol=1e-9)
     with pytest.raises(ValueError, match="collect="):
         fitter.fit(z, collect="light")
+
+
+def test_fit_stream_matches_sequential():
+    """fit_stream pipelines upload/compute/readback across consecutive
+    batches (batch N's packed readback is enqueued before batch N+1's
+    compute); results must be bitwise identical to sequential fit() calls
+    with the same scheduling/collect mode, including mixed batch sizes
+    (bucketing) and the trailing-batch drain."""
+    freq, z6a, _ = _batch(6, seed=11)
+    _, z4, _ = _batch(4, seed=12)
+    _, z6b, _ = _batch(6, seed=13)
+    batches = [z6a, z4, z6b]
+    fitter = BatchedEISFitter(freq, max_iter=12)
+    seq = [fitter.fit(z, adaptive="staged", collect="lazy") for z in batches]
+    stream = list(fitter.fit_stream(iter(batches)))
+    assert len(stream) == 3
+    for a, b in zip(seq, stream):
+        for name in a._fields:
+            x, y = getattr(a, name), getattr(b, name)
+            if x is None:
+                assert y is None
+                continue
+            assert np.array_equal(np.asarray(x), np.asarray(y)), name
+    # plain scheduling + eager collect variant
+    s2 = list(fitter.fit_stream(batches, adaptive=False, collect="full"))
+    for a, b in zip([fitter.fit(z) for z in batches], s2):
+        assert np.array_equal(a.x, b.x)
+        assert isinstance(b.weights, np.ndarray)
+    # host-driven adaptive=True would serialize the pipeline: rejected
+    with pytest.raises(ValueError, match="adaptive="):
+        list(fitter.fit_stream(batches, adaptive=True))
